@@ -1,0 +1,96 @@
+"""Query registry.
+
+Each engine operator/capability is declared as a named query:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` (the implementation
+    under test, DataFrame-API-first so Catalyst owns the physical plan),
+  - an optional ANSI-SQL oracle string DuckDB runs on the same parquet
+    tables (None => genuinely non-SQL-expressible; the driver then records
+    a weaker rows-only check).
+
+Column-name parity rule (driver contract): every computed column is
+aliased identically in the Spark plan and the oracle SQL, because the
+comparison sorts columns by name before hashing values.
+
+Float parity rule: money-like 2-decimal doubles are summed as
+DECIMAL(18,2) in BOTH engines (exact, order-insensitive) and cast back to
+DOUBLE; genuinely floating results (stddev, cosine) are rounded to a few
+decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import (order = SURVEY §7.2 milestones).
+_PLAN_MODULES = (
+    "video_stream_processing_spark.plans.layer_a",
+    "video_stream_processing_spark.plans.layer_b",
+    "video_stream_processing_spark.plans.extensions",
+    "video_stream_processing_spark.plans.udf_surface",
+)
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query implementation under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _PLAN_MODULES:
+        importlib.import_module(mod)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(sorted(_REGISTRY.items()))
+
+
+def query_map() -> dict[str, QueryFn]:
+    """The driver-contract ``queries()`` payload."""
+
+    def _wrap(spec: QuerySpec) -> QueryFn:
+        # Late-bind session conventions (UTC, Arrow, AQE) even on sessions
+        # we did not construct.
+        from video_stream_processing_spark.session import ensure_session_conf
+
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_conf(spark)
+            return spec.fn(spark, sf_dir)
+
+        run.__name__ = spec.name
+        run.__doc__ = spec.doc
+        return run
+
+    return {name: _wrap(spec) for name, spec in all_queries().items()}
+
+
+def oracle_map() -> dict[str, str]:
+    """The driver-contract ``oracle_sql()`` payload (SQL-expressible only)."""
+    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}

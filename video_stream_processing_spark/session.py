@@ -1,0 +1,81 @@
+"""SparkSession construction and session-level conventions.
+
+The reference configures its Flink environment centrally
+(VideoStreamProcessingJob.java:112-129: parallelism, checkpointing,
+restart strategy). Our equivalent is a SparkSession factory that turns on
+the scale posture we rely on everywhere: AQE (runtime re-planning, skew
+join splitting, partition coalescing), Arrow for the pandas-UDF boundary,
+and a UTC session timezone so timestamp semantics are reproducible against
+the DuckDB oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conventions every query in this engine assumes. All of these are
+# runtime-settable (not static SparkConf), so ensure_session_conf() can
+# also repair a session we did not create (e.g. the verify driver's).
+RUNTIME_CONF = {
+    # Timestamps: parquet stores instants; render/extract in UTC everywhere.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow-batched transfer for pandas UDFs / toPandas: the only sane way
+    # to cross the JVM<->Python boundary (SURVEY §4.2).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling.
+    # At 100 TB the static shuffle-partition number is always wrong for
+    # somebody; AQE fixes it per-stage from runtime statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver-generated events table stores TIMESTAMP(NANOS) parquet,
+    # which Spark 4 rejects by default; read as long nanos and convert in
+    # tables.load_table (truncation to micros matches DuckDB's behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime conventions to an externally provided session.
+
+    The verify driver hands ``entry(spark)`` a session we did not build;
+    every declared query routes through here so results do not depend on
+    who constructed the session.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment: keep going; the conf above
+            # are all documented runtime-mutable in Spark 3.x/4.x.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "video-stream-processing-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[N] for tests/bench; on a real cluster the same code runs with
+    master/memory supplied by spark-submit. Shuffle partitions default to
+    the test-box core count; on a 1000-executor cluster you would set this
+    to ~2-3x total cores and let AQE coalesce down.
+    """
+    master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_session_conf(spark)
