@@ -1,2 +1,1044 @@
-"""Layer B — the relational/analytic query surface (SURVEY.md §2.5):
-the operators the reference's Doris fact table implies. Populated in M2."""
+"""Layer B — the relational/analytic operator surface (SURVEY.md §2.5).
+
+The reference implements none of these (grep-verified: no joins, aggs,
+window functions, sorts or set ops anywhere in its Java); they are the
+query surface its Doris fact table exists to serve — DUPLICATE KEY +
+bitmap indexes on (detection_time, object_class) imply time-range and
+class-predicate scans, group-bys and rollups (reference README.md:81-105).
+Each operator is a declared query on the star schema with a DuckDB oracle.
+
+Float-parity conventions (see plans/registry.py):
+  - 2-decimal money doubles aggregate as DECIMAL(18,2) then cast DOUBLE;
+  - intrinsically floating results round to a fixed scale on both sides;
+  - integer-ish results cast to the Spark output type in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.plans.registry import register
+from video_stream_processing_spark.tables import load_table, register_temp_views
+
+
+def _dec(col, scale: int = 2):
+    """Exact-sum representation for 2-decimal money doubles."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# b01 — hash aggregate with grouped full-table scan (TPC-H Q1 shape: the
+# pricing summary the Doris fact table's returnflag/linestatus slicing maps to)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped scan aggregate: map-side partial aggregation + one shuffle
+    on the (low-cardinality) group key; decimals keep sums order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# b02 — global sort / top-k (takeOrdered physical path)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b02_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("layer_b", "sort_limit"),
+)
+def b02_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT: Catalyst plans TakeOrderedAndProject — per-
+    partition top-k then a single-reduce merge, no global sort shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(25).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# b03 — broadcast equi-join (small dim x big fact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b03_broadcast_join",
+    oracle="""
+SELECT p.p_type,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 15
+GROUP BY p.p_type
+""",
+    tags=("layer_b", "join"),
+)
+def b03_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dim: at 100 TB the fact side never
+    shuffles for this join — the dim ships to every executor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# b04 — multi-way join through the full snowflake (shuffle + broadcast mix)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b04_snowflake_join",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY n.n_name
+""",
+    tags=("layer_b", "join"),
+)
+def b04_snowflake_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region->nation->customer broadcast down onto orders⋈lineitem (the
+    only genuinely large join, shuffled on orderkey; AQE picks broadcast
+    for the dims from runtime sizes)."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# b05/b06 — semi and anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b05_semi_join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    tags=("layer_b", "join"),
+)
+def b05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one big order — no
+    duplication of the left side, right side reduced to existence bits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "b06_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+    tags=("layer_b", "join"),
+)
+def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no event activity (the event-stream
+    key space is a strict subset of the customer key space, so this is
+    non-empty at every scale factor)."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# b07 — distinct aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b07_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS distinct_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) beside plain aggregates — Catalyst's two-phase
+    expand+aggregate; at scale prefer approx_count_distinct (b08)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+    )
+
+
+@register("b08_approx_count_distinct", oracle=None, tags=("layer_b", "aggregate", "rows_only"))
+def b08_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for distinct
+    metrics over 100 TB (single pass, fixed memory, no expand shuffle).
+    Sketch internals differ from DuckDB's approx_distinct, so rows-only;
+    tests/test_layer_b.py bounds the relative error against exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_distinct_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# b09/b10/b11 — rollup, cube, grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b09_rollup",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS customer_count,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "b10_cube",
+    oracle="""
+SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY CUBE (event_type, user_bucket)
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping combinations."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", (F.col("user_id") % 5).alias("user_bucket"), "value")
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "b11_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (expressed via Spark SQL — same Catalyst
+    Expand operator the DataFrame rollup/cube lower to)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# b12-b15 — window functions (ranking, lag/lead, top-k per group, running)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b12_window_rank",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+       CAST(rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
+FROM customer
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over per-segment balance ordering.
+    Spark emits int for these; cast the oracle to match Spark's IntegerType
+    (pandas dtype parity), then upcast both to long via column cast."""
+    c = load_table(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w_unique).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "b13_window_lag_lead",
+    oracle="""
+SELECT user_id, ts, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(round(value - COALESCE(lag(value) OVER w, value), 2) AS DOUBLE) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b13_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation over per-key event-time order (the analytic
+    shape behind the keyframe gate and sessionization)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 2
+        ).cast("double").alias("delta"),
+    )
+
+
+@register(
+    "b14_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b14_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number + filter. At scale this is
+    the shuffle-once pattern (vs a self-join or per-group sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "b15_running_sum",
+    oracle="""
+SELECT user_id, ts, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_count
+FROM events
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b15_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-key running aggregates with an explicit ROWS frame
+    (decimal accumulation keeps the prefix sums order-exact)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b16 — set operations (union distinct / intersect / except in one result)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b16_set_ops",
+    oracle="""
+WITH order_cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000),
+     event_cust AS (SELECT DISTINCT user_id AS custkey FROM events)
+SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM order_cust INTERSECT SELECT custkey FROM event_cust)
+UNION ALL
+SELECT 'except' AS op, custkey FROM (SELECT custkey FROM order_cust EXCEPT SELECT custkey FROM event_cust)
+UNION ALL
+SELECT 'union' AS op, custkey FROM (SELECT custkey FROM order_cust UNION SELECT custkey FROM event_cust)
+""",
+    tags=("layer_b", "set_ops"),
+)
+def b16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION(distinct) over two key sets, tagged and
+    stacked so one declared query covers all three physical set-op plans."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    a = o.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey")).distinct()
+    b = e.select(F.col("user_id").alias("custkey")).distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "custkey")  # noqa: E731
+    return (
+        tag(a.intersect(b), "intersect")
+        .unionAll(tag(a.subtract(b), "except"))
+        .unionAll(tag(a.union(b).distinct(), "union"))
+    )
+
+
+# --------------------------------------------------------------------------
+# b17-b20 — scalar function coverage (string / date / math / JSON)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b17_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       CAST(length(p_name) AS INT) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       trim(p_name) AS name_trim,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_consonants,
+       reverse(p_brand) AS brand_rev,
+       CAST(strpos(p_type, 'O') AS INT) AS first_o,
+       replace(p_type, 'ECONOMY', 'ECO') AS type_short
+FROM part
+""",
+    tags=("layer_b", "scalar_fn"),
+)
+def b17_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface. DuckDB regexp_replace needs the 'g'
+    flag to match Spark's replace-all default; Spark instr == DuckDB strpos."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_consonants"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_type", "O").alias("first_o"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+    )
+
+
+@register(
+    "b18_date_functions",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+    tags=("layer_b", "scalar_fn"),
+)
+def b18_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface. Parity traps handled: DuckDB dayofweek is
+    0-based (Spark 1-based, so oracle adds 1); Spark add_months == DuckDB
+    +INTERVAL MONTH (both clamp to month end)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+    )
+
+
+@register(
+    "b19_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS abs_dev,
+       l_extendedprice / 1000.0 AS price_k,
+       CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_div7_up,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(exp(l_discount), 6) AS disc_exp,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       CAST(l_partkey % 97 AS BIGINT) AS partkey_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       round(pow(l_quantity, 2), 2) AS qty_sq
+FROM lineitem
+WHERE l_orderkey % 11 = 0
+""",
+    tags=("layer_b", "scalar_fn"),
+)
+def b19_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface. Transcendentals (ln/exp) round to 6 — libm
+    implementations may differ in the last ulp between JVM and DuckDB;
+    sqrt is IEEE-exact so left unrounded."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        (F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_div7"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_div7_up"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        (F.col("l_partkey") % 97).alias("partkey_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+    )
+
+
+@register(
+    "b20_json_functions",
+    oracle="""
+SELECT event_id, props,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+""",
+    tags=("layer_b", "scalar_fn"),
+)
+def b20_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload (the reference's frame
+    metadata analog, FrameMetadata at VideoFrame.java:49)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("purchase", "signup"))
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        "props",
+        k.alias("k_value"),
+        (k % 10).alias("k_mod"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b21 — array functions (embedding vector column, scalar projections)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b21_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+    tags=("layer_b", "array_fn"),
+)
+def b21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over the embedding column: size/element_at/min/max and
+    a higher-order-function fold (JVM-side, no Python) for the L2 norm —
+    the building blocks of the similarity-search operators (x06+)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b22 — sessionization via lag + cumulative sum (gap-based)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b22_sessionization",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("layer_b", "window_fn", "sessionization"),
+)
+def b22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag -> new-session flag ->
+    running sum as session id -> per-session aggregate. Single shuffle on
+    user_id reused by both window specs and the final groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > 1_800_000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wcum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# b23/b24/b25 — event-time windows: tumbling, sliding, session
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b23_tumbling_window",
+    oracle="""
+SELECT make_timestamp((epoch_ms(ts) // 1000 // 3600) * 3600 * 1000000) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("layer_b", "window_agg"),
+)
+def b23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time windows (same F.window the streaming
+    mode uses with a watermark — batch and stream share this expression)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum"
+        )
+    )
+
+
+@register(
+    "b24_sliding_window",
+    oracle="""
+SELECT make_timestamp(((epoch_ms(ts) // 1000 // 300) * 300 - o.off) * 1000000) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+CROSS JOIN (SELECT unnest([0, 300]) AS off) o
+GROUP BY 1
+""",
+    tags=("layer_b", "window_agg"),
+)
+def b24_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two windows; Spark's window() does the expansion internally
+    (the oracle materializes the same two bucket starts explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+    )
+
+
+@register(
+    "b25_session_window",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    tags=("layer_b", "window_agg"),
+)
+def b25_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30 min gap): Spark merges adjacent events
+    into variable-length sessions; end = last event + gap. The oracle
+    reproduces it with the lag/cumsum construction (b22) — semantics match
+    exactly for gap-close sessions."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# b26 — pivot (group -> columns)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_B26_ORACLE = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS ev_{t}" for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+@register("b26_pivot", oracle=_B26_ORACLE, tags=("layer_b", "pivot"))
+def b26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type. Explicit
+    value list (no discovery pass — required at scale); missing combos
+    coalesce to 0 to match SQL FILTER counts."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id").pivot("event_type", list(_EVENT_TYPES)).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"ev_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# b27 — percentiles (exact interpolated)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b27_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+       round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark percentile == DuckDB
+    quantile_cont). At 100 TB the approx_percentile sketch replaces this
+    shape; kept exact here for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_median"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("price_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b28 — arg-max/arg-min (max_by/min_by with a deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b28_arg_extrema",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 100000000 + o_orderkey) AS best_order,
+       arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 100000000 + o_orderkey) AS worst_order,
+       CAST(max(o_totalprice) AS DOUBLE) AS best_price
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b28_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a composed (price, key) rank value so ties on
+    price resolve deterministically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    rank_val = (F.col("o_totalprice") * 100).cast("long") * F.lit(100_000_000) + F.col(
+        "o_orderkey"
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", rank_val).alias("best_order"),
+        F.min_by("o_orderkey", rank_val).alias("worst_order"),
+        F.max("o_totalprice").cast("double").alias("best_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b29 — statistical aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b29_statistical_aggs",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS qty_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b29_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/corr/covar — float-accumulation order differs
+    between engines, so rounded on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b30 — conditional aggregation (CASE inside aggregates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b30_conditional_agg",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE c_acctbal > 5000) AS rich_customers,
+       count(*) FILTER (WHERE c_acctbal < 0) AS debtors,
+       CAST(sum(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS positive_balance
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("layer_b", "aggregate"),
+)
+def b30_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: filtered counts and CASE-guarded sums."""
+    c = load_table(spark, sf_dir, "customer")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("rich_customers"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("debtors"),
+        F.sum(
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast("decimal(18,2)")).otherwise(dec0)
+        ).cast("double").alias("positive_balance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# b31 — correlated subquery (decorrelated by Catalyst into a join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b31_correlated_subquery",
+    oracle="""
+WITH cust_avg AS (
+    SELECT o_custkey AS k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN cust_avg a ON o.o_custkey = a.k
+WHERE o.o_totalprice > a.avg_price * 1.5
+""",
+    tags=("layer_b", "subquery"),
+)
+def b31_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above their customer's average — written as a correlated
+    scalar subquery in Spark SQL (Catalyst decorrelates it into the same
+    aggregate+join the oracle spells out)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.5
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# b32 — distinct projection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b32_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("layer_b", "aggregate"),
+)
+def b32_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — hash-aggregate dedup on the projected columns."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
