@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is executed with a count-style terminal action so the full
+plan runs (scan -> shuffle -> agg/join) without collecting result data to
+the driver. A warmup pass on the smallest SF primes the JVM/codegen so
+the measured numbers reflect steady-state plan execution, the thing that
+scales to a real cluster, rather than first-call JIT cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from video_stream_processing_spark.plans.registry import query_map  # noqa: E402
+from video_stream_processing_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2 / §7.2) so the
+# number tracks the whole engine, not one hot loop.
+HEADLINE = (
+    "flagship_segment_pipeline",  # Layer A pipeline end-to-end
+    "a07_detection_fact_pipeline",  # gate -> explode -> fact projection
+    "b01_pricing_summary",  # grouped full scan (TPC-H Q1 shape)
+    "b03_broadcast_join",  # broadcast dim x fact
+    "b04_snowflake_join",  # multi-way join
+    "b07_count_distinct",  # distinct aggregate
+    "b14_topk_per_group",  # window function
+    "b22_sessionization",  # lag + cumsum + agg
+    "b23_tumbling_window",  # event-time window agg
+    "b27_percentiles",  # exact percentiles
+)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = query_map()
+    names = [n for n in HEADLINE if n in qmap]
+    # Extend with any extension/UDF headliners registered after this file
+    # was written (keeps bench.py stable as coverage widens).
+    names += [n for n in qmap if n.startswith(("x", "u")) and n not in names and qmap[n].__doc__ and "bench:headline" in (qmap[n].__doc__ or "")]
+
+    def run_full(df) -> None:
+        # noop sink materializes every row of the full plan on executors —
+        # unlike count(), which Catalyst can short-circuit to parquet
+        # row-group metadata for scan-shaped queries.
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup at the smallest SF: JIT, codegen cache, parquet footer reads.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names:
+            try:
+                run_full(qmap[n](spark, warm_dir))
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        run_full(qmap[n](spark, sf_dir))
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
