@@ -1,0 +1,217 @@
+"""Deduplication operators over ``documents`` — the training-data-pipeline
+dedup family (driver north-star): exact hash dedup, MinHash+LSH near-dup,
+and exact n-gram Jaccard similarity join.
+
+Cross-engine determinism rule: every hash is md5 (present in both Spark
+and DuckDB), and MinHash permutations are "min of md5(k || ':' || token)"
+— lexicographic min over a salted cryptographic hash is a valid random
+permutation and is bit-identical in both engines, so even the LSH
+candidate-generation step is oracle-checkable (no probabilistic slack in
+the differential test).
+
+Scale posture (100 TB): all steps are shuffle-on-key DataFrame ops —
+explode to (doc, token), aggregate signatures map-side, band-key
+self-join (the only quadratic-risk step is per-bucket, bounded by band
+collision rate), exact verification only on candidates. No driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.operators.text import tokens_col
+
+NUM_HASHES = 12
+BAND_ROWS = 3  # 4 bands x 3 rows
+JACCARD_THRESHOLD = 0.8
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-hash groupBy; keeper = min doc_id per hash
+    (deterministic). One shuffle on the 128-bit hash — at 100 TB hash
+    first so the shuffle key is fixed-width, not the document body."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens_col(text_col))).alias("toks")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, k, mh): per-doc MinHash signature rows.
+
+    One explode to (doc, token), cross with the k hash indices, map-side
+    partial min, one shuffle on (doc_id, k)."""
+    tok = _doc_tokens(docs, text_col).select("doc_id", F.explode("toks").alias("w"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    return (
+        tok.select("doc_id", "w", ks)
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("w")))).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Band signatures into buckets; docs sharing any (band_id, band_key)
+    bucket become candidate pairs. The self-join is per-bucket, so work is
+    proportional to collisions, not to n^2."""
+    bands = (
+        sigs.withColumn("band_id", (F.col("k") / band_rows).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_neardups(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle/tokenize -> minhash -> LSH bands ->
+    bucket join -> EXACT Jaccard verification on candidates only.
+
+    Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold."""
+    toks = _doc_tokens(docs, text_col)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, text_col))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4).cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.9
+) -> DataFrame:
+    """Exact all-pairs token-set Jaccard via inverted-index join (the
+    non-probabilistic baseline LSH approximates): explode distinct
+    tokens, self-join on token, count intersections, join set sizes.
+
+    At 100 TB this needs prefix filtering / length filtering to bound the
+    candidate blow-up; with the bounded synthetic vocab the plain
+    inverted index is the honest representation of the pattern."""
+    tok = _doc_tokens(docs, text_col).select("doc_id", F.explode("toks").alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same pipelines, same md5 hashes)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_oracle_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' '))) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+sig AS (
+    SELECT doc_id, ks.k,
+           min(md5(CAST(ks.k AS VARCHAR) || ':' || w)) AS mh
+    FROM tok CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) ks
+    GROUP BY doc_id, ks.k
+),
+band AS (
+    SELECT doc_id, CAST(k // {band_rows} AS INT) AS band_id,
+           string_agg(mh, '|' ORDER BY k) AS band_key
+    FROM sig GROUP BY doc_id, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+             (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4) AS jaccard
+FROM cand
+JOIN toks ta ON cand.doc_a = ta.doc_id
+JOIN toks tb ON cand.doc_b = tb.doc_id
+WHERE round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+            (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4) >= {threshold}
+"""
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+    FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold}
+"""

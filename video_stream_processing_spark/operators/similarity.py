@@ -1,0 +1,337 @@
+"""Vector similarity search over ``embeddings`` (ARRAY<FLOAT>, 64-dim) —
+the ANN surface of the training-data pipeline (driver north-star).
+
+Three tiers:
+- brute-force cosine top-k (the exactness baseline; O(Q*N) dot products,
+  all JVM-side higher-order functions — no Python in the loop);
+- random-hyperplane LSH buckets (deterministic integer-formula
+  hyperplanes => oracle-checkable candidate generation, the hash-bucket
+  scale path);
+- IVF with label-derived centroids (posexplode + positional avg; probe
+  the nearest centroid only).
+
+Ranking parity rule: scores are rounded to 5 decimals FIRST and ranked
+on (rounded_score DESC, vec_id) so sub-ulp float differences between
+engines cannot flip an ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+SCORE_SCALE = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (matches list_sum order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _queries(emb: DataFrame, modulus: int = 50) -> DataFrame:
+    """Deterministic query subset: every ``modulus``-th vector."""
+    return emb.where(F.col("vec_id") % modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+
+
+def brute_force_topk(emb: DataFrame, k: int = 5, query_modulus: int = 50) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against every
+    candidate — the fact side never shuffles; ranking is one window over
+    the per-query partitions."""
+    q = _queries(emb, query_modulus)
+    cand = emb.select(F.col("vec_id"), F.col("embedding"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_bits(emb_col: Column, n_planes: int = N_HYPERPLANES) -> Column:
+    """Deterministic random-ish hyperplanes: g(i,j) = (((5i + 11j) % 13) - 6)/6
+    (zero-mean integer lattice). Bit j = 1 iff dot(e, g_j) >= 0. Returns
+    the n-char '0'/'1' bucket key."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.sequence(F.lit(0), F.size(emb_col) - 1),
+                    lambda x, i: x.cast("double")
+                    * (((i * 5 + F.lit(j * 11)) % 13) - 6).cast("double")
+                    / 6.0,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            "1",
+        ).otherwise("0")
+        for j in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: candidates limited to the query's
+    bucket (expected N/2^planes of the data), then exact cosine rank
+    within the bucket. The bucket equi-join replaces the cross join —
+    this is the 100 TB shape (shuffle on bucket key, no broadcast of the
+    corpus)."""
+    bucketed = emb.select(
+        "vec_id", "embedding", hyperplane_bits(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.where(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("bucket"),
+    )
+    scored = (
+        bucketed.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroids via posexplode + positional mean, re-assembled
+    in position order (the k-means-assignment step of IVF; labels stand
+    in for trained cluster ids)."""
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
+    """IVF probe-1 search: route each query to its nearest centroid
+    (broadcast centroids — tiny), then exact top-k within that one
+    inverted list. At scale the inverted lists are the partition layout,
+    so the probe touches 1/n_clusters of the corpus."""
+    cents = ivf_centroids(emb)
+    q = _queries(emb, query_modulus)
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_emb",
+            "label",
+            F.round(cosine(F.col("query_emb"), F.col("centroid")), SCORE_SCALE).alias(
+                "csim"
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "label")
+            ),
+        )
+        .where(F.col("crank") == 1)
+        .select("query_id", "query_emb", F.col("label").alias("probe_label"))
+    )
+    scored = (
+        emb.join(
+            F.broadcast(assigned), emb.label == assigned.probe_label
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_label",
+            "vec_id",
+            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("probe_label").cast("int").alias("probe_label"),
+            "vec_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    All-pairs here (the exact answer the blocked/LSH variants
+    approximate); blocking keys (LSH bucket or IVF list) bound the
+    quadratic term at scale."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), SCORE_SCALE).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (identical math: double casts, sequential sums,
+# round-then-rank)
+# ---------------------------------------------------------------------------
+
+_COS = """
+round(
+  list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)
+"""
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return _COS.format(a=a, b=b)
+
+
+def brute_force_topk_oracle_sql(k: int = 5, query_modulus: int = 50) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS score
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id % {query_modulus} = 0
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _bits_sql(emb: str, n_planes: int = N_HYPERPLANES) -> str:
+    frags = []
+    for j in range(n_planes):
+        frags.append(
+            "CASE WHEN list_sum(list_transform(range(len(%s)), i -> "
+            "CAST(%s[i+1] AS DOUBLE) * (((i * 5 + %d) %% 13) - 6) / 6.0)) >= 0 "
+            "THEN '1' ELSE '0' END" % (emb, emb, j * 11)
+        )
+    return " || ".join(frags)
+
+
+def lsh_topk_oracle_sql(k: int = 3, query_modulus: int = 50) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {_bits_sql('embedding')} AS bucket
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS score
+    FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+    WHERE q.vec_id % {query_modulus} = 0
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_oracle_sql(k: int = 3, query_modulus: int = 50) -> str:
+    cos_qc = cosine_sql("q.embedding", "ct.centroid")
+    cos_qv = cosine_sql("q2.query_emb", "e.embedding")
+    return f"""
+WITH pos AS (
+    SELECT label, u.i AS pos, u.x AS v
+    FROM embeddings, unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) AS t(u)
+),
+cent AS (
+    SELECT label, list(CAST(c AS DOUBLE) ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c FROM pos GROUP BY label, pos)
+    GROUP BY label
+),
+assigned AS (
+    SELECT query_id, query_emb, probe_label FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_emb, ct.label AS probe_label,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, ct.label) AS crank
+        FROM embeddings q CROSS JOIN cent ct
+        WHERE q.vec_id % {query_modulus} = 0
+    ) WHERE crank = 1
+),
+scored AS (
+    SELECT q2.query_id, q2.probe_label, e.vec_id, {cos_qv} AS score
+    FROM embeddings e JOIN assigned q2 ON e.label = q2.probe_label
+    WHERE e.vec_id != q2.query_id
+),
+ranked AS (
+    SELECT query_id, probe_label, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(probe_label AS INT) AS probe_label, vec_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def neardup_oracle_sql(threshold: float = 0.4) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (driver north-star extension; the
+reference has no text path, so these are Layer-B-style additions built
+entirely from JVM-side built-ins where possible).
+
+Design rule: everything here is expressible with pyspark.sql.functions
+(codegen'd, no Python in the hot path) EXCEPT simhash, which is a
+one-pass Arrow-batched pandas UDF whose bit definition is md5-based so
+the DuckDB oracle can recompute it exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list used by quality scoring and lang-id.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+SIMHASH_BITS = 64
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_count(text_col: str = "text") -> Column:
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def distinct_word_count(text_col: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens_col(text_col))).cast("long")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish subword proxy: count word chunks of <=4 chars, i.e.
+    ceil(len(word)/4) summed — a deterministic stand-in for a real BPE
+    tokenizer's token count (vocabularies aren't in this container)."""
+    return F.aggregate(
+        tokens_col(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = tokens_col(text_col)
+    stops = F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS))
+    return (F.size(stops) / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    stripped = F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    n = F.length(text_col)
+    return ((n - F.length(stripped)) / F.greatest(n, F.lit(1))).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane stopword ratio + lexical diversity. Deterministic arithmetic so
+    the oracle reproduces it bit-for-bit (all double math)."""
+    wc = word_count(text_col)
+    length_term = F.least(wc / F.lit(100.0), F.lit(1.0))
+    diversity = distinct_word_count(text_col) / F.greatest(wc, F.lit(1))
+    sw = stopword_ratio(text_col)
+    pr = punct_ratio(text_col)
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - pr)
+        + F.lit(0.2) * diversity
+        + F.lit(0.1) * (F.lit(1.0) - F.abs(sw - F.lit(0.1)))
+    ).cast("double")
+
+
+# Character-frequency lang-id: score each candidate language by marker
+# character/digraph rates — a real (if crude) n-gram heuristic. With the
+# synthetic corpus every doc is ASCII word-salad, so the interesting part
+# is that the heuristic is deterministic and oracle-checkable; accuracy
+# against the `lang` label is reported, not assumed.
+LANG_MARKERS = {
+    "en": ("th", "he", "er"),
+    "es": ("os", "ar", "la"),
+    "de": ("ch", "ei", "sch"),
+    "fr": ("le", "ou", "es"),
+    "zh": ("zh", "ng", "sh"),
+}
+
+
+def _marker_count(text_col: str, marker: str) -> Column:
+    # occurrences = (len - len(remove(marker))) / len(marker)
+    lowered = F.lower(F.col(text_col))
+    return (
+        (F.length(lowered) - F.length(F.replace(lowered, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    return {
+        lang: sum((_marker_count(text_col, m) for m in markers), F.lit(0).cast("long"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """argmax over marker scores; deterministic tie-break on lang name."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    # array_max on struct compares field-by-field: score then lang; ties
+    # on score resolve to the lexicographically LAST lang — mirror that
+    # exact rule in the oracle (max_by with composite ordering).
+    return F.array_max(pairs).getField("lang")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """k-token shingles as strings: tokens[i..i+k-1] joined by spaces —
+    pure higher-order functions, no UDF."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def fingerprint(text_col: str = "text", k: int = 3) -> Column:
+    """Document fingerprint: min-md5 over k-token shingles (the winnowing
+    min-hash idea with one hash). Identical shingle-sets => identical
+    fingerprint; md5 exists in both engines so it's oracle-exact."""
+    return F.array_min(F.transform(shingles(text_col, k), F.md5))
+
+
+# --------------------------------------------------------------------------
+# SimHash — one-pass pandas UDF with an md5-defined bit contract.
+#
+# bit j of token w = bit (j%4) of hex digit j//4 of md5(w)   (j in 0..63)
+# simhash bit j   = 1 iff sum over DISTINCT tokens of (2*bit - 1) >= 0
+# output          = 64-char '0'/'1' string (MSB j=0 first)
+# --------------------------------------------------------------------------
+
+
+def _token_bits(w: str) -> np.ndarray:
+    h = hashlib.md5(w.encode("utf-8")).hexdigest()
+    digits = np.frombuffer(bytes.fromhex(h), dtype=np.uint8)  # 16 bytes
+    # hex digit d (0..31): even index -> high nibble. Bits LSB-first per
+    # nibble to match (value >> (j%4)) & 1.
+    nibbles = np.empty(32, dtype=np.uint8)
+    nibbles[0::2] = digits >> 4
+    nibbles[1::2] = digits & 0xF
+    j = np.arange(SIMHASH_BITS)
+    return (nibbles[j // 4] >> (j % 4)) & 1
+
+
+def simhash_udf(text_col: Column) -> Column:
+    @F.pandas_udf("string")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = sorted(set((t or "").split()))
+            if not toks:
+                out.append("0" * SIMHASH_BITS)
+                continue
+            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for w in toks:
+                acc += 2 * _token_bits(w).astype(np.int64) - 1
+            out.append("".join("1" if v >= 0 else "0" for v in acc))
+        return pd.Series(out)
+
+    return simhash(text_col)
+
+
+def simhash_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL recomputing simhash_udf bit-for-bit."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+    FROM {table}
+),
+bits AS (
+    SELECT doc_id, b.j,
+           CAST((strpos('0123456789abcdef', substr(md5(w), CAST(b.j // 4 AS INT) + 1, 1)) - 1)
+                // CAST(pow(2, b.j % 4) AS INT) AS INT) % 2 AS bit
+    FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) b
+),
+sim AS (
+    SELECT doc_id, j,
+           CASE WHEN sum(2 * bit - 1) >= 0 THEN '1' ELSE '0' END AS sbit
+    FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash
+FROM sim GROUP BY doc_id
+"""

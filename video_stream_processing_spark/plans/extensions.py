@@ -1,2 +1,333 @@
-"""Extensions — large-scale training-data pipeline operators (dedup,
-similarity search, text analysis, multimodal). Populated in M4."""
+"""Extensions (M4) — the large-scale training-data-pipeline operators the
+driver mandates as first-class engine components (BASELINE.json north
+star): deduplication, similarity search, text analysis, multimodal
+columns. Each is a declared query over documents/embeddings with a
+DuckDB oracle wherever the computation is deterministic in both engines
+(md5-based hashing and round-then-rank make even LSH oracle-exact here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.operators import dedup as D
+from video_stream_processing_spark.operators import similarity as S
+from video_stream_processing_spark.operators import text as T
+from video_stream_processing_spark.operators.multimodal import (
+    fake_decode_meta,
+    frame_sample,
+    with_binary_payload,
+)
+from video_stream_processing_spark.plans.registry import register
+from video_stream_processing_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x01_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("extension", "dedup"),
+)
+def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy; keeper = min doc_id."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x02_minhash_lsh_neardup",
+    oracle=D.minhash_lsh_oracle_sql(),
+    tags=("extension", "dedup", "lsh"),
+)
+def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 salted-md5 hashes) -> 4x3 LSH bands -> bucket join ->
+    exact-Jaccard verification >= 0.8. Hashing is md5 in both engines, so
+    the differential check covers candidate generation too — no
+    probabilistic slack (operators/dedup.py)."""
+    return D.minhash_lsh_neardups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x03_ngram_jaccard_pairs",
+    oracle=D.ngram_jaccard_oracle_sql(threshold=0.95),
+    tags=("extension", "dedup"),
+)
+def x03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity join via inverted index (the
+    ground truth LSH approximates)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@register(
+    "x04_simhash",
+    oracle=T.simhash_oracle_sql(),
+    tags=("extension", "dedup", "pandas_udf"),
+)
+def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document — one-pass Arrow-batched pandas UDF
+    with an md5-defined bit contract the oracle recomputes in SQL
+    (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.simhash_udf(F.col("text")).alias("simhash"))
+
+
+@register(
+    "x05_embedding_neardup",
+    oracle=S.neardup_oracle_sql(threshold=0.4),
+    tags=("extension", "dedup", "vector"),
+)
+def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4) — exact all-pairs
+    baseline; the LSH/IVF blockers (x07/x08) are the scale path."""
+    return S.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x06_cosine_topk",
+    oracle=S.brute_force_topk_oracle_sql(),
+    tags=("extension", "similarity"),
+)
+def x06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (every 50th vec):
+    broadcast queries x corpus, JVM-side fold dot products, round-then-
+    rank. bench:headline"""
+    return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x07_lsh_ann_topk",
+    oracle=S.lsh_topk_oracle_sql(),
+    tags=("extension", "similarity", "lsh"),
+)
+def x07_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via 8 deterministic random-hyperplane LSH bits: bucket
+    equi-join instead of cross join (~1/256 of candidates scored)."""
+    return S.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x08_ivf_ann_topk",
+    oracle=S.ivf_topk_oracle_sql(),
+    tags=("extension", "similarity", "ivf"),
+)
+def x08_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-1 ANN: label-derived centroids (posexplode positional
+    mean), query -> nearest centroid -> exact rank within that inverted
+    list only."""
+    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x10_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+       CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_ish,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("extension", "text"),
+)
+def x10_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    subword-chunk count (ceil(len/4) per word), characters — all JVM
+    higher-order functions, no Python (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.word_count().alias("n_tokens"),
+        T.distinct_word_count().alias("n_distinct"),
+        T.bpe_ish_token_count().alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_X11_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+@register(
+    "x11_quality_score",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(trim(text), ' ') AS toks,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS wc,
+           CAST(len(list_filter(toks, w -> lower(w) IN ({_X11_STOPS}))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity,
+           pr
+    FROM t
+)
+SELECT doc_id,
+       round(0.4 * least(wc / 100.0, 1.0)
+             + 0.3 * (1.0 - pr)
+             + 0.2 * diversity
+             + 0.1 * (1.0 - abs(sw - 0.1)), 6) AS quality
+FROM m
+""",
+    tags=("extension", "text"),
+)
+def x11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic: length band + punctuation + lexical
+    diversity + stopword-ratio sanity (operators/text.py:quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(T.quality_score(), 6).alias("quality"))
+
+
+_X12_SCORES = ",\n           ".join(
+    "+ ".join(
+        f"(length(lower(text)) - length(replace(lower(text), '{m}', ''))) // {len(m)}"
+        for m in markers
+    )
+    + f" AS s_{lang}"
+    for lang, markers in sorted(T.LANG_MARKERS.items())
+)
+
+@register(
+    "x12_lang_id",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_X12_SCORES}
+    FROM documents
+),
+p AS (
+    SELECT doc_id, labeled_lang,
+           max_by(l, sc * 5 + CASE l WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                              WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) AS predicted_lang
+    FROM (
+        SELECT doc_id, labeled_lang, u.l, u.sc FROM s,
+        unnest([{{'l': 'de', 'sc': s_de}}, {{'l': 'en', 'sc': s_en}}, {{'l': 'es', 'sc': s_es}},
+                {{'l': 'fr', 'sc': s_fr}}, {{'l': 'zh', 'sc': s_zh}}]) AS t(u)
+    )
+    GROUP BY doc_id, labeled_lang
+)
+SELECT doc_id, labeled_lang, predicted_lang,
+       CAST(predicted_lang = labeled_lang AS BOOLEAN) AS is_match
+FROM p
+""",
+    tags=("extension", "text"),
+)
+def x12_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-digraph language-ID heuristic (argmax of marker counts,
+    ties -> lexicographically last lang). Reports agreement with the
+    label rather than assuming it (synthetic corpus is monolingual word
+    salad — the heuristic, not its accuracy, is under test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang().alias("predicted_lang"),
+        (T.predicted_lang() == F.col("lang")).alias("is_match"),
+    )
+
+
+@register(
+    "x13_fingerprint",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fingerprint
+FROM t
+WHERE len(toks) >= 3
+""",
+    tags=("extension", "text"),
+)
+def x13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 3-token shingles (single-hash
+    winnowing; identical shingle sets => identical fingerprints) — pure
+    higher-order functions (operators/text.py:fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.size(T.tokens_col()) >= 3)
+        .select("doc_id", T.fingerprint().alias("fingerprint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x20_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       CAST(CASE WHEN octet_length(encode(text)) > 0
+                 THEN ascii(substr(text, 1, 1)) ELSE 0 END + 16 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'fake-jpeg' AS format
+FROM documents
+""",
+    tags=("extension", "multimodal", "pandas_udf"),
+)
+def x20_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text -> BINARY payload ->
+    mapInPandas metadata extraction (deterministic fake decode; real
+    Pillow path import-gated — operators/multimodal.py). The Arrow batch
+    shape, BinaryType schema and binary-stays-in-the-UDF discipline are
+    the real thing under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode_meta(with_binary_payload(docs).select("doc_id", "payload"))
+
+
+@register(
+    "x21_frame_sample",
+    oracle="""
+SELECT user_id AS stream_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn % 10 = 1
+""",
+    tags=("extension", "multimodal"),
+)
+def x21_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling per stream (video frame-sample analog;
+    one window shuffle on the stream key)."""
+    e = load_table(spark, sf_dir, "events")
+    frames = e.select(F.col("user_id").alias("stream_id"), "ts", "event_id")
+    w = Window.partitionBy("stream_id").orderBy("ts", "event_id")
+    return (
+        frames.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") % 10) == 1)
+        .drop("rn")
+    )
+
+
+@register("x22_frame_sample_op", oracle=None, tags=("extension", "multimodal", "rows_only"))
+def x22_frame_sample_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.frame_sample smoke (ties on bare ts make the
+    generic operator rows-only; x21 is the order-deterministic variant)."""
+    e = load_table(spark, sf_dir, "events")
+    frames = e.select(F.col("user_id").alias("stream_id"), "ts")
+    return frame_sample(frames, every_n=10)

@@ -1,0 +1,197 @@
+"""Stateful streaming operators — exact reference semantics in
+Structured Streaming via ``applyInPandasWithState``.
+
+Two stateful pieces mirror the reference's KeyedProcessFunction
+(/root/reference/src/main/java/com/video/streaming/function/
+VideoProcessFunction.java):
+
+- keyframe gate: per-key (lastKeyFrameTime, previousSignal) state
+  (KeyFrameExtractor.java:53-82), intent semantics per key — NOT the
+  reference's per-subtask shared state bug (SURVEY.md §2.6(b));
+- segment buffer: first-arrival-aligned, trigger-INCLUSIVE 3-minute
+  windows (VideoSegmentBuffer.java:38-105, add-then-check order at
+  VideoProcessFunction.java:88-91), with an event-time timeout flushing
+  the tail buffer — fixing the reference's tail-data loss (§2.6(g)).
+
+State is (start_ms, count, min_ts, max_ts [, last_kf_ms, prev_signal])
+tuples — O(1) per key, NOT the buffered frame list the reference
+snapshots; Structured Streaming's state store checkpoints it correctly
+by construction (the reference's restore path is dead code, §2.6(d)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SEGMENT_STATE_SCHEMA = "start_ms long, frame_count long, min_ms long, max_ms long"
+SEGMENT_OUT_SCHEMA = (
+    "stream_id string, start_time timestamp, end_time timestamp, "
+    "frame_count int, duration_ms long, closed_by string"
+)
+
+KEYFRAME_STATE_SCHEMA = "last_kf_ms long, prev_signal double"
+KEYFRAME_OUT_SCHEMA = "stream_id string, ts timestamp, scene_signal double, is_keyframe boolean"
+
+
+def segment_stateful_fn(duration_ms: int = 180_000, watermark_close: bool = True):
+    """Returns the applyInPandasWithState function for exact segments.
+
+    Trigger-inclusive close: the frame that is >= duration past the
+    buffer start CLOSES the segment and is counted inside it; the next
+    segment starts at the NEXT frame (VideoProcessFunction.java:87-100).
+    Event-time timeout emits the tail segment when the watermark passes.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (stream_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, cnt, mn, mx = state.get
+                state.remove()
+                yield _segment_row(stream_id, mn, mx, cnt, "timeout")
+            return
+
+        if state.exists:
+            start_ms, cnt, mn, mx = state.get
+        else:
+            start_ms, cnt, mn, mx = None, 0, None, None
+
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        for t in ts_ms:
+            if start_ms is None:
+                start_ms, cnt, mn, mx = t, 1, t, t
+                continue
+            cnt += 1
+            mn, mx = min(mn, t), max(mx, t)
+            if t - start_ms >= duration_ms:  # add-then-check, inclusive
+                out.append((stream_id, mn, mx, cnt, "size"))
+                start_ms, cnt, mn, mx = None, 0, None, None
+
+        if start_ms is not None:
+            state.update((start_ms, cnt, mn, mx))
+            if watermark_close:
+                # flush the tail once the watermark passes start+duration
+                state.setTimeoutTimestamp(start_ms + duration_ms)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "stream_id": s,
+                        "start_time": pd.Timestamp(mn_, unit="ms"),
+                        "end_time": pd.Timestamp(mx_, unit="ms"),
+                        "frame_count": int(c),
+                        "duration_ms": int(mx_ - mn_),
+                        "closed_by": why,
+                    }
+                    for (s, mn_, mx_, c, why) in out
+                ]
+            )
+
+    return fn
+
+
+def _segment_row(stream_id, mn, mx, cnt, why) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "stream_id": stream_id,
+                "start_time": pd.Timestamp(mn, unit="ms"),
+                "end_time": pd.Timestamp(mx, unit="ms"),
+                "frame_count": int(cnt),
+                "duration_ms": int(mx - mn),
+                "closed_by": why,
+            }
+        ]
+    )
+
+
+def keyframe_stateful_fn(min_interval_ms: int = 5_000, scene_threshold: float = 0.3):
+    """Per-key keyframe gate with true keyed state (the reference's
+    INTENT; its implementation shares state across keys per subtask —
+    documented deviation, SURVEY.md §2.6(b)).
+
+    Keep a frame iff (a) >= min_interval since last keyframe, or (b)
+    |signal - prev_signal| > threshold (scene change). First frame of a
+    key is always a keyframe (no previous state)."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (stream_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout registered
+            return
+        last_kf_ms, prev_signal = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        signals = rows["scene_signal"].tolist()
+        flags = []
+        for t, sig in zip(ts_ms, signals):
+            interval_ok = last_kf_ms is None or (t - last_kf_ms) >= min_interval_ms
+            scene_change = prev_signal is not None and abs(sig - prev_signal) > scene_threshold
+            is_kf = bool(interval_ok or scene_change)
+            if is_kf:
+                last_kf_ms = t
+            prev_signal = sig
+            flags.append(is_kf)
+        state.update((last_kf_ms, float(prev_signal) if prev_signal is not None else None))
+        out = rows[["ts", "scene_signal"]].copy()
+        out.insert(0, "stream_id", stream_id)
+        out["is_keyframe"] = flags
+        yield out
+
+    return fn
+
+
+def exact_segments_stream(
+    frames: DataFrame,
+    duration_ms: int = 180_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming DataFrame -> exact segments. Input needs (stream_id, ts)."""
+    return (
+        frames.withWatermark("ts", watermark)
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            segment_stateful_fn(duration_ms),
+            outputStructType=SEGMENT_OUT_SCHEMA,
+            stateStructType=SEGMENT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def keyframes_stream(
+    frames: DataFrame,
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming DataFrame -> keyframe-flagged frames."""
+    return (
+        frames.withWatermark("ts", watermark)
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            keyframe_stateful_fn(min_interval_ms, scene_threshold),
+            outputStructType=KEYFRAME_OUT_SCHEMA,
+            stateStructType=KEYFRAME_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
