@@ -1,0 +1,1 @@
+"""Sources — ingest surface (SURVEY.md §2.1 #1-2, #6-7)."""

@@ -1,0 +1,137 @@
+"""Streaming pipeline assembly — the reference job's dataflow
+(VideoStreamProcessingJob.java:60-102) as Structured Streaming:
+
+    source -> keyframe gate (stateful) -> inference UDF -> explode ->
+    fact sink;  segments (stateful windows) -> object sink
+
+The reference splits one operator's output two ways with a Flink side
+output (OutputTag, §2.1 #21); Spark's analog is two independent queries
+over a shared upstream, or a single foreachBatch that persists the batch
+and fans out — we use the two-query form (each query has its own
+checkpoint and can be restarted independently).
+
+Sources: any streaming DataFrame with (stream_id, ts, scene_signal
+[, embedding]) works. ``rate_frames`` builds the mock-producer analog
+(VideoStreamMockProducer, §2.1 #6) from the rate source; ``file_frames``
+replays a parquet directory (the deterministic test path). A real Kafka
+deployment swaps in readStream.format("kafka") + from_json with the
+same downstream, exactly like the reference's
+KafkaSource + JSON deserializer (§2.1 #1-#2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from video_stream_processing_spark.streaming.sinks import (
+    write_detections_fact,
+    write_segments,
+)
+from video_stream_processing_spark.streaming.stateful import (
+    exact_segments_stream,
+    keyframes_stream,
+)
+
+FRAME_SCHEMA = (
+    "stream_id string, frame_id long, ts timestamp, scene_signal double, "
+    "frame_data binary"
+)
+
+
+def rate_frames(
+    spark: SparkSession, rows_per_second: int = 75, n_streams: int = 3
+) -> DataFrame:
+    """Synthetic frame stream at the reference's design point (25 fps x 3
+    streams = 75 frames/s, BASELINE.md): rate source -> deterministic
+    stream assignment + scene signal."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.concat(F.lit("camera_"), (F.col("value") % n_streams + 1).cast("string")).alias(
+                "stream_id"
+            ),
+            F.col("value").alias("frame_id"),
+            F.col("timestamp").alias("ts"),
+            ((F.col("value") * 37 % 100) / 1.0).alias("scene_signal"),
+            F.encode(F.col("value").cast("string"), "UTF-8").alias("frame_data"),
+        )
+    )
+
+
+def file_frames(spark: SparkSession, path: str, schema: StructType | str = FRAME_SCHEMA) -> DataFrame:
+    """Replay a parquet directory as a stream (deterministic tests)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def detection_query(
+    frames: DataFrame,
+    fact_dir: str,
+    checkpoint_dir: str,
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+    trigger_seconds: int = 5,
+):
+    """Hot path: stateful keyframe gate -> (stub) detection -> explode ->
+    partitioned fact sink. The 5 s trigger mirrors the Doris sink's 5 s
+    flush (DorisSinkBuilder.java:72). Returns the started StreamingQuery."""
+    from video_stream_processing_spark.operators.detection import stub_detect_udf
+
+    gated = keyframes_stream(
+        frames.select("stream_id", "ts", "scene_signal"),
+        min_interval_ms=min_interval_ms,
+        scene_threshold=scene_threshold,
+    ).where(F.col("is_keyframe"))
+
+    # The embedding stand-in for pixels: derive a deterministic vector
+    # from the signal so the UDF surface is exercised end to end.
+    with_vec = gated.withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("scene_signal") + i) % 7 - 3).cast("float") / 3.0,
+        ),
+    )
+    detect = stub_detect_udf()
+    dets = with_vec.select(
+        "stream_id",
+        F.col("ts").alias("detection_time"),
+        F.explode(detect(F.col("embedding"))).alias("d"),
+    ).select(
+        "stream_id",
+        "detection_time",
+        F.col("d.object_class").alias("object_class"),
+        F.col("d.confidence").alias("confidence"),
+    )
+    return (
+        dets.writeStream.foreachBatch(write_detections_fact(fact_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("update")
+        .start()
+    )
+
+
+def segment_query(
+    frames: DataFrame,
+    segments_dir: str,
+    checkpoint_dir: str,
+    duration_ms: int = 180_000,
+    encoder=None,
+    trigger_seconds: int = 5,
+):
+    """Archival path: exact (first-arrival-aligned, trigger-inclusive)
+    segments -> pluggable encoder -> object-layout sink."""
+    segs = exact_segments_stream(
+        frames.select("stream_id", "ts"), duration_ms=duration_ms
+    )
+    return (
+        segs.writeStream.foreachBatch(write_segments(segments_dir, encoder))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+        .start()
+    )

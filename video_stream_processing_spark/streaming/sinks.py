@@ -1,0 +1,127 @@
+"""Streaming sinks — foreachBatch fan-out mirroring the reference's two
+sink paths (SURVEY.md §2.1 #3-#5, §3.3):
+
+- detections fact -> partitioned parquet table (the Doris Stream-Load
+  analog: DorisSinkBuilder.java:25-95 buffers NDJSON on a 5 s flush;
+  our analog is the micro-batch commit of a partitioned columnar table,
+  exactly-once via the checkpoint + deterministic batch paths);
+- segments -> object storage layout `videos/{stream}/{yyyyMMdd/HH}/
+  {stream}_{startMs}.mp4` (MinIOVideoSink.java:50-59 / OSSVideoSink
+  key format), with the ffmpeg encode behind a pluggable
+  ``SegmentEncoder`` (FFmpegUtils.java:137-189 shells out to ffmpeg;
+  correctness tests use the no-op encoder, SURVEY.md §3.3).
+
+Both sinks are plain functions over (batch_df, batch_id) so they are
+unit-testable without a streaming query.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_detections_fact(out_dir: str):
+    """foreachBatch sink: append micro-batch to a parquet fact table
+    partitioned by (stream_id, date_key, hour_key) — the layout the
+    Doris DDL encodes with DISTRIBUTED BY HASH(stream_id) + bitmap
+    indexes (reference README.md:94-104), expressed as partition pruning."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date_key", F.date_format("detection_time", "yyyyMMdd"))
+            .withColumn("hour_key", F.date_format("detection_time", "HH"))
+            .write.partitionBy("stream_id", "date_key", "hour_key")
+            .mode("append")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
+def object_key(stream_id: str, start_ms: int, date_part: str) -> str:
+    """`videos/{stream}/{yyyyMMdd/HH}/{stream}_{startMs}.mp4`
+    (MinIOVideoSink.java:50-59)."""
+    return f"videos/{stream_id}/{date_part}/{stream_id}_{start_ms}.mp4"
+
+
+class SegmentEncoder:
+    """Pluggable encode step (the one stage with no Spark-native
+    expression — SURVEY.md §3.3). Implementations run on executors
+    inside foreachBatch."""
+
+    def encode(self, stream_id: str, start_ms: int, frame_count: int) -> tuple[str, int]:
+        """Returns (local_path, file_size). Overridden by real encoders."""
+        raise NotImplementedError
+
+
+class NoopEncoder(SegmentEncoder):
+    """Correctness-test encoder: no ffmpeg, deterministic fake size."""
+
+    def encode(self, stream_id: str, start_ms: int, frame_count: int) -> tuple[str, int]:
+        return (f"/tmp/{stream_id}_{start_ms}.mp4", frame_count * 1024)
+
+
+class FFmpegEncoder(SegmentEncoder):  # pragma: no cover - needs ffmpeg + frames
+    """Real path: dump JPEGs, shell out exactly like FFmpegUtils.java:164-167
+    (`ffmpeg -framerate 25 -i frame_%05d.jpg -c:v libx264 -pix_fmt yuv420p
+    -b:v 2048k out.mp4 -y`), stat the file, clean up."""
+
+    def __init__(self, workdir: str = "/tmp/vsp-segments", bitrate: str = "2048k", fps: int = 25):
+        self.workdir, self.bitrate, self.fps = workdir, bitrate, fps
+
+    def encode(self, stream_id: str, start_ms: int, frame_count: int) -> tuple[str, int]:
+        out = os.path.join(self.workdir, f"{stream_id}_{start_ms}.mp4")
+        cmd = [
+            "ffmpeg", "-framerate", str(self.fps),
+            "-i", os.path.join(self.workdir, "frame_%05d.jpg"),
+            "-c:v", "libx264", "-pix_fmt", "yuv420p", "-b:v", self.bitrate, out, "-y",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return out, os.path.getsize(out)
+
+
+def write_segments(out_dir: str, encoder: SegmentEncoder | None = None):
+    """foreachBatch sink for segment metadata: derive the object key,
+    run the (pluggable) encoder per segment via a mapInPandas pass, and
+    append the `segments` metadata table (SURVEY.md §1.4)."""
+    encoder = encoder or NoopEncoder()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        def encode_rows(batches):
+            for pdf in batches:
+                paths, sizes = [], []
+                for r in pdf.itertuples():
+                    start_ms = int(pd.Timestamp(r.start_time).value // 1_000_000)
+                    p, s = encoder.encode(str(r.stream_id), start_ms, int(r.frame_count))
+                    paths.append(p)
+                    sizes.append(s)
+                pdf = pdf.copy()
+                pdf["local_file_path"] = paths
+                pdf["file_size"] = sizes
+                yield pdf
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in batch_df.schema.fields
+        ) + ", local_file_path string, file_size long"
+        encoded = batch_df.mapInPandas(encode_rows, schema=schema)
+        (
+            encoded.withColumn(
+                "object_key",
+                F.concat(
+                    F.lit("videos/"), F.col("stream_id"), F.lit("/"),
+                    F.date_format("start_time", "yyyyMMdd/HH"), F.lit("/"),
+                    F.col("stream_id"), F.lit("_"),
+                    F.unix_millis(F.col("start_time")).cast("string"), F.lit(".mp4"),
+                ),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return sink
