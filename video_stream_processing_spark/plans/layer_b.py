@@ -1042,3 +1042,91 @@ def b32_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT — hash-aggregate dedup on the projected columns."""
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# b33/b34 — time-series joins Spark lacks native operators for: as-of and
+# range, composed from built-ins (operators/joins.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b33_asof_join",
+    oracle="""
+WITH o AS (
+    SELECT o_custkey AS k, o_orderdate AS t,
+           max(o_orderkey) AS o_orderkey,
+           max_by(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_totalprice
+FROM events e ASOF JOIN o ON e.user_id = o.k AND e.ts >= o.t
+""",
+    tags=("layer_b", "join", "asof"),
+)
+def b33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent order state at event time) via the
+    union-scan + last_value(ignoreNulls) composition — one shuffle on the
+    key, no theta join (operators/joins.py:asof_join). Orders deduped to
+    one per (custkey, date) (max orderkey) so the as-of pick is unique.
+    Oracle: DuckDB's native ASOF JOIN."""
+    from video_stream_processing_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t"))
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", F.col("o_orderkey")).alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="t",
+        value_cols=("o_orderkey", "o_totalprice"),
+    ).select("user_id", "ts", "event_id", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "b34_range_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       round((epoch_ms(p.ts) - epoch_ms(c.ts)) / 60000.0, 4) AS mins_apart
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+ AND p.event_id != c.event_id
+""",
+    tags=("layer_b", "join", "range"),
+)
+def b34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (attribution: each purchase matched to same-user clicks
+    in the preceding hour) rewritten as a tolerance-bucket equi-join +
+    exact predicate — bounded-fanout hash join instead of the
+    nested-loop a raw inequality produces
+    (operators/joins.py:range_join_bucketed)."""
+    from video_stream_processing_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = range_join_bucketed(
+        p, c, key="user_id", left_ts="ts", right_ts="click_ts", tolerance_ms=3_600_000
+    )
+    delta_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.col("click_ts"))
+    return (
+        joined.where(
+            (F.col("click_ts") <= F.col("ts")) & (F.col("purchase_id") != F.col("click_id"))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.round(delta_ms / 60_000.0, 4).alias("mins_apart"),
+        )
+    )
