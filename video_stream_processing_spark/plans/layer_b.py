@@ -1130,3 +1130,110 @@ def b34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(delta_ms / 60_000.0, 4).alias("mins_apart"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# b35-b38 — map functions, skew-salted join, hash sampling, posexplode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b35_map_functions",
+    oracle="""
+SELECT p_partkey,
+       element_at(MAP {'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)}, 'brand')[1] AS brand_val,
+       CAST(cardinality(MAP {'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)}) AS INT) AS n_keys,
+       array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)}), ',') AS key_list,
+       array_to_string(map_values(MAP {'brand': p_brand, 'type': p_type, 'size': CAST(p_size AS VARCHAR)}), '|') AS val_list
+FROM part
+WHERE p_partkey % 13 = 0
+""",
+    tags=("layer_b", "scalar_fn", "map_fn"),
+)
+def b35_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function surface: construct, element_at, size,
+    map_keys/map_values (insertion order preserved in both engines)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.array_join(F.map_values(m), "|").alias("val_list"),
+    )
+
+
+@register(
+    "b36_salted_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("layer_b", "join", "skew"),
+)
+def b36_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the fact side appends salt = event_id % 8,
+    the dim side explodes into all 8 salts, and the join key becomes
+    (key, salt) — a hot key's rows spread over 8 reducers instead of one.
+    Results are identical to the plain join (the oracle IS the plain
+    join); AQE's skew handling makes this optional but the rewrite is the
+    portable form at 100 TB."""
+    salt_n = 8
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % salt_n).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "b37_hash_sample",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+""",
+    tags=("layer_b", "sampling"),
+)
+def b37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5 prefix < 0x1a ~= 26/256):
+    reproducible across engines/runs/partitionings, unlike rand()-based
+    Bernoulli sampling — the sane way to sample consistently at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "b38_posexplode",
+    oracle="""
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.x AS token
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id % 25 = 0),
+     unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x})) AS t(u)
+""",
+    tags=("layer_b", "explode"),
+)
+def b38_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (position-preserving flatten) — 0-based positions; the
+    oracle's 1-based lambda index is shifted to match."""
+    from video_stream_processing_spark.operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "token"))
