@@ -53,7 +53,9 @@ def test_ngram_jaccard_exact(planted_docs):
         for r in ngram_jaccard_pairs(planted_docs, threshold=0.5).collect()
     }
     assert pairs[(1, 2)] == 1.0
-    assert abs(pairs[(1, 3)] - 0.7778) < 1e-6
+    # docs 1/3 differ in the final token: 5 of the 6 3-gram shingles
+    # shared, union 7 -> 5/7
+    assert abs(pairs[(1, 3)] - round(5 / 7, 4)) < 1e-6
     assert (1, 4) not in pairs
 
 

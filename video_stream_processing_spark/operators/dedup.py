@@ -118,16 +118,23 @@ def minhash_lsh_neardups(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.9
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5, k: int = 3
 ) -> DataFrame:
-    """Exact all-pairs token-set Jaccard via inverted-index join (the
-    non-probabilistic baseline LSH approximates): explode distinct
-    tokens, self-join on token, count intersections, join set sizes.
+    """Exact all-pairs n-gram (k-token shingle) Jaccard via inverted-index
+    join: shingle, hash to fixed-width md5 keys, self-join on shingle
+    hash, count intersections, join set sizes.
 
-    At 100 TB this needs prefix filtering / length filtering to bound the
-    candidate blow-up; with the bounded synthetic vocab the plain
-    inverted index is the honest representation of the pattern."""
-    tok = _doc_tokens(docs, text_col).select("doc_id", F.explode("toks").alias("w"))
+    Shingles (not unigrams) are what makes the inverted index scale: the
+    shingle space grows combinatorially, so document frequency per key
+    stays small and the per-key self-join stays near-linear — unigram
+    keys over a bounded vocabulary degenerate to ~all-pairs. At 100 TB
+    add prefix filtering to bound the residual blow-up."""
+    from video_stream_processing_spark.operators.text import shingles
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+    ).select("doc_id", F.md5("s").alias("w"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         tok.alias("a")
@@ -196,12 +203,16 @@ WHERE round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
 """
 
 
-def ngram_jaccard_oracle_sql(threshold: float = 0.9) -> str:
+def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
     return f"""
-WITH tok AS (
-    SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
-    FROM documents
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+    FROM t
 ),
+tok AS (SELECT doc_id, md5(unnest(shs)) AS w FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -50,21 +50,29 @@ def _queries(emb: DataFrame, modulus: int = 50) -> DataFrame:
     )
 
 
+def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per VECTOR rather than per PAIR —
+    identical double arithmetic (same l2_norm expression, evaluated
+    once), ~3x less fold work on an N x M pair join."""
+    return F.round(dot(a, b) / (na * nb), SCORE_SCALE)
+
+
 def brute_force_topk(emb: DataFrame, k: int = 5, query_modulus: int = 50) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against every
     candidate — the fact side never shuffles; ranking is one window over
-    the per-query partitions."""
-    q = _queries(emb, query_modulus)
-    cand = emb.select(F.col("vec_id"), F.col("embedding"))
+    the per-query partitions. Norms are projected once per side before
+    the join (pair work = one dot product)."""
+    q = _queries(emb, query_modulus).withColumn("qn", l2_norm(F.col("query_emb")))
+    cand = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("cn"))
     scored = (
         cand.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
-                "score"
-            ),
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -113,16 +121,18 @@ def lsh_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
         F.col("bucket"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     scored = (
-        bucketed.join(q, "bucket")
+        bucketed.withColumn("cn", l2_norm(F.col("embedding")))
+        .join(q, "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
-                "score"
-            ),
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -174,20 +184,24 @@ def ivf_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
             ),
         )
         .where(F.col("crank") == 1)
-        .select("query_id", "query_emb", F.col("label").alias("probe_label"))
+        .select(
+            "query_id",
+            "query_emb",
+            F.col("label").alias("probe_label"),
+            l2_norm(F.col("query_emb")).alias("qn"),
+        )
     )
     scored = (
-        emb.join(
-            F.broadcast(assigned), emb.label == assigned.probe_label
-        )
+        emb.withColumn("cn", l2_norm(F.col("embedding")))
+        .join(F.broadcast(assigned), emb.label == assigned.probe_label)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "probe_label",
             "vec_id",
-            F.round(cosine(F.col("query_emb"), F.col("embedding")), SCORE_SCALE).alias(
-                "score"
-            ),
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -210,14 +224,24 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     All-pairs here (the exact answer the blocked/LSH variants
     approximate); blocking keys (LSH bucket or IVF list) bound the
     quadratic term at scale."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), SCORE_SCALE).alias("cos_sim"),
+            _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias(
+                "cos_sim"
+            ),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -127,13 +127,15 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     pure higher-order functions, no UDF."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+    # guard: Spark's sequence(1, m) DESCENDS for m < 1; short docs get []
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text_col: str = "text", k: int = 3) -> Column:

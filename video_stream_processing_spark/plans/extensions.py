@@ -58,13 +58,15 @@ def x02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x03_ngram_jaccard_pairs",
-    oracle=D.ngram_jaccard_oracle_sql(threshold=0.95),
+    oracle=D.ngram_jaccard_oracle_sql(threshold=0.5),
     tags=("extension", "dedup"),
 )
 def x03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity join via inverted index (the
-    ground truth LSH approximates)."""
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+    """Exact 3-gram-shingle Jaccard similarity join via inverted index on
+    md5 shingle keys (the ground truth LSH approximates; shingle keys —
+    not unigrams — keep document frequency per key bounded, which is
+    what makes the inverted-index join scale)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @register(
