@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Streaming-mode throughput check: replay the events table as a frame
+stream through the stateful keyframe gate and the exact segment operator
+(the two applyInPandasWithState paths), and report end-to-end frames/s.
+
+Reference design point: 25 fps x 3 streams = 75 frames/s
+(BASELINE.md; VideoStreamMockProducer defaults). Prints one JSON line.
+
+Usage: python tools/stream_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.session import get_spark
+from video_stream_processing_spark.tables import load_table
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="vsp-stream-bench-")
+    frames_dir = os.path.join(work, "frames")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n_frames = ev.count()
+        (
+            ev.select(
+                F.col("user_id").cast("string").alias("stream_id"),
+                "ts",
+                F.col("value").alias("scene_signal"),
+            )
+            .write.mode("overwrite")
+            .parquet(frames_dir)
+        )
+
+        from video_stream_processing_spark.streaming.stateful import (
+            exact_segments_stream,
+            keyframes_stream,
+        )
+
+        stream = spark.readStream.schema(
+            "stream_id string, ts timestamp, scene_signal double"
+        ).parquet(frames_dir)
+
+        results = {}
+        for name, build in (
+            ("keyframe_gate", lambda: keyframes_stream(stream, 300_000, 50.0)),
+            ("exact_segments", lambda: exact_segments_stream(stream.select("stream_id", "ts"))),
+        ):
+            q = (
+                build()
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(work, f"ck-{name}"))
+                .outputMode("append")
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            dt = time.perf_counter() - t0
+            q.stop()
+            results[name] = {
+                "sec": round(dt, 2),
+                "frames_per_sec": round(n_frames / dt, 1),
+            }
+
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_stateful_throughput",
+                    "n_frames": n_frames,
+                    "sf_dir": sf_dir,
+                    "reference_design_point_fps": 75,
+                    "results": results,
+                }
+            )
+        )
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1237,3 +1237,96 @@ def b38_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     return d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "token"))
+
+
+# --------------------------------------------------------------------------
+# b39-b41 — multiset set-ops, null semantics, range window frames
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b39_multiset_ops",
+    oracle="""
+WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+     b AS (SELECT s_suppkey AS k FROM supplier)
+SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+""",
+    tags=("layer_b", "set_ops"),
+)
+def b39_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+    duplicate-preserving counterparts of b16."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    a = li.where(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = s.select(F.col("s_suppkey").alias("k"))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "k")  # noqa: E731
+    return tag(a.intersectAll(b), "intersect_all").unionAll(
+        tag(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
+    "b40_null_semantics",
+    oracle="""
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.missing'), 'absent') AS with_default,
+       NULLIF(event_type, 'click') AS click_nulled,
+       CAST(json_extract_string(props, '$.k') AS INT) IS NOT DISTINCT FROM 50 AS nullsafe_eq_50,
+       CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'no_k' ELSE 'has_k' END AS k_presence,
+       ifnull(CAST(json_extract_string(props, '$.k') AS INT), -1) AS k_or_neg1
+FROM events
+WHERE event_id % 17 = 0
+""",
+    tags=("layer_b", "scalar_fn", "null_semantics"),
+)
+def b40_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce, nullif, null-safe equality (<=>
+    == IS NOT DISTINCT FROM), null predicates, ifnull."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 17 == 0)
+    k = F.get_json_object("props", "$.k").cast("int")
+    missing = F.get_json_object("props", "$.missing")
+    return e.select(
+        "event_id",
+        F.coalesce(missing, F.lit("absent")).alias("with_default"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias("click_nulled"),
+        k.eqNullSafe(F.lit(50)).alias("nullsafe_eq_50"),
+        F.when(missing.isNull() & k.isNull(), "no_k")
+        .when(k.isNull(), "no_k")
+        .otherwise("has_k")
+        .alias("k_presence"),
+        F.ifnull(k, F.lit(-1)).alias("k_or_neg1"),
+    )
+
+
+@register(
+    "b41_range_frame_window",
+    oracle="""
+SELECT user_id, ts, value,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b41_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (trailing 1-hour per-key aggregates ordered by
+    event time) — value-based frames, the time-series moving-aggregate
+    shape; ROWS frames are b15."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_last_hour"),
+    )
