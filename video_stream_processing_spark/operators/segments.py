@@ -81,34 +81,39 @@ def segment_windows_exact(
     )
 
     def bufferize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+        # Skip-scan with searchsorted: O(n_segments log n) instead of a
+        # per-row Python loop. Trigger index = first j with
+        # ts[j] >= ts[start] + duration (strictly > start since dur > 0);
+        # the trigger frame CLOSES the segment and is included in it.
         rows = []
-        start_idx = None
-        for i, t in enumerate(ts_ms):
-            if start_idx is None:
-                start_idx = i
-                continue
-            if t - ts_ms[start_idx] >= duration_ms:
-                # trigger-inclusive close
-                rows.append((start_idx, i))
-                start_idx = None
-        if start_idx is not None:
-            rows.append((start_idx, len(ts_ms) - 1))
-        recs = []
-        for s, e in rows:
-            recs.append(
-                {
-                    key_col: str(key[0]),
-                    "start_time": pdf[ts_col].iloc[s],
-                    "end_time": pdf[ts_col].iloc[e],
-                    "frame_count": e - s + 1,
-                    "duration_ms": int(ts_ms[e] - ts_ms[s]),
-                }
+        i, n = 0, len(ts_ms)
+        while i < n:
+            j = int(np.searchsorted(ts_ms, ts_ms[i] + duration_ms, side="left"))
+            if j < n:
+                rows.append((i, j))
+                i = j + 1
+            else:
+                rows.append((i, n - 1))  # tail buffer, flushed in batch
+                break
+        if not rows:
+            return pd.DataFrame(
+                columns=[key_col, "start_time", "end_time", "frame_count", "duration_ms"]
             )
+        s_idx = np.fromiter((s for s, _ in rows), dtype=np.int64)
+        e_idx = np.fromiter((e for _, e in rows), dtype=np.int64)
+        ts_vals = pdf[ts_col].to_numpy()
         return pd.DataFrame(
-            recs,
-            columns=[key_col, "start_time", "end_time", "frame_count", "duration_ms"],
+            {
+                key_col: str(key[0]),
+                "start_time": ts_vals[s_idx],
+                "end_time": ts_vals[e_idx],
+                "frame_count": (e_idx - s_idx + 1).astype("int32"),
+                "duration_ms": ts_ms[e_idx] - ts_ms[s_idx],
+            }
         )
 
     return frames.groupBy(key_col).applyInPandas(bufferize, schema=out_schema)
