@@ -110,7 +110,7 @@ def detection_query(
         dets.writeStream.foreachBatch(write_detections_fact(fact_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
-        .outputMode("update")
+        .outputMode("append")
         .start()
     )
 

@@ -42,6 +42,33 @@ def write_detections_fact(out_dir: str):
     return sink
 
 
+def write_detections_ndjson(out_dir: str):
+    """foreachBatch sink emitting the reference's LITERAL wire format:
+    one JSON object per line (`format=json` + `read_json_by_line=true`
+    Stream-Load properties, DorisSinkBuilder.java:62-65; the hand-built
+    JSON shape of convertToJson :100-124 with detection_time rendered
+    `yyyy-MM-dd HH:mm:ss`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in batch_df.columns if c != "detection_time"]
+        (
+            batch_df.select(
+                F.to_json(
+                    F.struct(
+                        F.date_format("detection_time", "yyyy-MM-dd HH:mm:ss").alias(
+                            "detection_time"
+                        ),
+                        *cols,
+                    )
+                ).alias("value")
+            )
+            .write.mode("append")
+            .text(out_dir)
+        )
+
+    return sink
+
+
 def object_key(stream_id: str, start_ms: int, date_part: str) -> str:
     """`videos/{stream}/{yyyyMMdd/HH}/{stream}_{startMs}.mp4`
     (MinIOVideoSink.java:50-59)."""
