@@ -1,0 +1,99 @@
+"""Checkpoint recovery — the reference's restore path is dead code
+(initializeState runs before open(), buffered frames are dropped on
+restart; SURVEY.md §2.6(d)). Structured Streaming's state store restores
+correctly by construction: stop a stateful query mid-stream, deliver
+more data, restart from the same checkpoint, and the result equals a
+single uninterrupted run — no lost buffers, no duplicated segments."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SEG_MS = 180_000
+BASE = 1_700_000_000_000
+
+
+def _write(spark, d, rows, mode="overwrite"):
+    (
+        spark.createDataFrame(rows, "stream_id string, ts_ms long")
+        .select("stream_id", F.timestamp_millis("ts_ms").alias("ts"))
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(d)
+    )
+
+
+@pytest.fixture()
+def batches():
+    first = [("s1", BASE + o) for o in (0, 40_000, 90_000)]  # open buffer...
+    second = [("s1", BASE + o) for o in (180_000, 200_000, 500_000)] + [
+        ("sentinel", BASE + 90_000_000)
+    ]
+    return first, second
+
+
+def _run_to_parquet(spark, frames_dir, ck, out_dir):
+    from video_stream_processing_spark.streaming.stateful import exact_segments_stream
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            batch_df.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema("stream_id string, ts timestamp").parquet(frames_dir)
+    q = (
+        exact_segments_stream(stream, duration_ms=SEG_MS, watermark="1 minute")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_segments_survive_restart(spark, tmp_path, batches):
+    first, second = batches
+    d = str(tmp_path / "frames")
+    ck = str(tmp_path / "ck")
+
+    out = str(tmp_path / "out")
+
+    # run 1: only the first half — buffer stays OPEN in state (no frame
+    # 180s past the start yet)
+    _write(spark, d, first)
+    _run_to_parquet(spark, d, ck, out)
+    import os
+
+    assert not os.path.isdir(out) or not [
+        r for r in spark.read.parquet(out).collect() if r["stream_id"] == "s1"
+    ]  # nothing closed yet — state is buffered
+
+    # run 2: deliver the rest, RESTART from the same checkpoint
+    _write(spark, d, second, mode="append")
+    _run_to_parquet(spark, d, ck, out)
+    got = sorted(
+        (r["start_time"], r["end_time"], r["frame_count"])
+        for r in spark.read.parquet(out).collect()
+        if r["stream_id"] == "s1"
+    )
+
+    # reference result: one uninterrupted batch over ALL frames
+    from video_stream_processing_spark.operators.segments import segment_windows_exact
+
+    all_frames = spark.read.parquet(d).where(F.col("stream_id") == "s1")
+    want = sorted(
+        (r["start_time"], r["end_time"], r["frame_count"])
+        for r in segment_windows_exact(
+            all_frames.select("stream_id", "ts"), duration_ms=SEG_MS
+        ).collect()
+    )
+    # the restarted stream must produce exactly the closed segments of
+    # the uninterrupted run (the restored buffer spans the restart!);
+    # tails flush via the sentinel-advanced watermark
+    assert got == want
+    # the first segment spans frames from BOTH runs -> proves the state
+    # restored rather than restarting empty: 3 pre-restart frames + the
+    # post-restart trigger frame at +180s (trigger-inclusive close)
+    assert got[0][2] == 4

@@ -1,0 +1,76 @@
+"""Data-skipping evidence: partition pruning on the sink layout and
+column pruning through the pandas-UDF boundary (SURVEY.md §4.2 — at
+100 TB these two decide whether a query reads terabytes or gigabytes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_on_fact_layout(spark, sf_dir, tmp_path):
+    """Write the detections-fact layout (stream_id/date/hour partitions)
+    and prove a key-predicate scan prunes to one partition directory."""
+    from video_stream_processing_spark.streaming.sinks import write_detections_fact
+    from video_stream_processing_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    batch = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("stream_id"),
+        F.col("ts").alias("detection_time"),
+        F.col("value").alias("confidence"),
+    )
+    out = str(tmp_path / "fact")
+    write_detections_fact(out)(batch, 0)
+
+    pruned = spark.read.parquet(out).where(F.col("stream_id") == "1")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    # the scan must not enumerate all 4 stream partitions
+    n_all = spark.read.parquet(out).count()
+    n_one = pruned.count()
+    assert 0 < n_one < n_all
+
+
+def test_column_pruning_through_pandas_udf(spark, sf_dir):
+    """u01's scan must read ONLY (vec_id, embedding) — the UDF boundary
+    does not defeat column pruning; `label` never leaves the parquet."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()["u01_stub_inference"](spark, sf_dir)
+    plan = _plan(df)
+    scan = plan[plan.index("FileScan") :].splitlines()[0] if "FileScan" in plan else plan
+    assert "embedding" in scan and "vec_id" in scan
+    assert "label" not in scan, scan
+
+
+def test_binary_column_never_crosses_shuffle(spark):
+    """UDF-boundary discipline: the multimodal decode projects the binary
+    payload away before anything downstream — the decoded metadata frame
+    has no binary column left."""
+    from video_stream_processing_spark.operators.multimodal import (
+        fake_decode_meta,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = fake_decode_meta(with_binary_payload(docs).select("doc_id", "payload"))
+    assert all(f.dataType.simpleString() != "binary" for f in out.schema.fields)
+
+
+@pytest.mark.parametrize("qname", ["a01_scan_project_filter", "b37_hash_sample"])
+def test_predicate_reaches_parquet_scan(spark, sf_dir, qname):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()[qname](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), plan
