@@ -135,3 +135,27 @@ def test_frame_sample(spark):
     )
     out = frame_sample(df, every_n=10).collect()
     assert len(out) == 3  # rows 1, 11, 21
+
+
+def test_dedup_clusters_planted_chain(spark):
+    from video_stream_processing_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from video_stream_processing_spark.operators.dedup import dedup_clusters
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
+    assert all(c == 0 for c in got.values())

@@ -226,3 +226,69 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold}
 """
+
+
+def dedup_clusters(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 10
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the 'choose a
+    canonical doc per duplicate cluster' step: every doc gets
+    cluster_id = min doc_id reachable via near-dup edges.
+
+    Iterative min-label propagation: each round joins labels across the
+    (undirected) edge list and keeps the per-node minimum; rounds needed
+    = graph diameter (near-dup clusters are shallow, so the bound is
+    small). Each round is one shuffle join + one aggregation — the
+    standard large-graph CC shape when a graph library isn't available.
+    Converges early via a driver-side fixpoint check on a count (cheap:
+    labels are already cached per round).
+
+    ``nodes`` needs a doc_id column; ``pairs`` needs (doc_a, doc_b).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping (label-of-label): doubles the propagation
+        # distance per round -> O(log diameter) rounds, not O(diameter)
+        parents = new_labels.select(
+            F.col("doc_id").alias("cid"), F.col("cluster_id").alias("parent")
+        )
+        new_labels = (
+            new_labels.join(parents, new_labels.cluster_id == parents.cid, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("parent"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

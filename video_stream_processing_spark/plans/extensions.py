@@ -333,3 +333,178 @@ def x22_frame_sample_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     frames = e.select(F.col("user_id").alias("stream_id"), "ts")
     return frame_sample(frames, every_n=10)
+
+
+# --------------------------------------------------------------------------
+# x09/x14/x15/x23 — quantized vectors, TF-IDF, dedup clusters, stratified
+# sampling
+# --------------------------------------------------------------------------
+
+_X09_Q = """
+list_transform({e}, x -> round(CAST(x AS DOUBLE) * 127.0 /
+    greatest(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))), 1e-12)))
+"""
+
+
+def _x09_oracle() -> str:
+    qa = _X09_Q.format(e="q.embedding")
+    qc = _X09_Q.format(e="c.embedding")
+    cos = f"""
+round(
+  list_sum(list_transform(range(len(q.embedding)), i -> ({qa})[i+1] * ({qc})[i+1]))
+  / (sqrt(list_sum(list_transform({qa}, x -> x * x)))
+     * sqrt(list_sum(list_transform({qc}, x -> x * x)))), 5)
+"""
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS qscore
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id % 50 = 0
+),
+ranked AS (
+    SELECT query_id, vec_id, qscore,
+           row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, qscore, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("x09_quantized_cosine_topk", oracle=_x09_oracle(), tags=("extension", "similarity", "quantization"))
+def x09_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by cosine over INT8-quantized vectors (per-vector absmax
+    scaling, round-half-away-from-zero in both engines) — the 4x
+    storage / memory-bandwidth reduction path for 100 TB embedding
+    corpora; x06 is the fp reference this approximates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.greatest(
+        F.array_max(F.transform("embedding", lambda y: F.abs(y.cast("double")))),
+        F.lit(1e-12),
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 127.0 / absmax)
+        ).alias("q"),
+    )
+    qn = F.sqrt(F.aggregate("q", F.lit(0.0), lambda a, x: a + x * x))
+    quant = quant.withColumn("n", qn)
+    q = quant.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n").alias("qn")
+    )
+    dotp = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        quant.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dotp / (F.col("qn") * F.col("n")), 5).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "qscore", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "x14_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w AS term,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    tags=("extension", "text"),
+)
+def x14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting: tf per (doc, term), idf = ln(N/df), top-3
+    terms per doc (round-then-rank). Two shuffles (term stats, doc
+    ranking); the doc-frequency table is broadcast back."""
+    from video_stream_processing_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, computed once on the driver
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register("x15_dedup_clusters", oracle=None, tags=("extension", "dedup", "rows_only"))
+def x15_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (x03): each doc
+    labeled with the min doc_id reachable through near-dup edges — the
+    'pick one canonical doc per duplicate cluster' step of corpus dedup.
+    Iterative min-label propagation (bounded rounds, join per round);
+    genuinely iterative => rows-only + planted-cluster tests
+    (tests/test_extensions.py)."""
+    from video_stream_processing_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "x23_stratified_sample",
+    oracle="""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE event_type WHEN 'click' THEN '0d' WHEN 'view' THEN '1a' ELSE '80' END
+""",
+    tags=("extension", "sampling"),
+)
+def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class md5-hash thresholds
+    (~5% clicks, ~10% views, ~50% rest) — downsampling the over-
+    represented classes of a training corpus reproducibly (no rand(),
+    stable under re-partitioning and engine choice)."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (
+        F.when(F.col("event_type") == "click", "0d")
+        .when(F.col("event_type") == "view", "1a")
+        .otherwise("80")
+    )
+    return e.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < thr
+    ).select("event_id", "event_type", "user_id")
