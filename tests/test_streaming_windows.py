@@ -1,0 +1,109 @@
+"""Streaming windowed aggregation + watermark late-data semantics — the
+M5 extension the reference lacks entirely (it uses noWatermarks() and
+arrival-order payload timestamps; SURVEY.md §2.4 #18). Batch and stream
+share the same F.window expression (b23); here the STREAM side is
+proven: windows close when the watermark passes, in-watermark
+out-of-order data is included, and too-late data is dropped."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BASE = 1_699_999_980_000  # ms; 1_699_999_980 s is divisible by 60 -> window-aligned
+
+
+def _write(spark, d, rows_ms, mode):
+    (
+        spark.createDataFrame([("s", t) for t in rows_ms], "stream_id string, ts_ms long")
+        .select("stream_id", F.timestamp_millis("ts_ms").alias("ts"))
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(d)
+    )
+
+
+def _windowed_counts(stream):
+    return (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def test_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    d = str(tmp_path / "frames")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: two events in window0, one in window1, then a "clock
+    # advancer" at +10min that pushes the watermark to +8min (closing
+    # windows 0 and 1)
+    _write(spark, d, [BASE + 1_000, BASE + 30_000, BASE + 61_000, BASE + 600_000], "overwrite")
+
+    stream = spark.readStream.schema("stream_id string, ts timestamp").parquet(d)
+    q = (
+        _windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("winagg")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        # batch 2: a LATE event for window0 (behind the watermark) must
+        # be DROPPED; an event in the advancer's window is fine
+        _write(spark, d, [BASE + 45_000, BASE + 610_000], "append")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        int(r["window_start"].timestamp() * 1000) - BASE: r["n"]
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    # window0 closed with 2 (the late +45s event was dropped), window1 with 1
+    assert got.get(0) == 2
+    assert got.get(60_000) == 1
+    # the advancer window (+600s) is NOT yet closed (watermark hasn't
+    # passed it) -> absent from append output
+    assert 600_000 not in got
+
+
+def test_stream_matches_batch_for_closed_windows(spark, tmp_path):
+    d = str(tmp_path / "frames")
+    rows = [BASE + o for o in (5_000, 10_000, 65_000, 70_000, 125_000, 900_000)]
+    _write(spark, d, rows, "overwrite")
+
+    stream = spark.readStream.schema("stream_id string, ts timestamp").parquet(d)
+    q = (
+        _windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("winagg2")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["n"]) for r in spark.sql("SELECT * FROM winagg2").collect()
+    }
+
+    batch = spark.read.parquet(d)
+    want_all = {
+        (r["window_start"], r["n"])
+        for r in batch.groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    # stream emits exactly the batch windows whose end precedes the
+    # final watermark (all but the advancer's own window)
+    assert got < want_all
+    assert len(got) == len(want_all) - 1
