@@ -62,3 +62,19 @@ def test_nms_query_is_subset_of_inference(spark, sf_dir, qmap):
     before = {(r["vec_id"], r["object_class"]) for r in u01.collect()}
     after = {(r["vec_id"], r["object_class"]) for r in u02.collect()}
     assert after <= before
+
+
+def test_approx_percentile_error_bound(spark, sf_dir, qmap):
+    """b44 (rows-only): approx medians within a few percent of b27's
+    exact interpolated values."""
+    approx = {
+        r["l_returnflag"]: r["qty_median_approx"]
+        for r in qmap["b44_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["qty_median"]
+        for r in qmap["b27_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / max(abs(e), 1e-9) < 0.1, (k, approx[k], e)

@@ -1410,3 +1410,16 @@ def b43_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+@register("b44_approx_percentile", oracle=None, tags=("layer_b", "aggregate", "rows_only"))
+def b44_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy 100) —
+    the single-pass fixed-memory replacement for exact interpolated
+    percentiles (b27) at 100 TB. Sketch differs from DuckDB's t-digest
+    => rows-only; tests/test_layer_b.py bounds the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(100)).alias("qty_median_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(100)).alias("price_p90_approx"),
+    )
