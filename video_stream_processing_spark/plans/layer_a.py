@@ -434,3 +434,34 @@ def a08_segment_windows_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_windows_exact(
         frames, key_col="stream_id", ts_col="ts", duration_ms=SEGMENT_SECONDS * 1000
     )
+
+
+# --------------------------------------------------------------------------
+# a09 — exact keyframe gate (interval measured since last KEPT frame)
+# --------------------------------------------------------------------------
+
+
+@register("a09_keyframe_gate_exact", oracle=None, tags=("layer_a", "stateful", "rows_only"))
+def a09_keyframe_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reference keyframe semantics: the interval rule measures
+    from the last KEPT frame (KeyFrameExtractor.java:57-61 updates
+    lastKeyFrameTime only on emission) — a sequential recurrence the
+    lag-based a02 can't express. applyInPandas per key; the streaming
+    twin (streaming/stateful.py:keyframes_stream) is proven equivalent
+    in tests/test_streaming.py."""
+    from video_stream_processing_spark.operators.keyframe import keyframe_gate_stateful
+
+    events = load_table(spark, sf_dir, "events")
+    frames = events.select(
+        F.col("user_id").cast("string").alias("stream_id"),
+        "ts",
+        F.col("value").alias("scene_signal"),
+    )
+    return keyframe_gate_stateful(
+        frames,
+        key_col="stream_id",
+        ts_col="ts",
+        signal_col="scene_signal",
+        min_interval_ms=KEYFRAME_INTERVAL_MS,
+        scene_threshold=SCENE_THRESHOLD,
+    )
