@@ -159,3 +159,32 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
     assert all(c == 0 for c in got.values())
+
+
+def test_multitable_lsh_recall_dominates_single(spark, sf_dir):
+    """OR-amplification: 4-table LSH candidates are a superset of any
+    single table's bucket, so measured recall vs brute-force ground
+    truth must be >= the single-table query's recall."""
+    from video_stream_processing_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multitable_topk,
+        lsh_topk,
+    )
+    from video_stream_processing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, k=3).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"]) for r in lsh_topk(emb, k=3).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_multitable_topk(emb, k=3).collect()
+    }
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0

@@ -359,3 +359,127 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+def _table_bits(emb_col: Column, table: int, bits: int) -> Column:
+    """Bucket key for LSH table ``table``: planes (table*bits + j)."""
+    frags = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.sequence(F.lit(0), F.size(emb_col) - 1),
+                    lambda x, i: x.cast("double")
+                    * (((i * 5 + F.lit((table * bits + j) * 11)) % 13) - 6).cast("double")
+                    / 6.0,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            "1",
+        ).otherwise("0")
+        for j in range(bits)
+    ]
+    return F.concat(*frags)
+
+
+def lsh_multitable_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = 4,
+    bits: int = 6,
+    query_modulus: int = 50,
+) -> DataFrame:
+    """OR-amplified LSH: L independent hash tables of ``bits`` planes;
+    a candidate competes if it shares ANY table's bucket with the query.
+    Recall rises with L at linear candidate cost (the standard
+    recall-tuning knob; x07 is the single-table AND-only form).
+
+    Plan shape: one bucket equi-join per table, union, distinct, then
+    exact cosine rank — still no cross join anywhere."""
+    with_buckets = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("cn"),
+        *[_table_bits(F.col("embedding"), t, bits).alias(f"b{t}") for t in range(n_tables)],
+    )
+    q = with_buckets.where(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("cn").alias("qn"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
+    )
+    pairs = None
+    for t in range(n_tables):
+        cand_t = with_buckets.select("vec_id", f"b{t}").join(
+            q.select("query_id", f"qb{t}"),
+            F.col(f"b{t}") == F.col(f"qb{t}"),
+        ).select("query_id", "vec_id")
+        pairs = cand_t if pairs is None else pairs.unionAll(cand_t)
+    pairs = pairs.where(F.col("vec_id") != F.col("query_id")).distinct()
+    scored = (
+        pairs.join(with_buckets.select("vec_id", "embedding", "cn"), "vec_id")
+        .join(q.select("query_id", "query_emb", "qn"), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _bits_sql_offset(emb: str, table: int, bits: int) -> str:
+    frags = []
+    for j in range(bits):
+        frags.append(
+            "CASE WHEN list_sum(list_transform(range(len(%s)), i -> "
+            "CAST(%s[i+1] AS DOUBLE) * (((i * 5 + %d) %% 13) - 6) / 6.0)) >= 0 "
+            "THEN '1' ELSE '0' END" % (emb, emb, (table * bits + j) * 11)
+        )
+    return " || ".join(frags)
+
+
+def lsh_multitable_oracle_sql(
+    k: int = 3, n_tables: int = 4, bits: int = 6, query_modulus: int = 50
+) -> str:
+    bucket_cols = ", ".join(
+        f"{_bits_sql_offset('embedding', t, bits)} AS b{t}" for t in range(n_tables)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id\n"
+        f"    FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t} AND c.vec_id != q.vec_id\n"
+        f"    WHERE q.vec_id % {query_modulus} = 0"
+        for t in range(n_tables)
+    )
+    cos = cosine_sql("q2.embedding", "c2.embedding")
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket_cols}
+    FROM embeddings
+),
+pairs AS (
+{unions}
+),
+scored AS (
+    SELECT p.query_id, p.vec_id, {cos} AS score
+    FROM pairs p
+    JOIN bucketed q2 ON q2.vec_id = p.query_id
+    JOIN bucketed c2 ON c2.vec_id = p.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -508,3 +508,66 @@ def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.where(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < thr
     ).select("event_id", "event_type", "user_id")
+
+
+@register(
+    "x16_normalize_text",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                       '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+    tags=("extension", "text"),
+)
+def x16_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (cleaning stage of a training pipeline):
+    lowercase, strip non-alphanumerics to spaces, squash whitespace —
+    all codegen'd regexp built-ins."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
+    )
+
+
+@register(
+    "x17_dedup_materialize",
+    oracle="""
+WITH keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep ON d.doc_id = keep.keep_id
+""",
+    tags=("extension", "dedup"),
+)
+def x17_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the exact dedup: keep only each content-hash group's
+    canonical doc (min doc_id) — the deduped corpus itself, i.e. the
+    step after x01's group report. Semi join on the keeper set."""
+    from video_stream_processing_spark.operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "x18_lsh_multitable_topk",
+    oracle=S.lsh_multitable_oracle_sql(),
+    tags=("extension", "similarity", "lsh"),
+)
+def x18_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified ANN: 4 independent LSH tables of 6 hyperplanes each —
+    candidates sharing ANY table's bucket compete; higher recall than
+    x07's single table at linear extra cost
+    (operators/similarity.py:lsh_multitable_topk)."""
+    return S.lsh_multitable_topk(load_table(spark, sf_dir, "embeddings"))
