@@ -107,3 +107,41 @@ def test_stream_matches_batch_for_closed_windows(spark, tmp_path):
     # final watermark (all but the advancer's own window)
     assert got < want_all
     assert len(got) == len(want_all) - 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest-side exactly-once: dropDuplicates on (event_id) with a
+    watermark — replayed/duplicate events across micro-batches emit
+    once (the idempotent-ingest half of the exactly-once story; state
+    is bounded by the watermark horizon)."""
+    d = str(tmp_path / "ev")
+
+    def write(rows, mode):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_ms long")
+            .select("event_id", F.timestamp_millis("ts_ms").alias("ts"))
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(d)
+        )
+
+    write([(1, BASE + 1_000), (2, BASE + 2_000)], "overwrite")
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(d)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 replays event 1 and 2 (duplicates) and adds 3
+        write([(1, BASE + 1_000), (2, BASE + 2_500), (3, BASE + 3_000)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT event_id, count(*) AS n FROM dedup_stream GROUP BY 1").collect()
+    got = {r["event_id"]: r["n"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1}
