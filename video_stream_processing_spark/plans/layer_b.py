@@ -1423,3 +1423,57 @@ def b44_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(100)).alias("qty_median_approx"),
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(100)).alias("price_p90_approx"),
     )
+
+
+@register(
+    "b45_ordered_list_agg",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',') AS order_keys,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("layer_b", "aggregate", "list_agg"),
+)
+def b45_ordered_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (collect_list -> sort_array -> join):
+    deterministic despite collect_list's arrival-order nondeterminism —
+    the portable pattern for per-key sequence materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("o_orderkey"))).cast("array<string>"), ","
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "b46_first_last_nth",
+    oracle="""
+SELECT user_id, ts, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+       nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b46_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value navigation (full-partition
+    frames for last/nth so results are frame-complete, not running)."""
+    e = load_table(spark, sf_dir, "events")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.first("event_type").over(w_run).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+    )
