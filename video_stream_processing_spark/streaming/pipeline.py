@@ -135,3 +135,45 @@ def segment_query(
         .outputMode("append")
         .start()
     )
+
+
+def attribution_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_ms: int = 3_600_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to same-user
+    clicks in the preceding ``window_ms`` — the streaming twin of the
+    batch range join (plans/layer_b.py b34).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state (unbounded state otherwise).
+    Late rows beyond the watermark drop; matched pairs emit in append
+    mode once both sides' watermarks pass.
+    """
+    from pyspark.sql import functions as F
+
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_ms // 1000} SECONDS")),
+        "inner",
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
