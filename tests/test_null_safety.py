@@ -1,0 +1,115 @@
+"""Null/empty-input robustness of the operator library — corrupt or
+partial records must degrade predictably (skip/null), never throw or
+poison a whole partition (at 100 TB some input is ALWAYS malformed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_similarity_ops_with_null_and_empty_embeddings(spark):
+    from video_stream_processing_spark.operators.similarity import neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, None, 0),  # null embedding
+        (3, [], 0),  # empty embedding
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in neardup_pairs(emb, threshold=0.9).collect()}
+    # identical pair found; null/empty rows contribute nothing and crash nothing
+    assert (0, 1) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_detector_with_null_and_empty_embeddings(spark):
+    from video_stream_processing_spark.operators.detection import stub_detect_udf
+
+    rows = [(0, [0.5] * 8), (1, None), (2, [])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    detect = stub_detect_udf()
+    out = {
+        r["vec_id"]: r["d"]
+        for r in emb.select("vec_id", detect(F.col("embedding")).alias("d")).collect()
+    }
+    assert out[1] == [] and out[2] == []  # degrade to no detections
+    assert isinstance(out[0], list)
+
+
+def test_text_ops_with_null_and_empty_text(spark):
+    from video_stream_processing_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        shingles,
+        word_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world again and again"), (2, ""), (3, None), (4, "ab")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            word_count().alias("wc"),
+            shingles().alias("sh"),
+            fingerprint().alias("fp"),
+            quality_score().alias("q"),
+        ).collect()
+    }
+    assert out[1]["wc"] == 5 and len(out[1]["sh"]) == 3 and out[1]["fp"] is not None
+    assert out[4]["sh"] == [] and out[4]["fp"] is None  # <3 tokens -> no shingles
+    # null text flows through as null/None without exceptions
+    assert out[3]["fp"] is None
+    assert 0.0 <= out[1]["q"] <= 1.0
+
+
+def test_dedup_with_null_text(spark):
+    from video_stream_processing_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None)], "doc_id long, text string"
+    )
+    groups = exact_dedup_groups(df).collect()
+    by_hash = {r["text_hash"]: (r["keep_id"], r["n_copies"]) for r in groups}
+    assert by_hash.get(None) == (3, 1) or any(
+        r["keep_id"] == 3 for r in groups
+    )  # null text forms its own (null-hash) group
+    assert any(r["n_copies"] == 2 and r["keep_id"] == 1 for r in groups)
+
+
+def test_flatten_with_null_detections(spark):
+    from video_stream_processing_spark.operators.detection import DETECTIONS_TYPE
+    from video_stream_processing_spark.operators.flatten import flatten_detections
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime
+
+    schema = StructType(
+        [
+            StructField("stream_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("frame_id", LongType()),
+            StructField("detections", DETECTIONS_TYPE),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s1", ts, 1, [{"object_class": "car", "confidence": 0.9,
+                        "bbox": {"x1": 0.0, "y1": 0.0, "x2": 1.0, "y2": 1.0}}]),
+        ("s1", ts, 2, []),  # empty -> dropped (reference §2.6(e))
+        ("s1", ts, 3, None),  # null -> dropped
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = flatten_detections(df)
+    assert [r["frame_id"] for r in out.collect()] == [1]
+    # explode_outer variant keeps the empty/null frames as null rows
+    kept = flatten_detections(df, keep_empty=True)
+    assert kept.count() == 3

@@ -40,7 +40,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm (empty/degenerate) vector yields NULL
+    # instead of an ANSI divide-by-zero that would kill the whole query —
+    # NULL scores then fail every threshold/rank predicate and drop out.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _queries(emb: DataFrame, modulus: int = 50) -> DataFrame:
@@ -53,8 +56,9 @@ def _queries(emb: DataFrame, modulus: int = 50) -> DataFrame:
 def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with norms precomputed per VECTOR rather than per PAIR —
     identical double arithmetic (same l2_norm expression, evaluated
-    once), ~3x less fold work on an N x M pair join."""
-    return F.round(dot(a, b) / (na * nb), SCORE_SCALE)
+    once), ~3x less fold work on an N x M pair join. try_divide: see
+    cosine() — zero-norm vectors score NULL and drop, never throw."""
+    return F.round(F.try_divide(dot(a, b), na * nb), SCORE_SCALE)
 
 
 def brute_force_topk(emb: DataFrame, k: int = 5, query_modulus: int = 50) -> DataFrame:

@@ -402,7 +402,7 @@ def x09_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(dotp / (F.col("qn") * F.col("n")), 5).alias("qscore"),
+            F.round(F.try_divide(dotp, F.col("qn") * F.col("n")), 5).alias("qscore"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), "vec_id")
