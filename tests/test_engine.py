@@ -70,3 +70,48 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "b01_pricing_summary" in out and "x02_minhash_lsh_neardup" in out
+
+
+def test_engine_config_drives_pipeline(spark, sf_dir, tmp_path):
+    """EngineConfig (the application.properties analog) supplies pipeline
+    parameters when call-site arguments are omitted."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.config import EngineConfig
+    from video_stream_processing_spark.engine import Engine
+
+    cfg = EngineConfig.load(
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        segment_duration_ms=5_000,
+        keyframe_min_interval_ms=1_000,
+    )
+    eng = Engine(spark, sf_dir=sf_dir, config=cfg)
+    assert eng.config.segment_duration_ms == 5_000
+
+    d = str(tmp_path / "frames")
+    rows = [("s1", 1_700_000_000_000 + i * 500) for i in range(40)]
+    (
+        spark.createDataFrame(rows, "stream_id string, ts_ms long")
+        .select(
+            "stream_id",
+            F.timestamp_millis("ts_ms").alias("ts"),
+            (F.col("ts_ms") % 100 / 1.0).alias("scene_signal"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    frames = spark.readStream.schema(
+        "stream_id string, ts timestamp, scene_signal double"
+    ).parquet(d)
+    det, seg = eng.start_pipeline(frames)  # all params from config
+    try:
+        det.processAllAvailable()
+        seg.processAllAvailable()
+    finally:
+        det.stop()
+        seg.stop()
+    segs = spark.read.parquet(str(tmp_path / "out" / "segments"))
+    # 40 frames over 20s with 5s segments -> multiple closed segments
+    assert segs.count() >= 3

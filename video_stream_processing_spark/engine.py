@@ -24,9 +24,17 @@ from video_stream_processing_spark.tables import DEFAULT_SF_DIR, load_table, reg
 class Engine:
     """Facade over session + catalog + query registry + pipelines."""
 
-    def __init__(self, spark: SparkSession | None = None, sf_dir: str = DEFAULT_SF_DIR):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str = DEFAULT_SF_DIR,
+        config=None,
+    ):
+        from video_stream_processing_spark.config import EngineConfig
+
         self.spark = ensure_session_conf(spark) if spark else get_spark()
         self.sf_dir = sf_dir
+        self.config = config or EngineConfig.load()
 
     # -- batch ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -52,14 +60,17 @@ class Engine:
     def start_pipeline(
         self,
         frames: DataFrame,
-        output_dir: str,
-        checkpoint_dir: str,
-        segment_duration_ms: int = 180_000,
+        output_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+        segment_duration_ms: int | None = None,
         encoder=None,
     ):
         """Start BOTH reference dataflows (detections fact + segments) on
         a streaming frame DataFrame; returns the two StreamingQuery
-        handles (stop/awaitTermination belong to the caller)."""
+        handles (stop/awaitTermination belong to the caller).
+
+        Unset arguments fall back to ``self.config`` — the
+        application.properties-driven workflow of the reference job."""
         import os
 
         from video_stream_processing_spark.streaming.pipeline import (
@@ -67,16 +78,21 @@ class Engine:
             segment_query,
         )
 
+        cfg = self.config
+        output_dir = output_dir or cfg.output_dir
+        checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
         det = detection_query(
             frames,
             os.path.join(output_dir, "detections"),
             os.path.join(checkpoint_dir, "detections"),
+            min_interval_ms=cfg.keyframe_min_interval_ms,
+            scene_threshold=cfg.scene_change_threshold,
         )
         seg = segment_query(
             frames,
             os.path.join(output_dir, "segments"),
             os.path.join(checkpoint_dir, "segments"),
-            duration_ms=segment_duration_ms,
+            duration_ms=segment_duration_ms or cfg.segment_duration_ms,
             encoder=encoder,
         )
         return det, seg
