@@ -120,3 +120,40 @@ def test_ndjson_sink_wire_format(spark, tmp_path):
     # reference sink format: yyyy-MM-dd HH:mm:ss (DorisSinkBuilder.java:105,111)
     assert rec["detection_time"] == "2024-03-05 14:30:00"
     assert rec["object_class"] == "car" and rec["frame_id"] == 7
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """Simulate the failure window between sink write and checkpoint
+    commit: deliver the SAME micro-batch (same batch_id) twice — the
+    idempotent sink must keep exactly one copy; the plain append sink
+    would double it."""
+    from video_stream_processing_spark.streaming.sinks import (
+        write_detections_fact,
+        write_detections_fact_idempotent,
+    )
+
+    batch = spark.createDataFrame(
+        [("s1", "2024-03-05 14:30:00", "car", 0.9), ("s2", "2024-03-05 15:00:00", "dog", 0.8)],
+        "stream_id string, detection_time string, object_class string, confidence double",
+    ).select(
+        "stream_id",
+        F.col("detection_time").cast("timestamp").alias("detection_time"),
+        "object_class",
+        "confidence",
+    )
+
+    idem_dir = str(tmp_path / "idem")
+    sink = write_detections_fact_idempotent(idem_dir)
+    sink(batch, 7)
+    sink(batch, 7)  # replay of the SAME batch id
+    assert spark.read.parquet(idem_dir).count() == 2  # no duplicates
+
+    sink(batch, 8)  # a genuinely new batch appends
+    assert spark.read.parquet(idem_dir).count() == 4
+
+    # contrast: plain append sink duplicates on replay (documented)
+    app_dir = str(tmp_path / "app")
+    plain = write_detections_fact(app_dir)
+    plain(batch, 7)
+    plain(batch, 7)
+    assert spark.read.parquet(app_dir).count() == 4

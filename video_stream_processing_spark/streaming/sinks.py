@@ -42,6 +42,31 @@ def write_detections_fact(out_dir: str):
     return sink
 
 
+def write_detections_fact_idempotent(out_dir: str):
+    """Exactly-once variant of the fact sink: every micro-batch writes to
+    a batch-id-keyed partition directory with OVERWRITE semantics, so a
+    batch replayed after a failure between sink-write and checkpoint
+    commit lands in the same place instead of appending duplicates —
+    idempotent-sink + checkpoint = end-to-end exactly-once (the
+    reference's Doris stream-load relies on Doris label dedup for the
+    same guarantee; DorisSinkBuilder retry config :64).
+
+    Readers use ``out_dir`` as a normal parquet table; `__batch_id` is
+    just another partition column (prune or drop it)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date_key", F.date_format("detection_time", "yyyyMMdd"))
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id", "stream_id", "date_key")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
 def write_detections_ndjson(out_dir: str):
     """foreachBatch sink emitting the reference's LITERAL wire format:
     one JSON object per line (`format=json` + `read_json_by_line=true`
