@@ -55,10 +55,28 @@ def main() -> int:
             "stream_id string, ts timestamp, scene_signal double"
         ).parquet(frames_dir)
 
+        def full_detection_path():
+            """gate -> stub-UDF inference -> explode (the §3.2 hot path)."""
+            from video_stream_processing_spark.operators.detection import stub_detect_udf
+
+            gated = keyframes_stream(stream, 300_000, 50.0).where(F.col("is_keyframe"))
+            with_vec = gated.withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda i: ((F.col("scene_signal") + i) % 7 - 3).cast("float") / 3.0,
+                ),
+            )
+            detect = stub_detect_udf()
+            return with_vec.select(
+                "stream_id", F.explode(detect(F.col("embedding"))).alias("d")
+            )
+
         results = {}
         for name, build in (
             ("keyframe_gate", lambda: keyframes_stream(stream, 300_000, 50.0)),
             ("exact_segments", lambda: exact_segments_stream(stream.select("stream_id", "ts"))),
+            ("full_detection_path", full_detection_path),
         ):
             q = (
                 build()
