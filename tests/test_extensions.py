@@ -135,6 +135,9 @@ def test_frame_sample(spark):
     )
     out = frame_sample(df, every_n=10).collect()
     assert len(out) == 3  # rows 1, 11, 21
+    # every_n=1 must degrade to the identity (ADVICE r1: rn % 1 == 1 was
+    # never true and returned an empty frame)
+    assert len(frame_sample(df, every_n=1).collect()) == 25
 
 
 def test_dedup_clusters_planted_chain(spark):

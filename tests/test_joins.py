@@ -39,6 +39,51 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out == {"e1": 102, "e2": 101, "e5": 102}
 
 
+def test_asof_join_null_value_columns_keep_match(spark):
+    """ADVICE r1: a matched right row whose FIRST value column is NULL
+    must not drop the left row (match marker is the right ts, not a
+    value column); the NULL value itself is skipped over by the
+    ignoreNulls carry (documented)."""
+    from video_stream_processing_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1")], "k long, ts string, event string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "event")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", None, 7.0), (1, "2024-01-01 09:00:00", None, 9.0)],
+        "k long, t string, order_id long, amount double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "order_id", "amount")
+
+    rows = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="t",
+        value_cols=("order_id", "amount"),
+    ).collect()
+    assert len(rows) == 1  # matched despite order_id being NULL everywhere
+    assert rows[0]["order_id"] is None
+    assert rows[0]["amount"] == 9.0  # latest at-or-before
+
+
+def test_range_join_output_has_no_duplicate_columns(spark):
+    """ADVICE r1: output previously carried both sides' key (and ts when
+    names collide) — selecting them by name raised ambiguity errors."""
+    from video_stream_processing_spark.operators.joins import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 1)], "k long, ts string, lid long"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 05:30:00", 10)], "k long, ts string, rid long"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "rid")
+
+    out = range_join_bucketed(
+        left, right, key="k", left_ts="ts", right_ts="ts", tolerance_ms=3_600_000
+    )
+    assert sorted(out.columns) == ["k", "lid", "rid", "right_ts", "ts"]
+    # selecting every column by name must not be ambiguous
+    got = out.select("k", "ts", "right_ts", "lid", "rid").collect()
+    assert len(got) == 1 and got[0]["lid"] == 1 and got[0]["rid"] == 10
+
+
 def test_range_join_bucketed_matches_naive(spark):
     from video_stream_processing_spark.operators.joins import range_join_bucketed
 

@@ -87,6 +87,9 @@ class Engine:
             os.path.join(checkpoint_dir, "detections"),
             min_interval_ms=cfg.keyframe_min_interval_ms,
             scene_threshold=cfg.scene_change_threshold,
+            watermark=cfg.watermark,
+            confidence_threshold=cfg.confidence_threshold,
+            nms_iou_threshold=cfg.nms_iou_threshold,
         )
         seg = segment_query(
             frames,
@@ -94,5 +97,6 @@ class Engine:
             os.path.join(checkpoint_dir, "segments"),
             duration_ms=segment_duration_ms or cfg.segment_duration_ms,
             encoder=encoder,
+            watermark=cfg.watermark,
         )
         return det, seg

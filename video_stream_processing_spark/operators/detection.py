@@ -95,6 +95,9 @@ def stub_anchor_bbox(j: int) -> tuple[float, float, float, float]:
 class StubDetector:
     """Deterministic detector over embedding vectors (image stand-in)."""
 
+    def __init__(self, conf_threshold: float = CONF_THRESHOLD):
+        self.conf_threshold = conf_threshold
+
     def detect_batch(self, embeddings: pd.Series) -> pd.Series:
         out = []
         for emb in embeddings:
@@ -109,7 +112,7 @@ class StubDetector:
             dets = []
             for j in range(N_ANCHORS):
                 conf = 1.0 / (1.0 + math.exp(-logits[j]))
-                if conf > CONF_THRESHOLD:
+                if conf > self.conf_threshold:
                     x1, y1, x2, y2 = stub_anchor_bbox(j)
                     dets.append(
                         {
@@ -123,45 +126,93 @@ class StubDetector:
 
 
 class OnnxDetector:
-    """Real YOLOv8 ONNX path (import-gated; onnxruntime absent here).
-
-    Contract mirrored from the reference (YOLODetector.java): 640x640
-    float32 CHW /255 input; output [1,84,8400]; per-candidate class argmax
-    over rows 4..83; confidence threshold then cxcywh->xyxy rescale+clamp;
-    greedy per-class NMS at IoU 0.45 (applied separately via nms()).
-    Session options mirrored: 2 intra-op threads, basic graph opt
+    """Real YOLOv8 ONNX path. The tensor math (preprocess resize/CHW/255,
+    postprocess argmax/threshold/rescale/clamp + NMS) is fully implemented
+    in pure numpy (operators/yolo.py, matching YOLODetector.java:234-287
+    and ImageUtils.java:41-74); only ``ort.InferenceSession`` construction
+    is import-gated (onnxruntime absent in this container). Session
+    options mirrored: 2 intra-op threads, basic graph opt
     (YOLODetector.java:71-75).
+
+    ``session`` and ``decoder`` are injectable: tests drive the complete
+    detect_batch chain with a fake session emitting hand-built [1,84,N]
+    tensors and a fake bytes->BGR-array decoder (SURVEY.md §5.2).
+    ``decoder`` returns an (H, W, 3) uint8 BGR array or None; undecodable
+    frames yield an empty detection list (YOLODetector.java:115-118).
     """
 
-    def __init__(self, model_path: str):
-        try:
-            import onnxruntime  # noqa: F401
-        except ImportError as e:  # pragma: no cover - not installed here
-            raise NotImplementedError(
-                "onnxruntime is not available in this environment; use "
-                "StubDetector for deterministic tests (SURVEY.md §5.2)"
-            ) from e
-        import onnxruntime as ort  # pragma: no cover
+    def __init__(
+        self,
+        model_path: str | None = None,
+        session=None,
+        decoder=None,
+        conf_threshold: float = CONF_THRESHOLD,
+        iou_threshold: float = NMS_IOU_THRESHOLD,
+        input_name: str = "images",  # YOLODetector.java:137
+    ):
+        if session is None:  # pragma: no cover - onnxruntime not installed here
+            try:
+                import onnxruntime as ort
+            except ImportError as e:
+                raise NotImplementedError(
+                    "onnxruntime is not available in this environment; inject a "
+                    "session= (tests) or use StubDetector (SURVEY.md §5.2)"
+                ) from e
+            opts = ort.SessionOptions()
+            opts.intra_op_num_threads = 2
+            opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_BASIC
+            session = ort.InferenceSession(model_path, opts)
+        self.session = session
+        self.decoder = decoder if decoder is not None else _pillow_decode_bgr
+        self.conf_threshold = conf_threshold
+        self.iou_threshold = iou_threshold
+        self.input_name = input_name
 
-        opts = ort.SessionOptions()  # pragma: no cover
-        opts.intra_op_num_threads = 2  # pragma: no cover
-        opts.graph_optimization_level = (
-            ort.GraphOptimizationLevel.ORT_ENABLE_BASIC
-        )  # pragma: no cover
-        self.session = ort.InferenceSession(model_path, opts)  # pragma: no cover
+    def detect_batch(self, images: pd.Series) -> pd.Series:
+        """bytes -> ARRAY<STRUCT> detections, one list per image — the
+        engine analog of YOLODetector.detect(byte[]) (:92-175)."""
+        from video_stream_processing_spark.operators import yolo
 
-    def detect_batch(self, images: pd.Series) -> pd.Series:  # pragma: no cover
-        raise NotImplementedError("wire preprocess+run+postprocess when onnxruntime exists")
+        out = []
+        for blob in images:
+            img = self.decoder(blob) if blob is not None else None
+            if img is None or img.size == 0:
+                out.append([])  # decode failure -> empty (YOLODetector.java:115-118)
+                continue
+            oh, ow = img.shape[:2]
+            tensor = self.session.run(None, {self.input_name: yolo.preprocess(img)})[0]
+            out.append(
+                yolo.detect_from_output(tensor, ow, oh, self.conf_threshold, self.iou_threshold)
+            )
+        return pd.Series(out, dtype=object)
 
 
-def stub_detect_udf():
+def _pillow_decode_bgr(blob: bytes):  # pragma: no cover - Pillow absent here
+    """Default decoder, import-gated (ImageUtils.decodeImage analog)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow is not available in this container; inject decoder= "
+            "(deterministic fake in tests)"
+        ) from e
+    try:
+        rgb = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        return rgb[:, :, ::-1]
+    except Exception:
+        return None
+
+
+def stub_detect_udf(conf_threshold: float = CONF_THRESHOLD):
     """Arrow-batched pandas UDF: embedding ARRAY<FLOAT> -> detections.
 
     One detector instance per Python worker (the reference builds one
     YOLODetector per subtask in open(), VideoProcessFunction.java:60-66);
     batches flow JVM->Arrow->numpy with zero per-row overhead.
     """
-    detector = StubDetector()
+    detector = StubDetector(conf_threshold)
 
     @F.pandas_udf(DETECTIONS_TYPE)
     def detect(embeddings: pd.Series) -> pd.Series:

@@ -33,6 +33,10 @@ def asof_join(
     is a single sort-merge pass, the canonical distributed as-of.
 
     Right side must be unique per (key, right_ts); pre-aggregate if not.
+    NULLs inside ``value_cols`` are skipped over by the ignoreNulls carry
+    (a matched row may carry an older non-null value for that column);
+    the inner-join match test itself uses an always-non-null marker (the
+    right row's timestamp), so a NULL value column never drops the row.
     """
     lcols = [c for c in left.columns]
     l_tag = left.select(
@@ -41,6 +45,7 @@ def asof_join(
         F.lit(0).alias("__is_right"),
         *[F.col(c) for c in lcols if c not in (key,)],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_matched_t"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
@@ -48,6 +53,7 @@ def asof_join(
         F.lit(1).alias("__is_right"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key,)],
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_matched_t"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -61,9 +67,10 @@ def asof_join(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
             for c in value_cols
         ],
+        F.last("__r_matched_t", ignorenulls=True).over(w).alias("__m_matched_t"),
     )
     out = (
-        carried.where((F.col("__is_right") == 0) & F.col(f"__m_{value_cols[0]}").isNotNull())
+        carried.where((F.col("__is_right") == 0) & F.col("__m_matched_t").isNotNull())
         .select(
             F.col("__k").alias(key),
             F.col("__t").alias(left_ts),
@@ -89,7 +96,15 @@ def range_join_bucketed(
 
     This turns an inequality (nested-loop/cartesian) join into a
     bounded-fanout hash join — the 100 TB shape: shuffle on (key,
-    bucket), no candidate pair more than 3x, exact filter afterwards."""
+    bucket), no candidate pair more than 3x, exact filter afterwards.
+
+    The output carries the key once (left's copy); if the two timestamp
+    columns share a name, the right one comes back as ``right_<name>`` —
+    no ambiguous duplicate columns downstream."""
+    if right_ts == left_ts:
+        right = right.withColumnRenamed(right_ts, f"right_{right_ts}")
+        right_ts = f"right_{right_ts}"
+    right = right.withColumnRenamed(key, "__rk")
     # cast: parquet NTZ timestamps need an explicit upcast for
     # unix_millis; session TZ is pinned UTC so this is stable
     r_ms = F.unix_millis(F.col(right_ts).cast("timestamp"))
@@ -102,7 +117,7 @@ def range_join_bucketed(
     )
     l_b = left.withColumn("__bkt", F.floor(l_ms_col / tolerance_ms))
     cond = (
-        (l_b[key] == r_exp[key])
+        (l_b[key] == r_exp["__rk"])
         & (l_b["__bkt"] == r_exp["__bkt"])
         & (
             F.abs(
@@ -112,4 +127,4 @@ def range_join_bucketed(
             <= tolerance_ms
         )
     )
-    return l_b.join(r_exp, cond).drop("__bkt")
+    return l_b.join(r_exp, cond).drop("__bkt", "__rk")

@@ -85,12 +85,13 @@ def frame_sample(
     frames: DataFrame, key_col: str = "stream_id", ts_col: str = "ts", every_n: int = 10
 ) -> DataFrame:
     """Every-Nth-frame sampling per stream (video frame-sample analog):
-    one window shuffle on the stream key, keep rank % N == 1."""
+    one window shuffle on the stream key, keep ranks 1, 1+N, 1+2N, ...
+    ((rn-1) % N == 0 — degrades correctly to all rows at every_n=1)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col)
     return (
         frames.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") % every_n) == 1)
+        .where(((F.col("rn") - 1) % every_n) == 0)
         .drop("rn")
     )

@@ -74,16 +74,22 @@ def detection_query(
     min_interval_ms: int = 5_000,
     scene_threshold: float = 0.3,
     trigger_seconds: int = 5,
+    watermark: str = "10 minutes",
+    confidence_threshold: float = 0.5,
+    nms_iou_threshold: float = 0.45,
 ):
-    """Hot path: stateful keyframe gate -> (stub) detection -> explode ->
-    partitioned fact sink. The 5 s trigger mirrors the Doris sink's 5 s
-    flush (DorisSinkBuilder.java:72). Returns the started StreamingQuery."""
-    from video_stream_processing_spark.operators.detection import stub_detect_udf
+    """Hot path: stateful keyframe gate -> (stub) detection -> NMS ->
+    explode -> partitioned fact sink. The 5 s trigger mirrors the Doris
+    sink's 5 s flush (DorisSinkBuilder.java:72); NMS runs inside the hot
+    path like the reference's detect() (YOLODetector.java:170 applies
+    applyNMS before returning). Returns the started StreamingQuery."""
+    from video_stream_processing_spark.operators.detection import nms_udf, stub_detect_udf
 
     gated = keyframes_stream(
         frames.select("stream_id", "ts", "scene_signal"),
         min_interval_ms=min_interval_ms,
         scene_threshold=scene_threshold,
+        watermark=watermark,
     ).where(F.col("is_keyframe"))
 
     # The embedding stand-in for pixels: derive a deterministic vector
@@ -95,11 +101,12 @@ def detection_query(
             lambda i: ((F.col("scene_signal") + i) % 7 - 3).cast("float") / 3.0,
         ),
     )
-    detect = stub_detect_udf()
+    detect = stub_detect_udf(confidence_threshold)
+    nms = nms_udf(nms_iou_threshold)
     dets = with_vec.select(
         "stream_id",
         F.col("ts").alias("detection_time"),
-        F.explode(detect(F.col("embedding"))).alias("d"),
+        F.explode(nms(detect(F.col("embedding")))).alias("d"),
     ).select(
         "stream_id",
         "detection_time",
@@ -122,11 +129,12 @@ def segment_query(
     duration_ms: int = 180_000,
     encoder=None,
     trigger_seconds: int = 5,
+    watermark: str = "10 minutes",
 ):
     """Archival path: exact (first-arrival-aligned, trigger-inclusive)
     segments -> pluggable encoder -> object-layout sink."""
     segs = exact_segments_stream(
-        frames.select("stream_id", "ts"), duration_ms=duration_ms
+        frames.select("stream_id", "ts"), duration_ms=duration_ms, watermark=watermark
     )
     return (
         segs.writeStream.foreachBatch(write_segments(segments_dir, encoder))
