@@ -1,0 +1,48 @@
+"""Bounded-memory per-key sequential scans.
+
+``groupBy(key).applyInPandas`` materializes EACH GROUP as one pandas
+DataFrame — at 100 TB a hot stream (months of frames on one key) OOMs the
+task. The scalable shape for per-key sequential recurrences is:
+
+    repartition(key)                  # one hash shuffle, same as groupBy
+      .sortWithinPartitions(key, ts)  # external sort, spills to disk
+      .mapInPandas(scan_fn)           # Arrow chunks of <= maxRecordsPerBatch
+
+``mapInPandas`` streams each partition's rows IN ORDER as a sequence of
+bounded Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch,
+default 10k rows), so the scan carries O(keys-in-flight) state — a dict
+entry per key, never a key's whole history. Keys are contiguous after the
+sort, so state can be dropped as soon as the key changes.
+
+This module hosts the one shared wrapper; the recurrence bodies live with
+their operators (keyframe gate, exact segments, scene gate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ScanFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+
+
+def keyed_sorted_scan(
+    frames: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    scan_fn: ScanFn,
+    out_schema,
+) -> DataFrame:
+    """Hash-partition on ``key_col``, sort each partition by
+    (key, *order_cols), stream bounded Arrow chunks through ``scan_fn``.
+
+    ``scan_fn`` must tolerate a key spanning multiple consecutive chunks
+    (carry state) and multiple keys inside one chunk (keys arrive
+    contiguously in sorted order)."""
+    return (
+        frames.repartition(key_col)
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(scan_fn, schema=out_schema)
+    )

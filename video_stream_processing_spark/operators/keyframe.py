@@ -64,31 +64,48 @@ def keyframe_gate_stateful(
 ) -> DataFrame:
     """Exact reference semantics: interval measured since the last KEPT
     frame (KeyFrameExtractor.java:57-61 updates lastKeyFrameTime only on
-    emission). Sequential per key => applyInPandas, Arrow-batched, one
-    shuffle on the key. Rows within a key are processed in ts order
-    (batch stand-in for the reference's arrival order)."""
+    emission). Sequential per key => bounded-memory keyed scan
+    (operators/keyed_scan.py): one hash shuffle + external sort, then the
+    recurrence streams over Arrow chunks carrying (last_kept_ms,
+    prev_signal) per key — a hot key's history never materializes in one
+    pandas frame (the 100 TB-safe form; the streaming twin in
+    streaming/stateful.py holds the same O(1) state per key)."""
     import pandas as pd
+
+    from video_stream_processing_spark.operators.keyed_scan import keyed_sorted_scan
 
     sig = signal_col
 
-    def gate(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        last_kept_ms = None
-        prev_sig = None
-        keep_mask = []
-        for ts, s in zip(
-            pdf[ts_col], pdf[sig] if sig else [None] * len(pdf)
-        ):
-            ts_ms = int(ts.value // 1_000_000)  # pandas Timestamp ns -> ms
-            keep = False
-            if last_kept_ms is None or ts_ms - last_kept_ms >= min_interval_ms:
-                keep = True
-            elif sig is not None and prev_sig is not None and abs(s - prev_sig) > scene_threshold:
-                keep = True
-            if keep:
-                last_kept_ms = ts_ms
-            prev_sig = s
-            keep_mask.append(keep)
-        return pdf[pd.Series(keep_mask, index=pdf.index)]
+    def gate_scan(chunks):
+        state: dict = {}  # key -> [last_kept_ms, prev_sig]; keys are contiguous
+        current_key = None
+        for pdf in chunks:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].tolist()
+            ts_ms_arr = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            sigs = pdf[sig].tolist() if sig else [None] * len(pdf)
+            keep_mask = []
+            for k, ts_ms, s in zip(keys, ts_ms_arr, sigs):
+                if k != current_key:
+                    state.pop(current_key, None)  # sorted input: old key is done
+                    current_key = k
+                last_kept_ms, prev_sig = state.get(k, (None, None))
+                keep = False
+                if last_kept_ms is None or ts_ms - last_kept_ms >= min_interval_ms:
+                    keep = True
+                elif (
+                    sig is not None
+                    and prev_sig is not None
+                    and abs(s - prev_sig) > scene_threshold
+                ):
+                    keep = True
+                if keep:
+                    last_kept_ms = ts_ms
+                state[k] = (last_kept_ms, s)
+                keep_mask.append(keep)
+            out = pdf[pd.Series(keep_mask, index=pdf.index)]
+            if len(out):
+                yield out
 
-    return frames.groupBy(key_col).applyInPandas(gate, schema=frames.schema)
+    return keyed_sorted_scan(frames, key_col, (ts_col,), gate_scan, frames.schema)

@@ -70,50 +70,90 @@ def segment_windows_exact(
     (batch flushes the tail; the reference's streaming job loses it —
     SURVEY.md §2.6(g), documented deviation).
 
-    Sequential recurrence per key => applyInPandas (Arrow-batched); one
-    shuffle on the key, state bounded by one key's frames per task.
+    Sequential recurrence per key => bounded-memory keyed scan
+    (operators/keyed_scan.py): hash shuffle + external sort, then a
+    searchsorted skip-scan per Arrow chunk carrying O(1) state
+    (start, count, last-seen) per open buffer — a hot key's history never
+    materializes in one pandas frame. O(n_segments log chunk) per chunk.
     """
+    import numpy as np
     import pandas as pd
+
+    from video_stream_processing_spark.operators.keyed_scan import keyed_sorted_scan
 
     out_schema = (
         f"{key_col} string, start_time timestamp, end_time timestamp, "
         "frame_count int, duration_ms long"
     )
+    out_cols = [key_col, "start_time", "end_time", "frame_count", "duration_ms"]
 
-    def bufferize(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
-        # Skip-scan with searchsorted: O(n_segments log n) instead of a
-        # per-row Python loop. Trigger index = first j with
-        # ts[j] >= ts[start] + duration (strictly > start since dur > 0);
-        # the trigger frame CLOSES the segment and is included in it.
-        rows = []
-        i, n = 0, len(ts_ms)
-        while i < n:
-            j = int(np.searchsorted(ts_ms, ts_ms[i] + duration_ms, side="left"))
-            if j < n:
-                rows.append((i, j))
-                i = j + 1
-            else:
-                rows.append((i, n - 1))  # tail buffer, flushed in batch
-                break
-        if not rows:
-            return pd.DataFrame(
-                columns=[key_col, "start_time", "end_time", "frame_count", "duration_ms"]
-            )
-        s_idx = np.fromiter((s for s, _ in rows), dtype=np.int64)
-        e_idx = np.fromiter((e for _, e in rows), dtype=np.int64)
-        ts_vals = pdf[ts_col].to_numpy()
-        return pd.DataFrame(
-            {
-                key_col: str(key[0]),
-                "start_time": ts_vals[s_idx],
-                "end_time": ts_vals[e_idx],
-                "frame_count": (e_idx - s_idx + 1).astype("int32"),
-                "duration_ms": ts_ms[e_idx] - ts_ms[s_idx],
-            }
+    def _frame(rows: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=out_cols).astype(
+            {"frame_count": "int32", "duration_ms": "int64"}
         )
 
-    return frames.groupBy(key_col).applyInPandas(bufferize, schema=out_schema)
+    def segment_scan(chunks):
+        # key -> [start_ms, start_ts, cnt, last_ms, last_ts] for the open
+        # tail buffer; keys are contiguous after the sort, so at most one
+        # open buffer outlives each chunk boundary per task.
+        state: dict = {}
+        current_key = None
+
+        def flush(k) -> tuple | None:
+            st = state.pop(k, None)
+            if st is None:
+                return None
+            start_ms, start_ts, cnt, last_ms, last_ts = st
+            return (k, start_ts, last_ts, cnt, last_ms - start_ms)
+
+        for pdf in chunks:
+            if len(pdf) == 0:
+                continue
+            rows: list[tuple] = []
+            for k, grp in pdf.groupby(key_col, sort=False):
+                if k != current_key:
+                    if current_key is not None:
+                        tail = flush(current_key)
+                        if tail is not None:
+                            rows.append(tail)
+                    current_key = k
+                ts_vals = grp[ts_col].to_numpy()
+                ts_ms = (grp[ts_col].astype("int64") // 1_000_000).to_numpy()
+                n = len(ts_ms)
+                i = 0
+                if k in state:
+                    start_ms, start_ts, cnt, _, _ = state[k]
+                    j = int(np.searchsorted(ts_ms, start_ms + duration_ms, side="left"))
+                    if j < n:  # carried buffer closes inside this chunk
+                        rows.append(
+                            (k, start_ts, ts_vals[j], cnt + j + 1, int(ts_ms[j]) - start_ms)
+                        )
+                        del state[k]
+                        i = j + 1
+                    else:  # still open: absorb the whole chunk
+                        state[k] = (start_ms, start_ts, cnt + n, int(ts_ms[-1]), ts_vals[-1])
+                        continue
+                while i < n:
+                    j = int(np.searchsorted(ts_ms, ts_ms[i] + duration_ms, side="left"))
+                    if j < n:
+                        rows.append(
+                            (k, ts_vals[i], ts_vals[j], j - i + 1, int(ts_ms[j] - ts_ms[i]))
+                        )
+                        i = j + 1
+                    else:
+                        state[k] = (
+                            int(ts_ms[i]),
+                            ts_vals[i],
+                            n - i,
+                            int(ts_ms[-1]),
+                            ts_vals[-1],
+                        )
+                        break
+            if rows:
+                yield _frame(rows)
+        tails = [flush(k) for k in list(state)]
+        tails = [t for t in tails if t is not None]
+        if tails:
+            yield _frame(tails)
+
+    return keyed_sorted_scan(frames, key_col, (ts_col,), segment_scan, out_schema)
