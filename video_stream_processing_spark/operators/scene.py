@@ -1,0 +1,211 @@
+"""Scene-change signal computed FROM the binary payload — closing the
+loop the reference documents but stubs out.
+
+Reference intent (README.md:241-245): keyframe on interval OR when the
+histogram difference between consecutive frames crosses a threshold. Its
+``compareHistograms`` is a stub returning 0.5 (ImageUtils.java:80-84,
+SURVEY.md §2.6(a)); the documented comparison is OpenCV's
+HISTCMP_CORREL. We implement that correlation over a 256-bin BYTE
+histogram of the payload (numpy — no cv2 in this container; for decoded
+pixel data the same math applies unchanged to a luminance histogram).
+
+Split by boundary (SURVEY.md §4.2 UDF discipline):
+
+- byte histogram: Arrow-batched pandas UDF — bytes never cross a
+  shuffle; the payload column is dropped before the lag window so only
+  256-double vectors move.
+- correlation + lag: JVM-side (higher-order functions ``aggregate`` /
+  ``zip_with`` + window ``lag``) — whole-stage codegen, no Python.
+- the gate itself: recurrence on last-kept-time => bounded keyed scan
+  (operators/keyed_scan.py), or per-key state in the streaming twin
+  (streaming/stateful.py keyframes_from_bytes_stream).
+
+Semantics pinned to KeyFrameExtractor.isKeyFrame (:53-82):
+- interval rule first: ts - last_kept >= min_interval keeps and resets;
+- scene rule only when a previous frame exists: similarity <
+  (1 - threshold) keeps and resets;
+- decode failures (null/empty payload, either side) => similarity 1.0
+  ("assume similar", :94,107) so only the interval rule can fire;
+- the previous-frame pointer advances EVERY row, kept or not (:81).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+N_BINS = 256
+
+
+def byte_histogram_udf():
+    """payload BINARY -> ARRAY<DOUBLE> (256 normalized bins); null/empty
+    payload -> NULL (decode failure marker)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def hist(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            if b is None or len(b) == 0:
+                out.append(None)
+            else:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                out.append(np.bincount(arr, minlength=N_BINS) / float(len(arr)))
+        return pd.Series(out, dtype=object)
+
+    return hist
+
+
+def hist_correlation(
+    a: Column, b: Column, mean_a: Column | None = None, mean_b: Column | None = None
+) -> Column:
+    """OpenCV HISTCMP_CORREL, JVM-side:
+    sum((a-ma)(b-mb)) / sqrt(sum((a-ma)^2) * sum((b-mb)^2)); zero
+    variance on either side -> 1.0 iff the histograms are identical else
+    0.0. Stays inside codegen (aggregate/zip_with; no Python).
+
+    Pass precomputed ``mean_a``/``mean_b`` COLUMN references when calling
+    inside a plan (with_scene_similarity does): inlining the mean
+    expression makes Catalyst re-evaluate the O(n) aggregate inside every
+    lambda element — O(n^2) per row — and duplicates the whole ``b``
+    window expression per use."""
+    ma = (
+        mean_a
+        if mean_a is not None
+        else F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / F.size(a).cast("double")
+    )
+    mb = (
+        mean_b
+        if mean_b is not None
+        else F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x) / F.size(b).cast("double")
+    )
+    num = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - ma) * (y - mb)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    va = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x - ma) * (x - ma))
+    vb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x - mb) * (x - mb))
+    den = F.sqrt(va * vb)
+    return F.when(den > 0, num / den).otherwise(
+        F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def with_scene_similarity(
+    frames: DataFrame,
+    payload_col: str = "frame_data",
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    drop_payload: bool = True,
+) -> DataFrame:
+    """Add ``scene_sim``: correlation of each frame's byte histogram with
+    its predecessor's (per key, ts order). NULL when the frame has no
+    predecessor; 1.0 when either side is undecodable (reference
+    semantics). One shuffle (the lag window); the binary column is
+    projected away before it so only 256-double vectors shuffle."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    hist = byte_histogram_udf()
+    df = frames.withColumn("__h", hist(F.col(payload_col)))
+    if drop_payload:
+        df = df.drop(payload_col)
+    # Materialize the lagged histogram and both means as columns FIRST:
+    # one lag window expression total, and each O(n) mean evaluated once
+    # per row instead of inside every HOF lambda element (the inlined
+    # form costs O(n^2)/row and 11 duplicate lag(__h) copies — seen in
+    # the formatted plan before this hoist).
+    df = (
+        df.withColumn("__ph", F.lag("__h").over(w))
+        .withColumn("__has_prev", F.lag(ts_col).over(w).isNotNull())
+        .withColumn(
+            "__ma",
+            F.aggregate("__h", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("__h").cast("double"),
+        )
+        .withColumn(
+            "__mb",
+            F.aggregate("__ph", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("__ph").cast("double"),
+        )
+    )
+    sim = (
+        F.when(~F.col("__has_prev"), F.lit(None).cast("double"))
+        .when(F.col("__h").isNull() | F.col("__ph").isNull(), F.lit(1.0))
+        .otherwise(
+            hist_correlation(
+                F.col("__h"), F.col("__ph"), mean_a=F.col("__ma"), mean_b=F.col("__mb")
+            )
+        )
+    )
+    return df.withColumn("scene_sim", sim).drop("__h", "__ph", "__has_prev", "__ma", "__mb")
+
+
+def keyframe_gate_from_similarity(
+    frames: DataFrame,
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    sim_col: str = "scene_sim",
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+) -> DataFrame:
+    """Exact isKeyFrame recurrence driven by a precomputed similarity
+    column: keep iff >= min_interval since last KEPT frame, else iff
+    similarity < (1 - threshold). Bounded keyed scan (state: one long per
+    key)."""
+    from video_stream_processing_spark.operators.keyed_scan import keyed_sorted_scan
+
+    cut = 1.0 - scene_threshold
+
+    def gate_scan(chunks):
+        state: dict = {}
+        current_key = None
+        for pdf in chunks:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].tolist()
+            ts_ms_arr = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            sims = pdf[sim_col].tolist()
+            keep_mask = []
+            for k, ts_ms, sim in zip(keys, ts_ms_arr, sims):
+                if k != current_key:
+                    state.pop(current_key, None)
+                    current_key = k
+                last_kept_ms = state.get(k)
+                keep = False
+                if last_kept_ms is None or ts_ms - last_kept_ms >= min_interval_ms:
+                    keep = True
+                elif sim is not None and not pd.isna(sim) and sim < cut:
+                    keep = True
+                if keep:
+                    state[k] = ts_ms
+                keep_mask.append(keep)
+            out = pdf[pd.Series(keep_mask, index=pdf.index)]
+            if len(out):
+                yield out
+        return
+
+    return keyed_sorted_scan(frames, key_col, (ts_col,), gate_scan, frames.schema)
+
+
+def keyframe_gate_from_bytes(
+    frames: DataFrame,
+    payload_col: str = "frame_data",
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+) -> DataFrame:
+    """End-to-end binary-driven gate: payload bytes -> histogram ->
+    consecutive-frame correlation -> exact keyframe recurrence."""
+    sims = with_scene_similarity(
+        frames, payload_col=payload_col, key_col=key_col, ts_col=ts_col
+    )
+    return keyframe_gate_from_similarity(
+        sims,
+        key_col=key_col,
+        ts_col=ts_col,
+        min_interval_ms=min_interval_ms,
+        scene_threshold=scene_threshold,
+    )

@@ -465,3 +465,37 @@ def a09_keyframe_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_interval_ms=KEYFRAME_INTERVAL_MS,
         scene_threshold=SCENE_THRESHOLD,
     )
+
+
+# --------------------------------------------------------------------------
+# a10 — binary-driven keyframe gate: scene signal computed FROM payload
+# bytes (the loop the reference documents but stubs, SURVEY.md §2.6(a))
+# --------------------------------------------------------------------------
+
+
+@register("a10_keyframes_from_bytes", oracle=None, tags=("layer_a", "stateful", "rows_only"))
+def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary gate (operators/scene.py): payload bytes ->
+    256-bin byte histogram (Arrow UDF; binary never shuffles) ->
+    consecutive-frame histogram correlation (JVM-side aggregate/zip_with,
+    the documented HISTCMP_CORREL intent of README.md:241-245) -> exact
+    isKeyFrame recurrence (KeyFrameExtractor.java:53-82) as a bounded
+    keyed scan. Payload here: each event's type string repeated — frames
+    change "scene" when the event type flips. Non-SQL (recurrence) =>
+    rows-only; planted-cut + streaming-twin tests in tests/test_scene.py."""
+    from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
+
+    events = load_table(spark, sf_dir, "events")
+    frames = events.select(
+        F.col("user_id").cast("string").alias("stream_id"),
+        "ts",
+        F.encode(F.repeat(F.col("event_type"), 40), "UTF-8").alias("frame_data"),
+    )
+    return keyframe_gate_from_bytes(
+        frames,
+        payload_col="frame_data",
+        key_col="stream_id",
+        ts_col="ts",
+        min_interval_ms=KEYFRAME_INTERVAL_MS,
+        scene_threshold=0.3,
+    )

@@ -158,6 +158,102 @@ def keyframe_stateful_fn(min_interval_ms: int = 5_000, scene_threshold: float = 
     return fn
 
 
+KEYFRAME_BYTES_STATE_SCHEMA = "last_kf_ms long, prev_hist array<double>"
+KEYFRAME_BYTES_OUT_SCHEMA = (
+    "stream_id string, ts timestamp, scene_sim double, is_keyframe boolean"
+)
+
+
+def keyframe_bytes_stateful_fn(min_interval_ms: int = 5_000, scene_threshold: float = 0.3):
+    """Binary-driven keyframe gate: per-key state carries the PREVIOUS
+    frame's byte histogram (the reference's ``previousFrame`` field,
+    KeyFrameExtractor.java:31,81) plus lastKeyFrameTime. Semantics match
+    operators/scene.py (interval rule first; scene rule when similarity
+    < 1 - threshold; undecodable frames assume similarity 1.0)."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.scene import N_BINS
+
+    cut = 1.0 - scene_threshold
+
+    def _hist(b):
+        if b is None or len(b) == 0:
+            return None
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        return np.bincount(arr, minlength=N_BINS) / float(len(arr))
+
+    def _corr(h1, h2) -> float:
+        if h1 is None or h2 is None:
+            return 1.0  # decode failure -> assume similar (:94,107)
+        d1, d2 = h1 - h1.mean(), h2 - h2.mean()
+        den = float(np.sqrt((d1 * d1).sum() * (d2 * d2).sum()))
+        if den <= 0.0:
+            return 1.0 if np.array_equal(h1, h2) else 0.0
+        return float((d1 * d2).sum() / den)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (stream_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout registered
+            return
+        if state.exists:
+            last_kf_ms, prev_hist_list = state.get
+            prev_hist = None if prev_hist_list is None else np.asarray(prev_hist_list)
+            has_prev = True
+        else:
+            last_kf_ms, prev_hist, has_prev = None, None, False
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        sims, flags = [], []
+        for t, payload in zip(ts_ms, rows["frame_data"]):
+            h = _hist(payload)
+            sim = _corr(h, prev_hist) if has_prev else None
+            keep = False
+            if last_kf_ms is None or t - last_kf_ms >= min_interval_ms:
+                keep = True
+            elif sim is not None and sim < cut:
+                keep = True
+            if keep:
+                last_kf_ms = t
+            prev_hist, has_prev = h, True
+            sims.append(sim)
+            flags.append(keep)
+        state.update(
+            (last_kf_ms, None if prev_hist is None else [float(x) for x in prev_hist])
+        )
+        out = rows[["ts"]].copy()
+        out.insert(0, "stream_id", stream_id)
+        out["scene_sim"] = pd.Series(sims, index=out.index, dtype="float64")
+        out["is_keyframe"] = flags
+        yield out
+
+    return fn
+
+
+def keyframes_from_bytes_stream(
+    frames: DataFrame,
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming binary-driven gate. Input needs (stream_id, ts,
+    frame_data BINARY); emits keyframe flags + the computed similarity."""
+    return (
+        frames.withWatermark("ts", watermark)
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            keyframe_bytes_stateful_fn(min_interval_ms, scene_threshold),
+            outputStructType=KEYFRAME_BYTES_OUT_SCHEMA,
+            stateStructType=KEYFRAME_BYTES_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def exact_segments_stream(
     frames: DataFrame,
     duration_ms: int = 180_000,
