@@ -157,3 +157,39 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     plain(batch, 7)
     plain(batch, 7)
     assert spark.read.parquet(app_dir).count() == 4
+
+
+def test_idempotent_segments_sink_replay_does_not_duplicate(spark, tmp_path):
+    """VERDICT r1 item 5: write_segments was mode-append — a replayed
+    micro-batch duplicated segment rows. The idempotent variant must
+    keep one copy per (batch_id, segment) and derive identical object
+    keys on replay."""
+    from video_stream_processing_spark.streaming.sinks import write_segments_idempotent
+
+    batch = spark.createDataFrame(
+        [
+            ("s1", "2024-03-05 14:30:00", "2024-03-05 14:33:00", 181, 180_000),
+            ("s2", "2024-03-05 15:00:00", "2024-03-05 15:03:10", 190, 190_000),
+        ],
+        "stream_id string, start_time string, end_time string, frame_count int, duration_ms long",
+    ).select(
+        "stream_id",
+        F.col("start_time").cast("timestamp").alias("start_time"),
+        F.col("end_time").cast("timestamp").alias("end_time"),
+        "frame_count",
+        "duration_ms",
+    )
+
+    seg_dir = str(tmp_path / "segs")
+    sink = write_segments_idempotent(seg_dir)
+    sink(batch, 3)
+    sink(batch, 3)  # replay of the SAME batch id
+    rows = spark.read.parquet(seg_dir).collect()
+    assert len(rows) == 2  # no duplicate segment rows
+    keys = {r["object_key"] for r in rows}
+    assert keys == {
+        "videos/s1/20240305/14/s1_1709649000000.mp4",
+        "videos/s2/20240305/15/s2_1709650800000.mp4",
+    }
+    sink(batch, 4)  # genuinely new batch id appends
+    assert spark.read.parquet(seg_dir).count() == 4

@@ -117,29 +117,51 @@ class NoopEncoder(SegmentEncoder):
         return (f"/tmp/{stream_id}_{start_ms}.mp4", frame_count * 1024)
 
 
-class FFmpegEncoder(SegmentEncoder):  # pragma: no cover - needs ffmpeg + frames
-    """Real path: dump JPEGs, shell out exactly like FFmpegUtils.java:164-167
+class FFmpegEncoder(SegmentEncoder):
+    """Real path: dump frames, shell out exactly like FFmpegUtils.java:164-167
     (`ffmpeg -framerate 25 -i frame_%05d.jpg -c:v libx264 -pix_fmt yuv420p
-    -b:v 2048k out.mp4 -y`), stat the file, clean up."""
+    -b:v 2048k out.mp4 -y`), stat the file, clean up.
 
-    def __init__(self, workdir: str = "/tmp/vsp-segments", bitrate: str = "2048k", fps: int = 25):
+    ``frame_pattern`` defaults to the reference's jpg sequence; tests feed
+    numpy-written BMPs (no image lib needed) via ``frame_%05d.bmp`` —
+    same command shape, codec-agnostic input demuxer. Exercised by
+    tests/test_ffmpeg_encoder.py (skips where ffmpeg is absent)."""
+
+    def __init__(
+        self,
+        workdir: str = "/tmp/vsp-segments",
+        bitrate: str = "2048k",
+        fps: int = 25,
+        frame_pattern: str = "frame_%05d.jpg",
+    ):
         self.workdir, self.bitrate, self.fps = workdir, bitrate, fps
+        self.frame_pattern = frame_pattern
 
     def encode(self, stream_id: str, start_ms: int, frame_count: int) -> tuple[str, int]:
         out = os.path.join(self.workdir, f"{stream_id}_{start_ms}.mp4")
         cmd = [
             "ffmpeg", "-framerate", str(self.fps),
-            "-i", os.path.join(self.workdir, "frame_%05d.jpg"),
+            "-i", os.path.join(self.workdir, self.frame_pattern),
             "-c:v", "libx264", "-pix_fmt", "yuv420p", "-b:v", self.bitrate, out, "-y",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         return out, os.path.getsize(out)
 
 
-def write_segments(out_dir: str, encoder: SegmentEncoder | None = None):
+def write_segments(out_dir: str, encoder: SegmentEncoder | None = None, idempotent: bool = False):
     """foreachBatch sink for segment metadata: derive the object key,
     run the (pluggable) encoder per segment via a mapInPandas pass, and
-    append the `segments` metadata table (SURVEY.md §1.4)."""
+    land the `segments` metadata table (SURVEY.md §1.4).
+
+    ``idempotent=True`` writes each micro-batch into a batch-id-keyed
+    partition with dynamic OVERWRITE (mirroring
+    write_detections_fact_idempotent): a batch replayed after a failure
+    between sink-write and checkpoint commit lands in the same partition
+    instead of appending duplicate segment rows (and the object keys it
+    derives are themselves deterministic in (stream, start_ms), so the
+    re-encoded object upload overwrites rather than duplicates —
+    exactly the replay behavior of the reference's keyed MinIO put,
+    MinIOVideoSink.java:50-76)."""
     encoder = encoder or NoopEncoder()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -162,18 +184,29 @@ def write_segments(out_dir: str, encoder: SegmentEncoder | None = None):
             f"{f.name} {f.dataType.simpleString()}" for f in batch_df.schema.fields
         ) + ", local_file_path string, file_size long"
         encoded = batch_df.mapInPandas(encode_rows, schema=schema)
-        (
-            encoded.withColumn(
-                "object_key",
-                F.concat(
-                    F.lit("videos/"), F.col("stream_id"), F.lit("/"),
-                    F.date_format("start_time", "yyyyMMdd/HH"), F.lit("/"),
-                    F.col("stream_id"), F.lit("_"),
-                    F.unix_millis(F.col("start_time")).cast("string"), F.lit(".mp4"),
-                ),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
+        with_key = encoded.withColumn(
+            "object_key",
+            F.concat(
+                F.lit("videos/"), F.col("stream_id"), F.lit("/"),
+                F.date_format("start_time", "yyyyMMdd/HH"), F.lit("/"),
+                F.col("stream_id"), F.lit("_"),
+                F.unix_millis(F.col("start_time")).cast("string"), F.lit(".mp4"),
+            ),
         )
+        if idempotent:
+            (
+                with_key.withColumn("__batch_id", F.lit(batch_id))
+                .write.partitionBy("__batch_id", "stream_id")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_dir)
+            )
+        else:
+            with_key.write.mode("append").parquet(out_dir)
 
     return sink
+
+
+def write_segments_idempotent(out_dir: str, encoder: SegmentEncoder | None = None):
+    """Exactly-once segments sink (batch-id dynamic-overwrite partitions)."""
+    return write_segments(out_dir, encoder, idempotent=True)
