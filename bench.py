@@ -40,6 +40,8 @@ HEADLINE = (
     "b22_sessionization",  # lag + cumsum + agg
     "b23_tumbling_window",  # event-time window agg
     "b27_percentiles",  # exact percentiles
+    "x02_minhash_lsh_neardup",  # banded MinHash LSH near-dup (scale-defining dedup path)
+    "x18_lsh_multitable_topk",  # OR-amplified multi-table ANN (scale-defining similarity path)
 )
 
 

@@ -191,3 +191,41 @@ def test_multitable_lsh_recall_dominates_single(spark, sf_dir):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+def test_ann_recall_floor(spark):
+    """Recall GATE, not report (VERDICT r1 item 6): the corpus and the
+    md5-salted hyperplanes/centroids are deterministic, so recall@3 at
+    sf0.01 is an exact constant — measured 0.0667 (single-table LSH),
+    0.30 (4-table OR), 0.30 (IVF probe-1) on sf0.01's near-isotropic
+    random vectors (low by construction of the data; ANN_RECALL.md).
+    Floors sit just below so any hashing/bucketing regression fails
+    instead of silently shipping."""
+    sf_dir = "/root/testdata/sf0.01"
+    from video_stream_processing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_multitable_topk,
+        lsh_topk,
+    )
+    from video_stream_processing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 3
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, k=k))
+    assert truth, "ground truth must be non-empty"
+    recall = {
+        "lsh_single": len(pairs(lsh_topk(emb, k=k)) & truth) / len(truth),
+        "lsh_multi": len(pairs(lsh_multitable_topk(emb, k=k)) & truth) / len(truth),
+        "ivf_probe1": len(
+            pairs(ivf_topk(emb, k=k).select("query_id", "vec_id")) & truth
+        )
+        / len(truth),
+    }
+    assert recall["lsh_single"] >= 0.05, recall
+    assert recall["lsh_multi"] >= 0.25, recall
+    assert recall["ivf_probe1"] >= 0.25, recall
