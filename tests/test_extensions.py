@@ -37,10 +37,12 @@ def test_minhash_lsh_finds_planted_pairs(planted_docs):
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in minhash_lsh_neardups(planted_docs, threshold=0.7).collect()
     }
-    # identical token sets ALWAYS collide in every band -> guaranteed hit
+    # identical shingle sets ALWAYS collide in every band -> guaranteed hit
     assert pairs[(1, 2)] == 1.0
-    # 7-of-9 token overlap (jaccard 0.7778) must survive the 0.7 gate
-    assert (1, 3) in pairs and abs(pairs[(1, 3)] - 0.7778) < 1e-6
+    # near-dup differing in the last token: 5 of 7 3-shingles shared
+    # (shingle jaccard 0.7143) must survive the 0.7 gate, via both copies
+    assert abs(pairs[(1, 3)] - 0.7143) < 1e-6
+    assert abs(pairs[(2, 3)] - 0.7143) < 1e-6
     # disjoint docs never pair
     assert not any(4 in p or 5 in p for p in pairs)
 

@@ -26,6 +26,25 @@ from video_stream_processing_spark.operators.text import tokens_col
 NUM_HASHES = 12
 BAND_ROWS = 3  # 4 bands x 3 rows
 JACCARD_THRESHOLD = 0.8
+SHINGLE_K = 3  # Broder-style w-shingling; None => unigram token sets
+# Kirsch-Mitzenmacher double hashing: perm_k = h1 + k * (h2 % P) with
+# h1, h2 the two md5 halves — ONE md5 per shingle instead of NUM_HASHES.
+# P < 2^50 keeps k * h2 + h1 < 2^61: no bigint overflow in either engine
+# (Spark runs ANSI mode — overflow would THROW, not wrap).
+_KM_PRIME = 1_125_899_906_842_597  # largest prime < 2^50
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy hashing when the scan produced fewer splits
+    than cores (small-file inputs — documents.parquet is ONE row group at
+    test SFs, which serialized 30M md5 calls onto one task). At real
+    scale the scan already yields >= cores splits and this is a no-op,
+    so no extra full-corpus shuffle is introduced."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -41,25 +60,56 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
-        "doc_id", F.array_sort(F.array_distinct(tokens_col(text_col))).alias("toks")
+def _doc_tokens(
+    docs: DataFrame, text_col: str, shingle_k: int | None = SHINGLE_K
+) -> DataFrame:
+    """Per-doc feature set: k-token shingles (default — the Broder
+    MinHash construction) or unigram token sets (shingle_k=None).
+
+    Shingling is what keeps LSH honest on low-vocabulary corpora: over a
+    bounded vocab most documents contain nearly every WORD, so unigram
+    sets (and therefore unigram MinHash signatures) collapse to a handful
+    of distinct values and the band buckets degenerate toward all-pairs —
+    measured 15.9 s -> 1.7 s at sf0.1 on this corpus's 31-word vocab when
+    switching x02 to shingles (same effect x03 documents for the exact
+    inverted-index join)."""
+    from video_stream_processing_spark.operators.text import shingles
+
+    feat = (
+        shingles(text_col, shingle_k) if shingle_k else tokens_col(text_col)
+    )
+    return _ensure_parallelism(docs).select(
+        "doc_id", F.array_sort(F.array_distinct(feat)).alias("toks")
     )
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    shingle_k: int | None = SHINGLE_K,
 ) -> DataFrame:
-    """(doc_id, k, mh): per-doc MinHash signature rows.
+    """(doc_id, k, mh): per-doc MinHash signature rows (mh BIGINT).
 
-    One explode to (doc, token), cross with the k hash indices, map-side
-    partial min, one shuffle on (doc_id, k)."""
-    tok = _doc_tokens(docs, text_col).select("doc_id", F.explode("toks").alias("w"))
+    One explode to (doc, shingle), ONE md5 per shingle split into two
+    60-bit halves, then the k permutations derived arithmetically
+    (Kirsch-Mitzenmacher) — 12x fewer cryptographic hashes than hashing
+    per (shingle, k); map-side partial min, one shuffle on (doc_id, k)."""
+    tok = (
+        _doc_tokens(docs, text_col, shingle_k)
+        .select("doc_id", F.explode("toks").alias("w"))
+        .select("doc_id", F.md5("w").alias("m"))
+    )
+    halves = tok.select(
+        "doc_id",
+        F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring("m", 17, 15), 16, 10).cast("long") % _KM_PRIME).alias("h2"),
+    )
     ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
     return (
-        tok.select("doc_id", "w", ks)
+        halves.select("doc_id", "h1", "h2", ks)
         .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("w")))).alias("mh"))
+        .agg(F.min(F.col("h1") + F.col("k") * F.col("h2")).alias("mh"))
     )
 
 
@@ -73,7 +123,8 @@ def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]
+                    F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                    lambda s: s["mh"].cast("string"),
                 ),
                 "|",
             ).alias("band_key")
@@ -97,13 +148,13 @@ def minhash_lsh_neardups(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int | None = SHINGLE_K,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle/tokenize -> minhash -> LSH bands ->
-    bucket join -> EXACT Jaccard verification on candidates only.
-
-    Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold."""
-    toks = _doc_tokens(docs, text_col)
-    cand = lsh_candidate_pairs(minhash_signatures(docs, text_col))
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
+    bucket join -> EXACT (shingle-set) Jaccard verification on candidates
+    only. Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold."""
+    toks = _doc_tokens(docs, text_col, shingle_k)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, text_col, shingle_k=shingle_k))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -169,22 +220,38 @@ def minhash_lsh_oracle_sql(
     threshold: float = JACCARD_THRESHOLD,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    shingle_k: int | None = SHINGLE_K,
 ) -> str:
+    if shingle_k is None:
+        feat = "string_split(trim(text), ' ')"
+    else:
+        assert shingle_k == 3, "oracle SQL written for k=3"
+        feat = (
+            "list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1)), "
+            "i -> string_split(trim(text), ' ')[i] || ' ' || "
+            "string_split(trim(text), ' ')[i+1] || ' ' || "
+            "string_split(trim(text), ' ')[i+2])"
+        )
     return f"""
 WITH toks AS (
-    SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' '))) AS toks
+    SELECT doc_id, list_sort(list_distinct({feat})) AS toks
     FROM documents
 ),
-tok AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM toks),
+halves AS (
+    SELECT doc_id,
+           ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+           (('0x' || substr(m, 17, 15))::BIGINT % {_KM_PRIME}) AS h2
+    FROM tok
+),
 sig AS (
-    SELECT doc_id, ks.k,
-           min(md5(CAST(ks.k AS VARCHAR) || ':' || w)) AS mh
-    FROM tok CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) ks
+    SELECT doc_id, ks.k, min(h1 + ks.k * h2) AS mh
+    FROM halves CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) ks
     GROUP BY doc_id, ks.k
 ),
 band AS (
     SELECT doc_id, CAST(k // {band_rows} AS INT) AS band_id,
-           string_agg(mh, '|' ORDER BY k) AS band_key
+           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS band_key
     FROM sig GROUP BY doc_id, 2
 ),
 cand AS (

@@ -124,18 +124,23 @@ def predicted_lang(text_col: str = "text") -> Column:
 
 def shingles(text_col: str = "text", k: int = 3) -> Column:
     """k-token shingles as strings: tokens[i..i+k-1] joined by spaces —
-    pure higher-order functions, no UDF."""
+    pure higher-order functions, no UDF.
+
+    Construction: zip_with over k shifted slices of the token array
+    (NOT transform + element_at over a sequence). The element_at form
+    embeds the tokenizer expression k times per lambda element, and
+    downstream Generate/explode nodes re-evaluate their inlined input
+    per OUTPUT row — measured 7.4 s vs 0.8 s at sf0.1 for the explode
+    feeding MinHash. Slices evaluate the tokenizer O(k) times total and
+    are cheap to re-evaluate. Short docs (< k tokens) yield [] (slice of
+    length 0), matching the previous guard semantics."""
     toks = tokens_col(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    # guard: Spark's sequence(1, m) DESCENDS for m < 1; short docs get []
-    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    out = parts[k - 1]
+    for j in range(k - 2, -1, -1):
+        out = F.zip_with(parts[j], out, lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 def fingerprint(text_col: str = "text", k: int = 3) -> Column:
