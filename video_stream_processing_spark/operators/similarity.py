@@ -400,13 +400,20 @@ def lsh_multitable_topk(
     Recall rises with L at linear candidate cost (the standard
     recall-tuning knob; x07 is the single-table AND-only form).
 
-    Plan shape: one bucket equi-join per table, union, distinct, then
-    exact cosine rank — still no cross join anywhere."""
+    Plan shape: ONE (table_id, bucket) equi-join — each side posexplodes
+    its L buckets into (table_id, bucket) rows, so OR-amplification is a
+    single hash join keyed on the composite instead of L joins + union
+    (fewer stages, same candidate set), distinct, then exact cosine
+    rank — still no cross join anywhere."""
     with_buckets = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
         *[_table_bits(F.col("embedding"), t, bits).alias(f"b{t}") for t in range(n_tables)],
+    )
+    bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+    c_exp = with_buckets.select(
+        "vec_id", F.posexplode(bucket_arr).alias("t", "bkt")
     )
     q = with_buckets.where(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -414,14 +421,20 @@ def lsh_multitable_topk(
         F.col("cn").alias("qn"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
     )
-    pairs = None
-    for t in range(n_tables):
-        cand_t = with_buckets.select("vec_id", f"b{t}").join(
-            q.select("query_id", f"qb{t}"),
-            F.col(f"b{t}") == F.col(f"qb{t}"),
-        ).select("query_id", "vec_id")
-        pairs = cand_t if pairs is None else pairs.unionAll(cand_t)
-    pairs = pairs.where(F.col("vec_id") != F.col("query_id")).distinct()
+    q_exp = q.select(
+        "query_id",
+        F.posexplode(F.array(*[F.col(f"qb{t}") for t in range(n_tables)])).alias(
+            "qt", "qbkt"
+        ),
+    )
+    pairs = (
+        c_exp.join(
+            q_exp, (F.col("t") == F.col("qt")) & (F.col("bkt") == F.col("qbkt"))
+        )
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .distinct()
+    )
     scored = (
         pairs.join(with_buckets.select("vec_id", "embedding", "cn"), "vec_id")
         .join(q.select("query_id", "query_emb", "qn"), "query_id")
