@@ -1,0 +1,55 @@
+"""Plan lint over EVERY declared query: no cartesian products or
+nested-loop joins may appear outside the explicitly documented all-pairs
+exactness baselines. This pins the 100 TB posture (SCALE.md) as a test —
+a refactor that silently turns a bucketed join back into a cross join
+fails here instead of shipping.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from video_stream_processing_spark.plans.registry import all_queries
+
+# Documented all-pairs exactness baselines (SCALE.md, VERDICT r1): these
+# broadcast a bounded query set, never corpus x corpus; their scale
+# alternatives are x02/x07/x08/x18. x08 itself carries one broadcast
+# nested loop by design: centroid ASSIGNMENT joins the corpus against the
+# ~n_centroids broadcast side (argmin over a constant-size list) — linear
+# in the corpus with a bounded inner side, the canonical IVF shape.
+NESTED_LOOP_ALLOWED = {
+    "x05_embedding_neardup",
+    "x06_cosine_topk",
+    "x08_ivf_ann_topk",
+    "x09_quantized_cosine_topk",
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.slow
+def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
+    cartesian, nested_loop, errors = [], [], []
+    for name, spec in all_queries().items():
+        try:
+            plan = _formatted_plan(spec.fn(spark, SF_DIR))
+        except Exception as e:  # a query failing to plan is its own bug
+            errors.append((name, str(e).split("\n")[0][:120]))
+            continue
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
+            nested_loop.append(name)
+    assert not errors, errors
+    assert not cartesian, f"cartesian products crept in: {cartesian}"
+    assert not nested_loop, (
+        f"nested-loop joins outside the documented baselines: {nested_loop}"
+    )
