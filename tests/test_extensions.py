@@ -142,6 +142,45 @@ def test_frame_sample(spark):
     assert len(frame_sample(df, every_n=1).collect()) == 25
 
 
+def test_pii_scrub_removes_every_planted_marker(spark, sf_dir):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = query_map()["x24_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        s = r["scrubbed"]
+        assert "<EMAIL>" in s and "<URL>" in s and "<PHONE>" in s
+        assert "@example.com" not in s and "https://" not in s
+        assert r["bytes_removed"] > 0
+
+
+def test_repetition_ratio_bounds_and_planted_loop(spark, sf_dir):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = query_map()["x25_repetition_ratio"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r["rep_ratio"] <= 1.0 for r in rows)
+    assert all(r["top_count"] <= r["n_bigrams"] for r in rows)
+
+    # planted: a degenerate loop doc scores ~1, diverse text scores low
+    from video_stream_processing_spark.operators.text import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    grams = docs.select("doc_id", F.explode(shingles("text", 2)).alias("g"))
+    freq = grams.groupBy("doc_id", "g").count()
+    agg = {
+        r["doc_id"]: (r["mx"], r["n"])
+        for r in freq.groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .collect()
+    }
+    assert agg[1] == (5, 5)  # "spam spam" x5 -> ratio 1.0
+    assert agg[2] == (1, 5)  # all distinct -> ratio 0.2
+
+
 def test_dedup_clusters_planted_chain(spark):
     from video_stream_processing_spark.operators.dedup import dedup_clusters
 

@@ -56,8 +56,12 @@ def main() -> int:
         ).parquet(frames_dir)
 
         def full_detection_path():
-            """gate -> stub-UDF inference -> explode (the §3.2 hot path)."""
-            from video_stream_processing_spark.operators.detection import stub_detect_udf
+            """gate -> stub-UDF inference -> NMS -> explode (the §3.2 hot
+            path, exactly as streaming/pipeline.detection_query wires it)."""
+            from video_stream_processing_spark.operators.detection import (
+                nms_udf,
+                stub_detect_udf,
+            )
 
             gated = keyframes_stream(stream, 300_000, 50.0).where(F.col("is_keyframe"))
             with_vec = gated.withColumn(
@@ -68,8 +72,9 @@ def main() -> int:
                 ),
             )
             detect = stub_detect_udf()
+            nms = nms_udf()
             return with_vec.select(
-                "stream_id", F.explode(detect(F.col("embedding"))).alias("d")
+                "stream_id", F.explode(nms(detect(F.col("embedding")))).alias("d")
             )
 
         results = {}

@@ -571,3 +571,111 @@ def x18_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x07's single table at linear extra cost
     (operators/similarity.py:lsh_multitable_topk)."""
     return S.lsh_multitable_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x24_pii_scrub",
+    oracle="""
+WITH planted AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@example.com or call 555-0' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+           ' via https://example.com/u/' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\\s]+', '<URL>', 'g'),
+           '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g') AS scrubbed,
+       CAST(length(text) - length(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\\s]+', '<URL>', 'g'),
+           '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g')) AS BIGINT) AS bytes_removed
+FROM planted
+""",
+    tags=("extension", "text", "pii"),
+)
+def x24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data compliance stage): email / URL /
+    phone patterns replaced with typed placeholders, all codegen'd
+    regexp_replace — no Python. The corpus is synthetic word salad, so
+    deterministic PII markers derived from doc_id are planted first;
+    the scrub then provably removes every one (bytes_removed > 0 for all
+    rows, asserted in tests/test_extensions.py)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" via https://example.com/u/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"https?://[^\s]+",
+            "<URL>",
+        ),
+        r"\b\d{3}-\d{4,}\b",
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(scrub)).cast("long").alias("bytes_removed"),
+    )
+
+
+@register(
+    "x25_repetition_ratio",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks), 1)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM t
+),
+freq AS (
+    SELECT doc_id, bigram, count(*) AS c FROM sh GROUP BY doc_id, bigram
+),
+agg AS (
+    SELECT doc_id, max(c) AS top_count, sum(c) AS n_bigrams
+    FROM freq GROUP BY doc_id
+)
+SELECT doc_id, CAST(top_count AS BIGINT) AS top_count,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(top_count * 1.0 / n_bigrams, 4) AS rep_ratio
+FROM agg WHERE n_bigrams > 0
+""",
+    tags=("extension", "text", "quality"),
+)
+def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (Gopher/RefinedWeb-style
+    duplicated-n-gram filter): most-frequent bigram share of all bigrams
+    per document. Explode 2-shingles -> per-doc count -> max/sum — two
+    map-side-combinable aggregations on (doc_id[, bigram]), no Python,
+    linear in corpus size."""
+    from video_stream_processing_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(shingles("text", 2)).alias("bigram"))
+    freq = grams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    return agg.where(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "top_count",
+        "n_bigrams",
+        F.round(F.col("top_count") / F.col("n_bigrams"), 4).alias("rep_ratio"),
+    )
