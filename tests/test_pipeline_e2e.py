@@ -78,6 +78,39 @@ def test_segment_query_end_to_end(spark, tmp_path):
         assert r["file_size"] == r["frame_count"] * 1024  # NoopEncoder
 
 
+def test_segment_hook_applied_before_sink(spark, tmp_path):
+    """SURVEY §2.2 #13 analog: the pass-through VideoSegmentFunction is a
+    declarative hook on the segment stream; a non-identity hook (quality
+    flag + filter) must be visible in the sink output."""
+    from video_stream_processing_spark.streaming.pipeline import segment_query
+
+    frames = spark.readStream.schema(
+        "stream_id string, frame_id long, ts timestamp, scene_signal double"
+    ).parquet(_frames_dir(spark, tmp_path))
+    seg_dir = str(tmp_path / "segments-hook")
+
+    def quality_hook(segs):
+        return segs.withColumn("quality_ok", F.col("frame_count") >= 2).where(
+            F.col("quality_ok")
+        )
+
+    q = segment_query(
+        frames,
+        seg_dir,
+        str(tmp_path / "ck-seg-hook"),
+        duration_ms=600_000,
+        trigger_seconds=1,
+        segment_hook=quality_hook,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(seg_dir).collect()
+    assert len(rows) > 0
+    assert all(r["quality_ok"] and r["frame_count"] >= 2 for r in rows)
+
+
 def test_observe_metrics(spark, sf_dir):
     from video_stream_processing_spark.operators.metrics import observe_frames
     from video_stream_processing_spark.tables import load_table

@@ -64,6 +64,7 @@ class Engine:
         checkpoint_dir: str | None = None,
         segment_duration_ms: int | None = None,
         encoder=None,
+        segment_hook=None,
     ):
         """Start BOTH reference dataflows (detections fact + segments) on
         a streaming frame DataFrame; returns the two StreamingQuery
@@ -98,5 +99,6 @@ class Engine:
             duration_ms=segment_duration_ms or cfg.segment_duration_ms,
             encoder=encoder,
             watermark=cfg.watermark,
+            segment_hook=segment_hook,
         )
         return det, seg

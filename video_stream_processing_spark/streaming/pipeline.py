@@ -130,12 +130,23 @@ def segment_query(
     encoder=None,
     trigger_seconds: int = 5,
     watermark: str = "10 minutes",
+    segment_hook=None,
 ):
     """Archival path: exact (first-arrival-aligned, trigger-inclusive)
-    segments -> pluggable encoder -> object-layout sink."""
+    segments -> optional per-segment hook -> pluggable encoder ->
+    object-layout sink.
+
+    ``segment_hook`` (DataFrame -> DataFrame) is the analog of the
+    reference's pass-through VideoSegmentFunction (SURVEY §2.2 #13,
+    S/function/VideoSegmentFunction.java:10-23 — a KeyedProcessFunction
+    placeholder for "quality check, metadata extraction" that today
+    relays unchanged): a declarative hook point on the segment stream
+    before the sink; None keeps the reference's identity behavior."""
     segs = exact_segments_stream(
         frames.select("stream_id", "ts"), duration_ms=duration_ms, watermark=watermark
     )
+    if segment_hook is not None:
+        segs = segment_hook(segs)
     return (
         segs.writeStream.foreachBatch(write_segments(segments_dir, encoder))
         .option("checkpointLocation", checkpoint_dir)
