@@ -270,3 +270,65 @@ def test_ann_recall_floor(spark):
     assert recall["lsh_single"] >= 0.05, recall
     assert recall["lsh_multi"] >= 0.25, recall
     assert recall["ivf_probe1"] >= 0.25, recall
+
+
+def test_decontaminate_planted_overlap(spark):
+    from video_stream_processing_spark.operators.dedup import decontaminate_pairs
+
+    # bench doc 100 shares a 6-token run (4 distinct 3-gram shingles)
+    # with train doc 1; train doc 2 shares nothing.
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta unrelated tail words")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (2, "totally different content nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate_pairs(train, bench, min_shared=4).collect()
+    assert [(r["doc_id"], r["bench_id"], r["shared"]) for r in rows] == [(1, 100, 4)]
+    r = rows[0]
+    # train doc 1 has 7 distinct shingles -> ratio 4/7
+    assert r["overlap_ratio"] == round(4 / 7, 4)
+    # below threshold -> no rows
+    assert decontaminate_pairs(train, bench, min_shared=5).count() == 0
+
+
+def test_doc_chunking_covers_and_overlaps(spark, sf_dir):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    out = query_map()["x27_doc_chunking"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # contiguous chunk ids from 0
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        # every chunk <= 40 tokens; all but the last exactly 40
+        assert all(c["n_tokens"] <= 40 for c in chunks)
+        assert all(c["n_tokens"] == 40 for c in chunks[:-1])
+        # stride-30 overlap: chunk i starts where token i*30 starts
+        n_total = 30 * (len(chunks) - 1) + chunks[-1]["n_tokens"]
+        assert n_total >= len(chunks)  # sanity: total grows with chunks
+
+
+def test_batch_packing_budget_invariant(spark, sf_dir):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = query_map()["x28_batch_packing"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["bucket"], r["shard"], r["batch_id"]), []).append(r)
+    for (_, _, batch_id), docs in groups.items():
+        total = sum(r["tokens"] for r in docs)
+        # a batch only exceeds the budget by (at most) its final doc:
+        # floor(cum_before / budget) admits a doc while cum_before < budget
+        assert total - max(r["tokens"] for r in docs) < 2048
+        assert batch_id >= 0

@@ -359,3 +359,89 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap between a (small) eval set
+# and the (huge) training corpus.
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Flag training documents whose k-gram shingle overlap with any
+    benchmark document reaches ``min_shared`` (the Llama/GPT-style
+    eval-decontamination filter, here with k=3 for the tiny test corpus;
+    production uses k~13).
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are MBs vs a 100 TB corpus), so its shingle index is broadcast — the
+    training corpus streams through a broadcast hash join in ONE scan
+    with NO shuffle of the corpus itself (the per-doc shingle count
+    rides along the exploded index, so no second scan / sizes join); the
+    only shuffle is the per-(train, bench) overlap count on matched
+    rows, which is proportional to true collisions, not corpus size.
+
+    Emits (doc_id, bench_id, shared, overlap_ratio) for flagged pairs,
+    overlap_ratio = shared / train doc's distinct-shingle count.
+    """
+    from video_stream_processing_spark.operators.text import shingles
+
+    b = (
+        bench.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+        ).select("bench_id", F.md5("s").alias("w"))
+    )
+    t = _ensure_parallelism(
+        train.select(
+            "doc_id",
+            F.size(F.array_distinct(shingles(text_col, k))).cast("long").alias("n"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+        ).select("doc_id", "n", F.md5("s").alias("w"))
+    )
+    return (
+        t.join(F.broadcast(b), "w")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"), F.first("n").alias("n"))
+        .where(F.col("shared") >= min_shared)
+        .select(
+            "doc_id",
+            "bench_id",
+            "shared",
+            F.round(F.col("shared") / F.col("n"), 4).alias("overlap_ratio"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    bench_mod: int = 10, bench_rem: int = 7, min_shared: int = 5
+) -> str:
+    """DuckDB oracle for decontaminate_pairs with the benchmark split
+    defined as doc_id % bench_mod == bench_rem (k=3 shingles)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           md5(unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS w
+    FROM t
+),
+bench AS (SELECT doc_id AS bench_id, w FROM sh WHERE doc_id % {bench_mod} = {bench_rem}),
+train AS (SELECT * FROM sh WHERE doc_id % {bench_mod} <> {bench_rem}),
+sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id),
+ov AS (
+    SELECT tr.doc_id, b.bench_id, count(*) AS shared
+    FROM train tr JOIN bench b ON tr.w = b.w
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+)
+SELECT ov.doc_id, ov.bench_id, CAST(shared AS BIGINT) AS shared,
+       round(shared * 1.0 / n, 4) AS overlap_ratio
+FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id
+"""

@@ -679,3 +679,119 @@ def x25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(F.col("top_count") / F.col("n_bigrams"), 4).alias("rep_ratio"),
     )
+
+
+@register(
+    "x26_decontaminate",
+    oracle=D.decontaminate_oracle_sql(bench_mod=10, bench_rem=7, min_shared=5),
+    tags=("extension", "dedup", "decontamination"),
+)
+def x26_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 5
+    distinct 3-gram shingles with any doc of a held-out eval split
+    (doc_id % 10 == 7). The eval side is broadcast (eval sets are MBs vs
+    a 100 TB corpus), so the corpus is never shuffled for the probe —
+    the noise floor in this corpus is 1-4 shared shingles; real overlaps
+    jump to 21+, so min_shared=5 separates them exactly
+    (operators/dedup.py:decontaminate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    return D.decontaminate_pairs(train, bench, min_shared=5)
+
+
+@register(
+    "x27_doc_chunking",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+c AS (
+    SELECT doc_id, toks,
+           unnest(range(CASE WHEN len(toks) <= 40 THEN 1
+                ELSE CAST(ceil((len(toks) - 40) / 30.0) AS BIGINT) + 1 END)) AS chunk_id
+    FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ') AS chunk_text
+FROM c
+""",
+    tags=("extension", "text", "chunking"),
+)
+def x27_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training-data prep): split each document
+    into 40-token windows with stride 30 (10-token overlap). Pure
+    JVM-side sequence + slice + explode — one narrow stage, no shuffle,
+    no Python; output size is corpus_tokens / stride regardless of
+    document skew (a 1M-token doc becomes ~33k rows, not one giant
+    row)."""
+    C, S = 40, 30
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("toks")
+    nc = F.when(n <= C, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - F.lit(C)) / F.lit(S)).cast("long") + 1
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * S + 1, C)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "x28_batch_packing",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+           CAST(least(CAST(floor(len(string_split(trim(text), ' ')) / 64.0) AS BIGINT), 7) AS INT) AS bucket,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS INT) AS shard
+    FROM documents
+)
+SELECT doc_id, tokens, bucket, shard,
+       CAST(floor((sum(tokens) OVER (PARTITION BY bucket, shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - tokens) / 2048.0) AS BIGINT) AS batch_id
+FROM t
+""",
+    tags=("extension", "text", "packing"),
+)
+def x28_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing (sequence-packing prep): docs are
+    length-bucketed (64-token bands, capped at band 7), deterministically
+    sharded by md5(doc_id) % 8, and packed in doc_id order into batches
+    of <= 2048 tokens via running-sum window: batch_id =
+    floor(cum_tokens_before / 2048). Sharding is what makes this scale:
+    packing is inherently sequential per partition, so each (bucket,
+    shard) packs independently — one shuffle, parallelism = buckets x
+    shards (raise shards with cluster size), no global sort."""
+    from video_stream_processing_spark.operators.text import word_count
+
+    BUDGET, BW, SHARDS = 2048, 64, 8
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        word_count("text").alias("tokens"),
+        F.least(F.floor(word_count("text") / BW), F.lit(7)).cast("int").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+            % SHARDS
+        ).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("bucket", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "tokens",
+        "bucket",
+        "shard",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / BUDGET).cast("long").alias("batch_id"),
+    )
