@@ -500,3 +500,115 @@ ranked AS (
 SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster -> within-cluster near-dup drop
+# ---------------------------------------------------------------------------
+
+
+def assign_clusters(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest (label-derived) centroid —
+    broadcast the tiny centroid table, one narrow pass over the corpus.
+    Round-then-rank on (csim DESC, label) keeps the argmax engine-stable."""
+    cents = ivf_centroids(emb).select(F.col("label").alias("c_label"), "centroid")
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_label",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), SCORE_SCALE).alias(
+                "csim"
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "c_label")
+            ),
+        )
+        .where(F.col("crank") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cluster"))
+    )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication: route vectors to clusters
+    (assign_clusters), then drop any vector with a LOWER-id cluster-mate
+    whose cosine >= threshold (keepers = vectors with no lower-id
+    near-dup; `dup_of` = the smallest such mate, NULL for keepers).
+
+    Scale shape: the pair join is an equi-join on `cluster`, so the
+    quadratic term is bounded per cluster — at 100 TB you raise the
+    centroid count so clusters stay small; the corpus is never
+    cross-joined globally."""
+    assigned = assign_clusters(emb)
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_b",
+            "vec_a",
+            _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    dropped = pairs.groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    cos_ec = cosine_sql("e.embedding", "ct.centroid")
+    cos_ab = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pos AS (
+    SELECT label, u.i AS pos, u.x AS v
+    FROM embeddings, unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) AS t(u)
+),
+cent AS (
+    SELECT label, list(CAST(c AS DOUBLE) ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c FROM pos GROUP BY label, pos)
+    GROUP BY label
+),
+assigned AS (
+    SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, ct.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, ct.label) AS crank
+        FROM embeddings e CROSS JOIN cent ct
+    ) WHERE crank = 1
+),
+pairs AS (
+    SELECT b.vec_id AS vec_b, a.vec_id AS vec_a, {cos_ab} AS sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= {threshold}
+),
+dropped AS (SELECT vec_b, min(vec_a) AS dup_of FROM pairs GROUP BY vec_b)
+SELECT asg.vec_id, CAST(asg.cluster AS INT) AS cluster,
+       d.vec_b IS NULL AS keep, d.dup_of
+FROM assigned asg LEFT JOIN dropped d ON asg.vec_id = d.vec_b
+"""

@@ -795,3 +795,225 @@ def x28_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.floor((F.sum("tokens").over(w) - F.col("tokens")) / BUDGET).cast("long").alias("batch_id"),
     )
+
+
+@register(
+    "x29_semantic_dedup",
+    oracle=S.semantic_dedup_oracle_sql(threshold=0.4),
+    tags=("extension", "dedup", "vector", "semantic"),
+)
+def x29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: every vector routed to its nearest
+    centroid (broadcast centroid table, one narrow pass), then the
+    near-dup drop runs WITHIN clusters only — an equi-join on the cluster
+    id instead of x05's all-pairs cross join. Keepers have no lower-id
+    cluster-mate with cosine >= 0.4; dropped rows carry `dup_of`
+    (operators/similarity.py:semantic_dedup)."""
+    return S.semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "x30_token_entropy",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+    FROM freq GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 4) AS entropy
+FROM agg
+""",
+    tags=("extension", "text", "quality"),
+)
+def x30_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (nats) — the information-
+    density quality signal (low entropy = repetitive/templated text).
+    Closed form ln(n) - sum(c*ln c)/n needs only two map-side-combinable
+    aggregations (token counts, then per-doc fold); rounded to 4 decimals
+    so double summation order across engines cannot flip the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens_col()).alias("w"))
+    freq = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "clnc"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens").cast("double")) - F.col("clnc") / F.col("n_tokens"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "x31_url_domain_stats",
+    oracle=r"""
+WITH planted AS (
+    SELECT doc_id, n_chars,
+           text || ' see https://d' || CAST(doc_id % 20 AS VARCHAR) ||
+           '.example.com/p/' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+per AS (
+    SELECT regexp_extract(text, 'https?://([^/\s]+)', 1) AS domain, n_chars
+    FROM planted
+),
+agg AS (
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM per GROUP BY domain
+)
+SELECT domain, n_docs, total_chars,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+FROM agg
+""",
+    tags=("extension", "text", "url"),
+)
+def x31_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats (the domain-filtering stage of web-corpus
+    curation): extract the URL host with one codegen'd regexp_extract,
+    aggregate docs/chars per domain, and compute each domain's share of
+    the corpus. The synthetic corpus has no URLs, so deterministic ones
+    derived from doc_id are planted first (as in x24). doc_share's
+    global window runs over the 20-row POST-aggregation table, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://d"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    per = planted.select(
+        F.regexp_extract("text", r"https?://([^/\s]+)", 1).alias("domain"), "n_chars"
+    )
+    agg = per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    )
+
+
+@register(
+    "x32_corpus_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("extension", "sampling", "split"),
+)
+def x32_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(doc_id) hash band
+    (~80/10/10): reproducible across engines, re-runs and repartitioning
+    — no rand(), no global sort, embarrassingly parallel (the property a
+    100 TB split job actually needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "x33_global_trigram_topk",
+    oracle="""
+WITH t AS (SELECT string_split(trim(text), ' ') AS toks FROM documents),
+g AS (
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS trigram
+    FROM t WHERE len(toks) >= 3
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT 20
+""",
+    tags=("extension", "text", "ngram"),
+)
+def x33_global_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 trigrams by global count.
+    Shingle explode -> map-side-combinable count -> TakeOrdered top-k
+    (Spark's orderBy+limit never materializes a global sort — each
+    partition keeps 20, the driver merges). Tie-break on the trigram
+    makes the cutoff deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(T.shingles("text", 3)).alias("trigram"))
+    agg = grams.groupBy("trigram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return agg.orderBy(F.col("n").desc(), "trigram").limit(20)
+
+
+@register(
+    "x34_filter_chain",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS wc,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_wlen,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity,
+           CAST(len(list_filter(toks, w -> lower(w) IN ({_X11_STOPS}))) AS DOUBLE)
+               / greatest(len(toks), 1) AS swr
+    FROM t
+)
+SELECT doc_id,
+       wc >= 30 AND wc <= 2000 AS ok_nwords,
+       mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS ok_wordlen,
+       diversity > 0.3 AS ok_diversity,
+       swr >= 0.005 AS ok_stopword,
+       (wc >= 30 AND wc <= 2000) AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+           AND diversity > 0.3 AND swr >= 0.005 AS kept
+FROM m
+""",
+    tags=("extension", "text", "quality"),
+)
+def x34_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule-based cleaning filter: word-count band, mean
+    word length band, lexical-diversity floor, stopword-presence floor —
+    each rule reported per doc plus the conjunctive keep decision, all
+    codegen'd HOF arithmetic (single int-ratio divisions, engine-exact).
+    Reporting per-rule booleans (not just the verdict) is what a real
+    curation pipeline ships: it's the audit trail for WHY a doc fell."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = T.word_count()
+    mean_wlen = F.aggregate(
+        T.tokens_col(), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(wc, F.lit(1))
+    diversity = T.distinct_word_count() / F.greatest(wc, F.lit(1))
+    swr = T.stopword_ratio()
+    ok_nwords = (wc >= 30) & (wc <= 2000)
+    ok_wordlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    ok_diversity = diversity > 0.3
+    ok_stopword = swr >= 0.005
+    return docs.select(
+        "doc_id",
+        ok_nwords.alias("ok_nwords"),
+        ok_wordlen.alias("ok_wordlen"),
+        ok_diversity.alias("ok_diversity"),
+        ok_stopword.alias("ok_stopword"),
+        (ok_nwords & ok_wordlen & ok_diversity & ok_stopword).alias("kept"),
+    )

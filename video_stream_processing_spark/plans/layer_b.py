@@ -1477,3 +1477,32 @@ def b46_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w_full).alias("second_type"),
     )
+
+
+@register(
+    "b47_ntile_distribution",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+    tags=("layer_b", "window_fn"),
+)
+def b47_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile(4) quartile bucketing,
+    percent_rank, cume_dist per nation ordered by balance. Ties broken
+    on c_custkey so every rank-derived value is engine-deterministic;
+    percent_rank/cume_dist are single int-ratio divisions (exact)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
