@@ -1017,3 +1017,70 @@ def x34_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stopword.alias("ok_stopword"),
         (ok_nwords & ok_wordlen & ok_diversity & ok_stopword).alias("kept"),
     )
+
+
+@register(
+    "x35_curation_pipeline",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS text
+    FROM documents
+),
+m AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM norm),
+kept AS (
+    SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens FROM m
+    WHERE len(toks) >= 30 AND len(toks) <= 2000
+      AND CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+              / greatest(len(toks), 1) >= 3.0
+      AND CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+              / greatest(len(toks), 1) <= 10.0
+      AND CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) > 0.3
+      AND CAST(len(list_filter(toks, w -> lower(w) IN ({_X11_STOPS}))) AS DOUBLE)
+              / greatest(len(toks), 1) >= 0.005
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT k.doc_id, kept.n_tokens,
+       CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM keepers k JOIN kept ON k.doc_id = kept.doc_id
+""",
+    tags=("extension", "text", "pipeline"),
+)
+def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declared query — the composition
+    a real training-data job runs: normalize (x16) -> rule-based filter
+    chain (x34) -> exact dedup keeping the canonical doc (x01/x17) ->
+    deterministic train/val/test split (x32). Each stage is the same
+    operator the standalone queries verify; composing them proves the
+    stages are pure DataFrame -> DataFrame functions Catalyst can fuse
+    (normalize+filter collapse into the scan stage; dedup is the one
+    shuffle, on the fixed-width md5 key, before the split map)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    d2 = docs.select("doc_id", norm.alias("text"))
+    wc = T.word_count()
+    mean_wlen = F.aggregate(
+        T.tokens_col(), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(wc, F.lit(1))
+    diversity = T.distinct_word_count() / F.greatest(wc, F.lit(1))
+    swr = T.stopword_ratio()
+    kept = d2.where(
+        (wc >= 30)
+        & (wc <= 2000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (diversity > 0.3)
+        & (swr >= 0.005)
+    ).select("doc_id", "text", wc.alias("n_tokens"))
+    keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    return final.select("doc_id", "n_tokens", split.alias("split"))

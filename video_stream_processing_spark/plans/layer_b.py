@@ -1506,3 +1506,73 @@ def b47_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "b48_merge_upsert",
+    oracle="""
+WITH changes AS (
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 'U' AS op
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 3
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I' AS op
+    FROM orders WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+    FROM orders WHERE o_orderkey % 11 = 3
+)
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN c.op = 'I' THEN 'insert'
+            WHEN c.op = 'U' THEN 'update'
+            ELSE 'base' END AS src
+FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op != 'D'
+""",
+    tags=("layer_b", "merge"),
+)
+def b48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / CDC-apply as a batch query: a deterministic changes feed
+    (updates for key%7, inserts at key+1e8 for key%13, deletes for
+    key%11==3) applied onto the base table with one full-outer join —
+    change side wins, deletes drop. The Doris DUPLICATE KEY sink the
+    reference writes to implies exactly this mutable-fact maintenance;
+    at scale the join shuffles on the merge key once (or colocates if
+    both sides are bucketed on it), and the update arithmetic (*2) is
+    FP-exact so both engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = (
+        base.where((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 11 != 3))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        )
+    )
+    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("I").alias("op"),
+    )
+    deletes = base.where(F.col("o_orderkey") % 11 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("D").alias("op")
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return merged.where(
+        F.col("c.op").isNull() | (F.col("c.op") != "D")
+    ).select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("c.op") == "I", "insert")
+        .when(F.col("c.op") == "U", "update")
+        .otherwise("base")
+        .alias("src"),
+    )
