@@ -42,6 +42,7 @@ HEADLINE = (
     "b27_percentiles",  # exact percentiles
     "x02_minhash_lsh_neardup",  # banded MinHash LSH near-dup (scale-defining dedup path)
     "x18_lsh_multitable_topk",  # OR-amplified multi-table ANN (scale-defining similarity path)
+    "x35_curation_pipeline",  # composed normalize->filter->dedup->split corpus prep
 )
 
 

@@ -210,3 +210,50 @@ sim AS (
 SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash
 FROM sim GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Curation building blocks shared by the batch queries (x16/x34/x35) and
+# the streaming twin (streaming/pipeline.py:curation_stream)
+# --------------------------------------------------------------------------
+
+
+def normalize_col(text_col: str = "text") -> Column:
+    """Cleaning-stage normalization (x16): lowercase, non-alphanumerics
+    to spaces, squash whitespace — all codegen'd regexp built-ins."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def mean_word_length(text_col: str = "text") -> Column:
+    return F.aggregate(
+        tokens_col(text_col), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(word_count(text_col), F.lit(1))
+
+
+def curation_rules(text_col: str = "text") -> dict[str, Column]:
+    """C4/Gopher-style keep rules as named boolean Columns — the single
+    definition the batch filter chain (x34), the composed pipeline (x35)
+    and the streaming twin all share, so the three surfaces cannot
+    drift."""
+    wc = word_count(text_col)
+    diversity = distinct_word_count(text_col) / F.greatest(wc, F.lit(1))
+    return {
+        "ok_nwords": (wc >= 30) & (wc <= 2000),
+        "ok_wordlen": (mean_word_length(text_col) >= 3.0)
+        & (mean_word_length(text_col) <= 10.0),
+        "ok_diversity": diversity > 0.3,
+        "ok_stopword": stopword_ratio(text_col) >= 0.005,
+    }
+
+
+def curation_keep(text_col: str = "text") -> Column:
+    """Conjunction of every curation rule."""
+    rules = list(curation_rules(text_col).values())
+    out = rules[0]
+    for r in rules[1:]:
+        out = out & r
+    return out

@@ -528,11 +528,7 @@ def x16_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase, strip non-alphanumerics to spaces, squash whitespace —
     all codegen'd regexp built-ins."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
-    )
+    norm = T.normalize_col()
     return docs.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
     )
@@ -999,23 +995,11 @@ def x34_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reporting per-rule booleans (not just the verdict) is what a real
     curation pipeline ships: it's the audit trail for WHY a doc fell."""
     docs = load_table(spark, sf_dir, "documents")
-    wc = T.word_count()
-    mean_wlen = F.aggregate(
-        T.tokens_col(), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    ).cast("double") / F.greatest(wc, F.lit(1))
-    diversity = T.distinct_word_count() / F.greatest(wc, F.lit(1))
-    swr = T.stopword_ratio()
-    ok_nwords = (wc >= 30) & (wc <= 2000)
-    ok_wordlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
-    ok_diversity = diversity > 0.3
-    ok_stopword = swr >= 0.005
+    rules = T.curation_rules()
     return docs.select(
         "doc_id",
-        ok_nwords.alias("ok_nwords"),
-        ok_wordlen.alias("ok_wordlen"),
-        ok_diversity.alias("ok_diversity"),
-        ok_stopword.alias("ok_stopword"),
-        (ok_nwords & ok_wordlen & ok_diversity & ok_stopword).alias("kept"),
+        *[col.alias(name) for name, col in rules.items()],
+        T.curation_keep().alias("kept"),
     )
 
 
@@ -1059,26 +1043,10 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (normalize+filter collapse into the scan stage; dedup is the one
     shuffle, on the fixed-width md5 key, before the split map)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
+    d2 = docs.select("doc_id", T.normalize_col().alias("text"))
+    kept = d2.where(T.curation_keep()).select(
+        "doc_id", "text", T.word_count().alias("n_tokens")
     )
-    d2 = docs.select("doc_id", norm.alias("text"))
-    wc = T.word_count()
-    mean_wlen = F.aggregate(
-        T.tokens_col(), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    ).cast("double") / F.greatest(wc, F.lit(1))
-    diversity = T.distinct_word_count() / F.greatest(wc, F.lit(1))
-    swr = T.stopword_ratio()
-    kept = d2.where(
-        (wc >= 30)
-        & (wc <= 2000)
-        & (mean_wlen >= 3.0)
-        & (mean_wlen <= 10.0)
-        & (diversity > 0.3)
-        & (swr >= 0.005)
-    ).select("doc_id", "text", wc.alias("n_tokens"))
     keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)

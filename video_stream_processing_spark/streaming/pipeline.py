@@ -196,3 +196,35 @@ def attribution_join_stream(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_ms // 1000} SECONDS")),
         "inner",
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
+def curation_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the batch curation pipeline (x35) over a
+    document stream (doc_id, ts, text): normalization and the rule
+    filter are the SAME codegen'd expressions the batch query uses
+    (operators/text.py:normalize_col / curation_keep — one definition,
+    two surfaces), and exact dedup becomes
+    ``dropDuplicatesWithinWatermark`` on the md5 content hash, so the
+    seen-hash state EXPIRES with the watermark instead of growing with
+    stream history. That bounded-state contract is the honest streaming
+    analog at 100 TB: a forever-exact dedup belongs to the batch job
+    (x01/x17) or an external keyed store, not to operator state.
+
+    Emits (doc_id, ts, text_hash, n_tokens) for kept, first-seen docs.
+    """
+    from video_stream_processing_spark.operators.text import (
+        curation_keep,
+        normalize_col,
+        word_count,
+    )
+
+    d2 = docs.select("doc_id", "ts", normalize_col().alias("text"))
+    kept = d2.where(curation_keep()).select(
+        "doc_id",
+        "ts",
+        F.md5("text").alias("text_hash"),
+        word_count().alias("n_tokens"),
+    )
+    return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
