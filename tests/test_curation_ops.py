@@ -122,3 +122,33 @@ def test_corpus_split_is_deterministic_and_total(spark):
     # hash banding should produce a dominant train split
     n = len(a)
     assert sum(1 for _, s in a if s == "train") > 0.6 * n
+
+
+def test_doc_chunking_invariants(spark, tmp_path):
+    # windows of 40 with stride 30: full coverage, 10-token interior
+    # overlap, no chunk exceeds the window — checked for lengths around
+    # every boundary (<C, ==C, C+1, multi-window)
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in (10, 40, 41, 100)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    from video_stream_processing_spark.plans.registry import query_map
+
+    out = query_map()["x27_doc_chunking"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {n for n in by_doc} == {10, 40, 41, 100}
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for r in chunks:
+            toks = r["chunk_text"].split()
+            assert r["n_tokens"] == len(toks) <= 40
+            start = r["chunk_id"] * 30
+            assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+            covered.update(range(start, start + len(toks)))
+        assert covered == set(range(n))  # every token lands in >= 1 chunk
+    assert len(by_doc[10]) == 1 and len(by_doc[40]) == 1
+    assert len(by_doc[41]) == 2 and len(by_doc[100]) == 3

@@ -16,12 +16,15 @@ from video_stream_processing_spark.plans.registry import all_queries
 # alternatives are x02/x07/x08/x18. x08 itself carries one broadcast
 # nested loop by design: centroid ASSIGNMENT joins the corpus against the
 # ~n_centroids broadcast side (argmin over a constant-size list) — linear
-# in the corpus with a bounded inner side, the canonical IVF shape.
+# in the corpus with a bounded inner side, the canonical IVF shape. x29
+# (SemDeDup) reuses exactly that assignment pass; its near-dup check is a
+# cluster equi-join, never corpus x corpus.
 NESTED_LOOP_ALLOWED = {
     "x05_embedding_neardup",
     "x06_cosine_topk",
     "x08_ivf_ann_topk",
     "x09_quantized_cosine_topk",
+    "x29_semantic_dedup",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -1052,3 +1052,54 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
     return final.select("doc_id", "n_tokens", split.alias("split"))
+
+
+@register(
+    "x36_source_mixing",
+    oracle="""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+w AS (
+    SELECT source, n,
+           CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 2.0 ELSE 1.0 END AS wt
+    FROM c
+),
+r AS (
+    SELECT source, n,
+           least(1.0, wt / sum(wt) OVER () * sum(n) OVER () / n) AS kr
+    FROM w
+)
+SELECT d.doc_id, d.source, round(r.kr, 6) AS keep_rate
+FROM documents d JOIN r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < r.kr
+""",
+    tags=("extension", "sampling", "mixing"),
+)
+def x36_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting (the data-mixing stage of corpus
+    assembly): each source gets a target weight (here 2:1 by source-id
+    parity — a stand-in for hand-tuned mixture weights), the keep rate
+    rescales observed counts toward the target share (capped at 1), and
+    membership is decided by deterministic md5-uniform draw — so the mix
+    is reproducible under re-runs and repartitioning. Per-source stats
+    are a 20-row aggregate; the window runs over THAT, not the corpus,
+    and the rate table broadcasts back onto the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 2.0).otherwise(1.0)
+    w = c.select("source", "n", wt.alias("wt"))
+    win = Window.partitionBy()
+    r = w.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("wt") / F.sum("wt").over(win) * F.sum("n").over(win) / F.col("n"),
+        ).alias("kr"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(r), "source")
+        .where(u < F.col("kr"))
+        .select("doc_id", "source", F.round("kr", 6).alias("keep_rate"))
+    )

@@ -1576,3 +1576,106 @@ def b48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("base")
         .alias("src"),
     )
+
+
+@register(
+    "b49_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+""",
+    tags=("layer_b", "reshape"),
+)
+def b49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshape of b26's pivot: four measure
+    columns become (metric, value) rows. Narrow map-side transform (an
+    Expand node, 4 output rows per input, no shuffle); UNPIVOT in both
+    engines drops NULL measures by default, same semantics."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "b50_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("layer_b", "composite"),
+)
+def b50_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — double aggregation over an outer join with a
+    join-side (not WHERE-side) predicate: customers-per-order-count
+    histogram. The left join preserves order-less customers (c_count=0);
+    the second aggregate runs over the first's tiny output, so only the
+    customer⋈orders edge shuffles at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "b51_supplier_share_semijoin",
+    oracle="""
+WITH pair AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+    SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT pair.l_suppkey
+    FROM pair
+    JOIN tot ON pair.l_partkey = tot.l_partkey
+    JOIN part p ON p.p_partkey = pair.l_partkey
+    WHERE p.p_name LIKE 'red%' AND pair.sq * 10 > tot.tq
+)
+""",
+    tags=("layer_b", "composite"),
+)
+def b51_supplier_share_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-free analog) — nested semi-join gated on
+    a correlated share threshold: suppliers contributing >10% of a red
+    part's total shipped quantity. Two aggregations reuse ONE shuffle
+    (pair is partitioned by l_partkey, tot re-aggregates pair — no second
+    scan, no second lineitem shuffle), the dim filter broadcasts, and the
+    supplier probe is a left-semi join. Decimal sums keep the share
+    comparison exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("red"))
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(_dec("l_quantity")).alias("sq"))
+    tot = pair.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qualifying = (
+        pair.join(tot, "l_partkey")
+        .join(F.broadcast(p.select("p_partkey")), pair.l_partkey == F.col("p_partkey"))
+        .where(F.col("sq") * 10 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
