@@ -1103,3 +1103,120 @@ def x36_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < F.col("kr"))
         .select("doc_id", "source", F.round("kr", 6).alias("keep_rate"))
     )
+
+
+# Linear quality model: token -> weight. A stand-in for a fasttext-style
+# classifier's embedding-bag layer — the Spark-side mechanics (broadcast
+# the model, JVM-side score, no Python) are what the pattern exercises.
+_X37_WEIGHTS = (
+    ("data", 1.2), ("query", 0.8), ("spark", 1.5), ("table", 0.5),
+    ("join", 0.7), ("window", 0.6),
+    ("slow", -1.5), ("a", -0.4), ("the", -0.3), ("big", -0.2),
+    ("hash", -0.1), ("row", -0.6),
+)
+_X37_BIAS = -0.1
+
+
+@register(
+    "x37_quality_classifier",
+    oracle=f"""
+WITH w(tok, wt) AS (VALUES {", ".join(f"('{t}', {v})" for t, v in _X37_WEIGHTS)}),
+t AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok,
+           len(string_split(trim(text), ' ')) AS n_toks
+    FROM documents
+),
+s AS (
+    SELECT t.doc_id,
+           {_X37_BIAS} + CAST(sum(coalesce(CAST(w.wt AS DECIMAL(10,2)), 0)) AS DOUBLE)
+               / any_value(t.n_toks) AS score
+    FROM t LEFT JOIN w ON t.tok = w.tok
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS prob_keep,
+       1.0 / (1.0 + exp(-score)) >= 0.5 AS kept
+FROM s
+""",
+    tags=("extension", "text", "quality", "classifier"),
+)
+def x37_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fasttext-style classifier
+    stage of corpus curation as a linear embedding-bag: the model (a
+    token→weight table, here 12 terms + bias) BROADCASTS to every
+    executor, tokens explode, weights attach via broadcast-hash left
+    join, and the per-doc mean + sigmoid run JVM-side. At 100 TB the
+    model stays a broadcast dim (a real hashed-vocab model is still only
+    O(vocab) rows) and the only shuffle is the doc_id re-aggregation;
+    swapping in learned weights changes the table, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(list(_X37_WEIGHTS), "tok string, wt double")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_toks"),
+        F.explode(F.split(F.trim("text"), " ")).alias("tok"),
+    )
+    wt_dec = F.coalesce(F.col("wt").cast("decimal(10,2)"), F.lit(0).cast("decimal(10,2)"))
+    score = (
+        F.lit(_X37_BIAS)
+        + F.sum(wt_dec).cast("double") / F.any_value("n_toks")
+    ).alias("__score")
+    s = toks.join(F.broadcast(weights), "tok", "left").groupBy("doc_id").agg(score)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__score")))
+    return s.select(
+        "doc_id",
+        F.round("__score", 6).alias("score"),
+        F.round(prob, 6).alias("prob_keep"),
+        (prob >= 0.5).alias("kept"),
+    )
+
+
+@register(
+    "x38_span_dedup",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(toks[(i-1)*10+1 : (i-1)*10+10], ' ') AS span
+    FROM t, unnest(generate_series(1, CAST(ceil(len(toks)/10.0) AS BIGINT))) u(i)
+),
+k AS (
+    SELECT doc_id, pos, span,
+           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM s
+)
+SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1
+GROUP BY doc_id
+""",
+    tags=("extension", "text", "dedup", "span"),
+)
+def x38_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup: every 10-token span that occurs more
+    than once ANYWHERE in the corpus is kept only at its first
+    occurrence (min doc_id, then position); surviving spans reassemble
+    into the cleaned document. This is the sub-document sibling of
+    x01's whole-doc dedup — the op C4 applies to three-sentence spans.
+    Two shuffles, both keyed and bounded: first-occurrence election
+    partitions by span content (Spark hash-partitions the string — at
+    100 TB skew is bounded because identical spans ARE the duplicates
+    being removed), reassembly re-groups by doc_id. Docs whose every
+    span lost election drop entirely, like C4's boilerplate removal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    span_of = lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(10) + 1, F.lit(10)))  # noqa: E731
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_spans - 1), span_of)).alias(
+            "pos", "span"
+        ),
+    )
+    first = Window.partitionBy("span").orderBy("doc_id", "pos")
+    kept = spans.withColumn("rn", F.row_number().over(first)).where(F.col("rn") == 1)
+    ordered = F.sort_array(F.collect_list(F.struct("pos", "span")))
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.transform(ordered, lambda s: s.span)).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

@@ -1679,3 +1679,109 @@ def b51_supplier_share_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "b52_timeseries_gapfill",
+    oracle="""
+WITH hourly AS (
+    SELECT user_id,
+           make_timestamp((epoch_ms(ts) // 1000 // 3600) * 3600 * 1000000) AS hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+)
+SELECT g.user_id, g.hour,
+       last_value(h.v_sum IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+       h.v_sum IS NOT NULL AS observed
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+""",
+    tags=("layer_b", "timeseries"),
+)
+def b52_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: build each user's dense
+    hourly grid (sequence + explode between that user's own min/max
+    hour), left-join the observed hourly sums back on, and carry the
+    last observed value across gaps with last(ignorenulls) over an
+    unbounded-preceding row frame. The grid explodes from a 1-row-per-
+    user bounds aggregate — grid size is O(span), never a cross join —
+    and grid⋈hourly is an equi-join on the same (user_id, hour) key the
+    aggregation already partitioned by. Decimal hourly sums keep the
+    carried values bit-exact."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly = e.groupBy("user_id", hour).agg(
+        F.sum(_dec("value")).cast("double").alias("v_sum")
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("v_sum").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "b53_ewma",
+    oracle="""
+SELECT user_id, event_id, ts,
+       round(
+           list_sum(list_transform(l, (x, j) -> x * power(0.8, length(l) - j)))
+           / ((1 - power(0.8, length(l))) / 0.2),
+           4) AS ewma
+FROM (
+    SELECT user_id, event_id, ts,
+           list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+    FROM events
+)
+""",
+    tags=("layer_b", "timeseries"),
+)
+def b53_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2) over a trailing
+    20-row frame per user — the bounded-state form: weights below the
+    frame horizon are < 0.8^20 ≈ 1%, so truncation is the scale-correct
+    trade (O(frame) state per row, no full-history recursion). The
+    recurrence is re-expressed as a closed-form weighted sum over the
+    frame's collect_list, evaluated by JVM higher-order functions
+    (zip_with + aggregate) — no Python, no UDF. Both engines fold the
+    identical finite sum left-to-right; round(4) absorbs the last ulp."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    frame = e.select(
+        "user_id", "event_id", "ts", F.collect_list("value").over(w).alias("l")
+    )
+    n = F.size("l")
+    weighted = F.zip_with(
+        "l",
+        F.sequence(F.lit(1), n),
+        lambda x, j: x * F.pow(F.lit(0.8), n.cast("double") - j.cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, v: a + v)
+    den = (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double"))) / F.lit(0.2)
+    return frame.select(
+        "user_id", "event_id", "ts", F.round(num / den, 4).alias("ewma")
+    )
