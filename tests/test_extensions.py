@@ -100,6 +100,28 @@ def test_embedding_neardup_and_topk(spark):
     assert by_rank[1] in (0, 1) and by_rank[2] in (0, 1)  # both near vectors beat orthogonal
 
 
+def test_semantic_dedup_nontransitive_chain(spark):
+    """Pin the single-pass greedy semantics on a non-transitive chain:
+    a~b and b~c but a!~c (2-D unit vectors at 0/60/120 degrees, cos 0.5
+    within the pair, -0.5 across). c is dropped with dup_of=b even though
+    b itself was dropped toward a — dup_of is an attribution hint, not a
+    guaranteed keeper (see semantic_dedup docstring)."""
+    import math
+
+    from video_stream_processing_spark.operators.similarity import semantic_dedup
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, unit(0), 0), (1, unit(60), 0), (2, unit(120), 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.4).collect()}
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    # the chain case: dropped, attributed to 1 (itself dropped), not to 0
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+
+
 def test_lsh_bucket_recall_identical_vectors(spark):
     from video_stream_processing_spark.operators.similarity import lsh_topk
 

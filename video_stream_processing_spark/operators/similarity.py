@@ -539,6 +539,14 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     whose cosine >= threshold (keepers = vectors with no lower-id
     near-dup; `dup_of` = the smallest such mate, NULL for keepers).
 
+    `dup_of` is an attribution hint, not a cluster representative: when
+    similarity is non-transitive (a~b, b~c, a!~c), c is dropped with
+    dup_of=b even though b itself was dropped (toward a). This single-pass
+    rule is deliberate — resolving chains to a keeper would be an
+    iterative fixpoint (that path exists: dedup_clusters' connected
+    components). Pinned by tests/test_extensions.py (non-transitive
+    chain).
+
     Scale shape: the pair join is an equi-join on `cluster`, so the
     quadratic term is bounded per cluster — at 100 TB you raise the
     centroid count so clusters stay small; the corpus is never

@@ -1225,7 +1225,7 @@ def b37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b38_posexplode",
     oracle="""
 SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.x AS token
-FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id % 25 = 0),
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents WHERE doc_id % 25 = 0),
      unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x})) AS t(u)
 """,
     tags=("layer_b", "explode"),
@@ -1515,7 +1515,7 @@ WITH changes AS (
     SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 'U' AS op
     FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 3
     UNION ALL
-    SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I' AS op
+    SELECT -o_orderkey, o_custkey, o_totalprice, 'I' AS op
     FROM orders WHERE o_orderkey % 13 = 0
     UNION ALL
     SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
@@ -1534,8 +1534,9 @@ WHERE c.op IS NULL OR c.op != 'D'
 )
 def b48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE / CDC-apply as a batch query: a deterministic changes feed
-    (updates for key%7, inserts at key+1e8 for key%13, deletes for
-    key%11==3) applied onto the base table with one full-outer join —
+    (updates for key%7, inserts at -key for key%13 — negated keys are
+    disjoint from the positive base keyspace at any scale factor, deletes
+    for key%11==3) applied onto the base table with one full-outer join —
     change side wins, deletes drop. The Doris DUPLICATE KEY sink the
     reference writes to implies exactly this mutable-fact maintenance;
     at scale the join shuffles on the merge key once (or colocates if
@@ -1553,7 +1554,7 @@ def b48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         "o_custkey",
         "o_totalprice",
         F.lit("I").alias("op"),

@@ -92,8 +92,34 @@ _DRIVER_VERIFIED_R01 = frozenset(
 )
 
 
+# Queries with a green row in the driver's CORRECTNESS_r02.json (the cap
+# meant b42+/u*/x* up to x34 got verified; x35-x38 and round-3 additions
+# still need rows, so they keep enumerating first).
+_DRIVER_VERIFIED_R02 = frozenset(
+    [
+        "a10_keyframes_from_bytes", "b42_shipping_priority", "b43_supplier_part_counts",
+        "b44_approx_percentile", "b45_ordered_list_agg", "b46_first_last_nth",
+        "b47_ntile_distribution", "b48_merge_upsert", "b49_unpivot",
+        "b50_customer_distribution", "b51_supplier_share_semijoin", "b52_timeseries_gapfill",
+        "b53_ewma", "flagship_segment_pipeline", "u01_stub_inference", "u02_nms",
+        "u03_detection_stats", "x01_exact_dedup", "x02_minhash_lsh_neardup",
+        "x03_ngram_jaccard_pairs", "x04_simhash", "x05_embedding_neardup", "x06_cosine_topk",
+        "x07_lsh_ann_topk", "x08_ivf_ann_topk", "x09_quantized_cosine_topk", "x10_token_stats",
+        "x11_quality_score", "x12_lang_id", "x13_fingerprint", "x14_tfidf_top_terms",
+        "x15_dedup_clusters", "x16_normalize_text", "x17_dedup_materialize",
+        "x18_lsh_multitable_topk", "x20_multimodal_decode", "x21_frame_sample",
+        "x22_frame_sample_op", "x23_stratified_sample", "x24_pii_scrub",
+        "x25_repetition_ratio", "x26_decontaminate", "x27_doc_chunking", "x28_batch_packing",
+        "x29_semantic_dedup", "x30_token_entropy", "x31_url_domain_stats", "x32_corpus_split",
+        "x33_global_trigram_topk", "x34_filter_chain",
+    ]
+)
+
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+
+
 def _driver_order(name: str) -> tuple[int, str]:
-    return (1 if name in _DRIVER_VERIFIED_R01 else 0, name)
+    return (1 if name in _DRIVER_VERIFIED else 0, name)
 
 
 def all_queries() -> dict[str, QuerySpec]:
