@@ -83,18 +83,21 @@ def _doc_tokens(
     )
 
 
-def minhash_signatures(
+def _minhash_wide(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     shingle_k: int | None = SHINGLE_K,
 ) -> DataFrame:
-    """(doc_id, k, mh): per-doc MinHash signature rows (mh BIGINT).
+    """(doc_id, mh0..mh{n-1}): per-doc MinHash signature, one COLUMN per
+    permutation.
 
     One explode to (doc, shingle), ONE md5 per shingle split into two
-    60-bit halves, then the k permutations derived arithmetically
-    (Kirsch-Mitzenmacher) — 12x fewer cryptographic hashes than hashing
-    per (shingle, k); map-side partial min, one shuffle on (doc_id, k)."""
+    60-bit halves, then every permutation min computed as a separate
+    aggregate of the SAME groupBy(doc_id) (Kirsch-Mitzenmacher
+    h1 + k*h2) — no k-explode, so the pre-shuffle row count is
+    |shingles|, not |shingles| x num_hashes, and map-side combine leaves
+    exactly one wide row per (partition, doc)."""
     tok = (
         _doc_tokens(docs, text_col, shingle_k)
         .select("doc_id", F.explode("toks").alias("w"))
@@ -105,18 +108,61 @@ def minhash_signatures(
         F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h1"),
         (F.conv(F.substring("m", 17, 15), 16, 10).cast("long") % _KM_PRIME).alias("h2"),
     )
-    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    return (
-        halves.select("doc_id", "h1", "h2", ks)
-        .groupBy("doc_id", "k")
-        .agg(F.min(F.col("h1") + F.col("k") * F.col("h2")).alias("mh"))
+    aggs = [
+        F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return halves.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    shingle_k: int | None = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, k, mh): per-doc MinHash signature rows (mh BIGINT) — the
+    tall view of _minhash_wide, unpivoted with stack() (a narrow Expand,
+    no extra shuffle)."""
+    wide = _minhash_wide(docs, text_col, num_hashes, shingle_k)
+    pairs = ", ".join(f"{k}, mh{k}" for k in range(num_hashes))
+    return wide.selectExpr("doc_id", f"stack({num_hashes}, {pairs}) AS (k, mh)")
+
+
+def _band_buckets(
+    wide: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band_id, band_key) straight from the wide signature: each
+    band key is the '|'-join of its rows' minhash columns in k order —
+    pure projection + a 4-way Expand, zero shuffles (the tall-shape
+    formulation needed a groupBy(doc_id, band_id) + collect_list here)."""
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_key").alias("band_key")
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """Band signatures into buckets; docs sharing any (band_id, band_key)
     bucket become candidate pairs. The self-join is per-bucket, so work is
-    proportional to collisions, not to n^2."""
+    proportional to collisions, not to n^2. Input is the tall
+    (doc_id, k, mh) shape; the hot path goes through _band_buckets on the
+    wide shape instead."""
     bands = (
         sigs.withColumn("band_id", (F.col("k") / band_rows).cast("int"))
         .groupBy("doc_id", "band_id")
@@ -130,6 +176,10 @@ def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
             ).alias("band_key")
         )
     )
+    return _bucket_join(bands)
+
+
+def _bucket_join(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -154,7 +204,7 @@ def minhash_lsh_neardups(
     bucket join -> EXACT (shingle-set) Jaccard verification on candidates
     only. Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold."""
     toks = _doc_tokens(docs, text_col, shingle_k)
-    cand = lsh_candidate_pairs(minhash_signatures(docs, text_col, shingle_k=shingle_k))
+    cand = _bucket_join(_band_buckets(_minhash_wide(docs, text_col, shingle_k=shingle_k)))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
