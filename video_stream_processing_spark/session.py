@@ -34,6 +34,11 @@ RUNTIME_CONF = {
     # which Spark 4 rejects by default; read as long nanos and convert in
     # tables.load_table (truncation to micros matches DuckDB's behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The round-3 regeneration writes tz-naive TIMESTAMP(MICROS) instead;
+    # read those as session-TZ (UTC) instants, not TIMESTAMP_NTZ, so
+    # unix_millis()/window()/date_format() keep working and values match
+    # DuckDB's naive-timestamp reading under the UTC session.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -42,7 +42,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     from video_stream_processing_spark.session import ensure_session_conf
 
-    ensure_session_conf(spark)  # nanosAsLong must be set before the read
+    ensure_session_conf(spark)  # parquet read confs must be set before the read
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (session.py); truncate to
@@ -50,6 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # Defensive: if the read happened under a session where
+        # inferTimestampNTZ could not be disabled, normalize to the UTC
+        # instant type every query (and the oracle comparison) assumes.
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
