@@ -13,12 +13,19 @@ plan runs (scan -> shuffle -> agg/join) without collecting result data to
 the driver. A warmup pass on the smallest SF primes the JVM/codegen so
 the measured numbers reflect steady-state plan execution, the thing that
 scales to a real cluster, rather than first-call JIT cost.
+
+Noise robustness: each query is timed SPARK_GRAFT_BENCH_REPS times
+(default 3) and the reported per-query number is the MEDIAN; a single
+loaded-machine window therefore cannot inflate the round's headline
+total (BENCH_r03 was contaminated exactly this way). Per-query
+min/max spread is reported under "spread" for transparency.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,11 +86,19 @@ def main() -> int:
             except Exception:
                 pass
 
-    timings: dict[str, float] = {}
-    for n in names:
-        t0 = time.perf_counter()
-        run_full(qmap[n](spark, sf_dir))
-        timings[n] = round(time.perf_counter() - t0, 3)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
+    # transient machine-load spike hits at most one rep of each query
+    # instead of all reps of one query.
+    for _ in range(reps):
+        for n in names:
+            t0 = time.perf_counter()
+            run_full(qmap[n](spark, sf_dir))
+            samples[n].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +108,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": _sf_of(sf_dir),
             }
         )

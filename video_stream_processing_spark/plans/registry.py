@@ -115,11 +115,45 @@ _DRIVER_VERIFIED_R02 = frozenset(
     ]
 )
 
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+# Queries with a green row in the driver's CORRECTNESS_r03.json. The parquet
+# testdata was regenerated between r02 and r03, so r03 rows are the only ones
+# certified against the CURRENT data; queries whose latest driver row is
+# r01/r02 enumerate ahead of these so round 4's capped pass re-certifies them.
+_DRIVER_VERIFIED_R03 = frozenset(
+    [f"a{i:02d}{s}" for i, s in [
+        (1, "_scan_project_filter"), (2, "_keyframe_gate"), (3, "_flatten_explode"),
+        (4, "_zero_detection_drop"), (5, "_segment_windows"), (6, "_sink_partition_keys"),
+        (7, "_detection_fact_pipeline"), (8, "_segment_windows_exact"), (9, "_keyframe_gate_exact"),
+        (10, "_keyframes_from_bytes"),
+    ]]
+) | frozenset(
+    [
+        "b01_pricing_summary", "b02_topk_orders", "b03_broadcast_join", "b04_snowflake_join",
+        "b05_semi_join", "b06_anti_join", "b07_count_distinct", "b08_approx_count_distinct",
+        "b09_rollup", "b10_cube", "b11_grouping_sets", "b12_window_rank", "b13_window_lag_lead",
+        "b14_topk_per_group", "b15_running_sum", "b16_set_ops", "b17_string_functions",
+        "b18_date_functions", "b19_math_functions", "b20_json_functions", "b21_array_functions",
+        "b22_sessionization", "b23_tumbling_window", "b24_sliding_window", "b25_session_window",
+        "b26_pivot", "b27_percentiles", "b28_arg_extrema", "b29_statistical_aggs",
+        "b30_conditional_agg", "b31_correlated_subquery", "b32_distinct", "b33_asof_join",
+        "b34_range_join", "b35_map_functions", "b36_salted_join",
+        "x35_curation_pipeline", "x36_source_mixing", "x37_quality_classifier", "x38_span_dedup",
+    ]
+)
+
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
 
 
 def _driver_order(name: str) -> tuple[int, str]:
-    return (1 if name in _DRIVER_VERIFIED else 0, name)
+    # 0 = never driver-verified, 1 = verified only against the pre-r03
+    # (since-regenerated) parquet, 2 = verified against the current parquet.
+    if name in _DRIVER_VERIFIED_R03:
+        tier = 2
+    elif name in _DRIVER_VERIFIED:
+        tier = 1
+    else:
+        tier = 0
+    return (tier, name)
 
 
 def all_queries() -> dict[str, QuerySpec]:
