@@ -18,6 +18,8 @@ collection anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,10 +41,28 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     than cores (small-file inputs — documents.parquet is ONE row group at
     test SFs, which serialized 30M md5 calls onto one task). At real
     scale the scan already yields >= cores splits and this is a no-op,
-    so no extra full-corpus shuffle is introduced."""
+    so no extra full-corpus shuffle is introduced.
+
+    The guard is driver-side scan metadata (inputFiles + local file
+    sizes), never df.rdd — an .rdd access forces physical planning and a
+    Python<->JVM RDD conversion on every call."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    # A big splittable file still fans out to ~size/128MB scan tasks, so
+    # only repartition when the estimated split count is below cores.
+    est_splits = 0
+    for f in files:
+        size = 0
+        if f.startswith("file:"):
+            try:
+                size = os.path.getsize(f[len("file:"):])
+            except OSError:
+                size = 0
+        est_splits += max(1, size // (128 << 20))
+    if est_splits < target:
         return df.repartition(target)
     return df
 

@@ -277,6 +277,10 @@ def x13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal columns
 # --------------------------------------------------------------------------
 
+# NOTE: there is intentionally no x19 — the slot was reserved for a second
+# ANN variant that merged into x18's multi-table index; numbering kept
+# stable so driver CORRECTNESS history stays comparable across rounds.
+
 
 @register(
     "x20_multimodal_decode",

@@ -55,9 +55,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Defensive: if the read happened under a session where
         # inferTimestampNTZ could not be disabled, normalize to the UTC
         # instant type every query (and the oracle comparison) assumes.
+        # "timestamp_ltz" is unambiguous — a plain "timestamp" cast
+        # resolves through spark.sql.timestampType and would be a no-op
+        # under timestampType=TIMESTAMP_NTZ.
         from pyspark.sql import functions as F
 
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz != "UTC":
+            # NTZ wall-clock -> instant is only value-preserving vs the
+            # DuckDB oracle when the session zone is UTC; surface the
+            # silent skew instead of producing shifted timestamps.
+            import warnings
+
+            warnings.warn(
+                f"NTZ columns {ntz_cols} cast to instants under session "
+                f"timeZone={tz!r} (expected 'UTC'); values will shift "
+                "relative to the oracle",
+                stacklevel=2,
+            )
+        df = df.withColumns({c: F.col(c).cast("timestamp_ltz") for c in ntz_cols})
     return df
 
 
