@@ -136,9 +136,12 @@ class OnnxDetector:
 
     ``session`` and ``decoder`` are injectable: tests drive the complete
     detect_batch chain with a fake session emitting hand-built [1,84,N]
-    tensors and a fake bytes->BGR-array decoder (SURVEY.md §5.2).
-    ``decoder`` returns an (H, W, 3) uint8 BGR array or None; undecodable
-    frames yield an empty detection list (YOLODetector.java:115-118).
+    tensors. ``decoder`` returns an (H, W, 3) uint8 BGR array or None;
+    undecodable frames yield an empty detection list
+    (YOLODetector.java:115-118). The default decoder is the dependency-
+    free numpy codec (functions/imagecodec.py: BMP/PPM native, Pillow
+    only as an optional fallback for JPEG/PNG) so real binary frames run
+    through the full chain in this container.
     """
 
     def __init__(
@@ -162,8 +165,10 @@ class OnnxDetector:
             opts.intra_op_num_threads = 2
             opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_BASIC
             session = ort.InferenceSession(model_path, opts)
+        from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+
         self.session = session
-        self.decoder = decoder if decoder is not None else _pillow_decode_bgr
+        self.decoder = decoder if decoder is not None else decode_image_bgr
         self.conf_threshold = conf_threshold
         self.iou_threshold = iou_threshold
         self.input_name = input_name
@@ -185,24 +190,6 @@ class OnnxDetector:
                 yolo.detect_from_output(tensor, ow, oh, self.conf_threshold, self.iou_threshold)
             )
         return pd.Series(out, dtype=object)
-
-
-def _pillow_decode_bgr(blob: bytes):  # pragma: no cover - Pillow absent here
-    """Default decoder, import-gated (ImageUtils.decodeImage analog)."""
-    try:
-        import io
-
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "Pillow is not available in this container; inject decoder= "
-            "(deterministic fake in tests)"
-        ) from e
-    try:
-        rgb = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-        return rgb[:, :, ::-1]
-    except Exception:
-        return None
 
 
 def stub_detect_udf(conf_threshold: float = CONF_THRESHOLD):

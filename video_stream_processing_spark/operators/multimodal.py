@@ -6,15 +6,16 @@ This is the engine analog of the reference's binary frame payload
 streaming/model/VideoFrame.java:39) and its decode step
 (ImageUtils.decodeImage, util/ImageUtils.java:23-36).
 
-The real codec libraries (Pillow/cv2/ffmpeg bindings) are NOT in this
-container, so the decode BODY is pluggable:
+Two decode bodies behind the same mapInPandas plumbing:
 
 - ``fake_decode_meta``: deterministic arithmetic on the raw bytes
-  (length/first-byte derived) — the Spark-side plumbing (binary schema,
-  Arrow batch shape, mapInPandas iterator contract, partition layout) is
-  fully real and oracle-checked;
-- ``real_decode_meta``: import-gated Pillow path raising
-  NotImplementedError here, with the intended contract documented.
+  (length/first-byte derived) — SQL-expressible, so this variant is the
+  one the DuckDB oracle checks (x20);
+- ``real_decode_meta``: REAL decoding via the dependency-free numpy
+  codec (functions/imagecodec.py — BMP/PPM native, Pillow only as an
+  optional fallback for JPEG/PNG). Undecodable bytes yield null
+  dimensions, matching the reference's null-on-failure contract
+  (ImageUtils.decodeImage, util/ImageUtils.java:23-36).
 """
 
 from __future__ import annotations
@@ -64,21 +65,49 @@ def fake_decode_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=META_SCHEMA)
 
 
-def real_decode_meta(df: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real image decode (Pillow), import-gated.
+def real_decode_meta(df: DataFrame) -> DataFrame:
+    """Real image decode: bytes -> actual pixel dimensions.
 
-    Contract when the lib exists: same META_SCHEMA, width/height from the
-    actual image header, format from the container; decode failures yield
-    nulls (the reference treats undecodable frames as similarity 1.0 /
-    skip — KeyFrameExtractor.java:94,107)."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Pillow is not available in this container; use fake_decode_meta "
-            "(deterministic, oracle-checked plumbing)"
-        ) from e
-    raise NotImplementedError("wire PIL.Image.open over payload bytes here")
+    Same META_SCHEMA and mapInPandas plumbing as ``fake_decode_meta``,
+    but width/height/channels come from genuinely decoding the payload
+    (functions/imagecodec.py — pure numpy, no image library needed for
+    BMP/PPM). Decode failures yield null dimensions and format
+    'undecodable' (the reference treats undecodable frames as skip /
+    similarity 1.0 — KeyFrameExtractor.java:94,107; ImageUtils.java:33).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
+            }
+            widths, heights, channels, formats = [], [], [], []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                if img is None:
+                    widths.append(None)
+                    heights.append(None)
+                    channels.append(None)
+                    formats.append("undecodable")
+                else:
+                    h, w, c = img.shape
+                    widths.append(w)
+                    heights.append(h)
+                    channels.append(c)
+                    formats.append(sniff_format(blob))
+            rows["width"] = pd.array(widths, dtype="Int32")
+            rows["height"] = pd.array(heights, dtype="Int32")
+            rows["channels"] = pd.array(channels, dtype="Int32")
+            rows["format"] = formats
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=META_SCHEMA)
 
 
 def frame_sample(
