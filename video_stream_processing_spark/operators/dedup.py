@@ -199,7 +199,42 @@ def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
     return _bucket_join(bands)
 
 
-def _bucket_join(bands: DataFrame) -> DataFrame:
+def _bucket_join(bands: DataFrame, neighbor_window: int | None = None) -> DataFrame:
+    """Candidate pairs from band buckets.
+
+    Exact mode (neighbor_window=None, the oracle-checked default): docs
+    sharing a (band_id, band_key) bucket pair all-ways via a per-bucket
+    self-join — output and work are O(B^2) in the bucket size B, which is
+    fine under the LSH collision model but degenerates on an ADVERSARIAL
+    corpus where one bucket captures a large fraction of the docs.
+
+    Bounded mode (neighbor_window=W): within each bucket, order docs by
+    doc_id and pair each doc only with its next W neighbors — generated
+    with lead() over the bucket window, NO join, so compute AND output
+    are O(B*W). A true near-dup cluster stuck in one bucket still comes
+    out fully connected (consecutive pairs chain it; x15's connected
+    components recovers the cluster), which is the standard
+    recall-preserving skew cap for dedup: the pairs lost to the cap are
+    exactly the transitively-implied ones. Exact-Jaccard verification
+    downstream is unchanged, so precision is identical."""
+    if neighbor_window is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        with_leads = bands.select(
+            "doc_id",
+            *[
+                F.lead("doc_id", d).over(w).alias(f"__n{d}")
+                for d in range(1, neighbor_window + 1)
+            ],
+        )
+        stacked = with_leads.selectExpr(
+            "doc_id AS doc_a",
+            f"stack({neighbor_window}, "
+            + ", ".join(f"__n{d}" for d in range(1, neighbor_window + 1))
+            + ") AS doc_b",
+        )
+        return stacked.where(F.col("doc_b").isNotNull()).distinct()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -219,12 +254,20 @@ def minhash_lsh_neardups(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     shingle_k: int | None = SHINGLE_K,
+    neighbor_window: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
     bucket join -> EXACT (shingle-set) Jaccard verification on candidates
-    only. Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold."""
+    only. Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold.
+
+    ``neighbor_window`` bounds per-bucket candidate generation to O(B*W)
+    against adversarial bucket skew (see _bucket_join); None (default)
+    keeps the exact all-pairs-per-bucket semantics the oracle checks."""
     toks = _doc_tokens(docs, text_col, shingle_k)
-    cand = _bucket_join(_band_buckets(_minhash_wide(docs, text_col, shingle_k=shingle_k)))
+    cand = _bucket_join(
+        _band_buckets(_minhash_wide(docs, text_col, shingle_k=shingle_k)),
+        neighbor_window=neighbor_window,
+    )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
