@@ -329,11 +329,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _candidate_cte_sql(neighbor_window: int | None) -> str:
+    """The ``cand`` CTE of the LSH oracle: exact all-pairs-per-bucket, or
+    the bounded neighbor-window form mirroring _bucket_join's lead()
+    construction (row_number over the bucket ordered by doc_id; pair with
+    the next W positions — doc_a < doc_b follows from the ordering)."""
+    if neighbor_window is None:
+        return """cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+    return f"""pos AS (
+    SELECT doc_id, band_id, band_key,
+           row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS pos
+    FROM band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pos a JOIN pos b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND b.pos > a.pos AND b.pos <= a.pos + {neighbor_window}
+)"""
+
+
 def minhash_lsh_oracle_sql(
     threshold: float = JACCARD_THRESHOLD,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
     shingle_k: int | None = SHINGLE_K,
+    neighbor_window: int | None = None,
 ) -> str:
     if shingle_k is None:
         feat = "regexp_split_to_array(trim(text), '\s+')"
@@ -367,11 +392,7 @@ band AS (
            string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS band_key
     FROM sig GROUP BY doc_id, 2
 ),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{_candidate_cte_sql(neighbor_window)}
 SELECT doc_a, doc_b,
        round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
              (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4) AS jaccard

@@ -1226,3 +1226,22 @@ def x38_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.transform(ordered, lambda s: s.span)).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+@register(
+    "x39_minhash_lsh_bounded",
+    oracle=D.minhash_lsh_oracle_sql(neighbor_window=8),
+    tags=("extension", "dedup", "lsh", "skew"),
+)
+def x39_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x02's near-dup pipeline with the adversarial-skew cap: per-bucket
+    candidate generation bounded to each doc's next 8 bucket neighbors
+    (lead() over the bucket window — O(B*W) compute/output vs the exact
+    join's O(B^2); operators/dedup.py:_bucket_join). On a non-adversarial
+    corpus the result equals x02; on a skewed one true clusters stay
+    connected through consecutive-pair chaining (tests/test_lsh_skew.py).
+    The oracle mirrors the window with row_number() positions, so the cap
+    itself is differential-checked."""
+    return D.minhash_lsh_neardups(
+        load_table(spark, sf_dir, "documents"), neighbor_window=8
+    )

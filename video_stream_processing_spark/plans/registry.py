@@ -145,14 +145,18 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIE
 
 
 def _driver_order(name: str) -> tuple[int, str]:
-    # 0 = never driver-verified, 1 = verified only against the pre-r03
-    # (since-regenerated) parquet, 2 = verified against the current parquet.
+    # 0 = verified only against the pre-r03 (since-regenerated) parquet —
+    # these need RE-certification most urgently and enumerate first so the
+    # driver's capped pass covers them this round (VERDICT r3 item 1);
+    # 1 = never driver-verified (new queries; all pass the local harness,
+    # their first driver row can wait a round); 2 = verified against the
+    # current parquet (free green, enumerate last).
     if name in _DRIVER_VERIFIED_R03:
         tier = 2
     elif name in _DRIVER_VERIFIED:
-        tier = 1
-    else:
         tier = 0
+    else:
+        tier = 1
     return (tier, name)
 
 
