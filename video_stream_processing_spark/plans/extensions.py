@@ -1245,3 +1245,51 @@ def x39_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_neardups(
         load_table(spark, sf_dir, "documents"), neighbor_window=8
     )
+
+
+@register(
+    "x40_multimodal_real_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(54 + ((doc_id % 24) + 8) * (((((doc_id % 40) + 8) * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+       CAST((doc_id % 40) + 8 AS INT) AS width,
+       CAST((doc_id % 24) + 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'bmp' AS format
+FROM documents
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec"),
+)
+def x40_multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end to end: each doc's bytes are
+    rendered into a genuine BMP whose dimensions derive from doc_id
+    (width = doc_id%40+8, height = doc_id%24+8), then decoded back by
+    the production decoder (functions/imagecodec.py via
+    operators/multimodal.real_decode_meta — the ImageUtils.decodeImage
+    analog, util/ImageUtils.java:23-36). The oracle predicts the decoded
+    header fields arithmetically (n_bytes = 54 + height*stride,
+    stride = 4-byte-aligned width*3), so the encoder AND decoder are
+    differential-checked, not just plumbing. Both stages are Arrow-
+    batched mapInPandas; binary never crosses a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.multimodal import real_decode_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 40 + 8
+                h = int(doc_id) % 24 + 8
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                img = np.resize(raw, (h, w, 3)) if raw.size else np.zeros((h, w, 3), np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return real_decode_meta(rendered)
