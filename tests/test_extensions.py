@@ -342,6 +342,29 @@ def test_ann_recall_on_planted_neighbor_clusters(spark):
     assert recall_single <= 0.8, recall_single
 
 
+def test_ivf_multiprobe_recall_dominates_probe1(spark, sf_dir):
+    """Probe-2 scans a superset of probe-1's inverted lists, so its
+    recall vs brute-force truth must dominate (the recall/cost knob
+    working as designed)."""
+    from video_stream_processing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_multiprobe,
+    )
+    from video_stream_processing_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, k=3))
+    r1 = len(pairs(ivf_topk(emb, k=3).select("query_id", "vec_id")) & truth) / len(truth)
+    r2 = len(pairs(ivf_topk_multiprobe(emb, k=3, n_probes=2)) & truth) / len(truth)
+    assert r2 >= r1
+    assert r2 > 0
+
+
 def test_decontaminate_planted_overlap(spark):
     from video_stream_processing_spark.operators.dedup import decontaminate_pairs
 

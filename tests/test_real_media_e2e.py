@@ -165,3 +165,86 @@ def test_full_job_on_real_bmp_frames(spark, tmp_path):
                 assert f.read(12)[4:8] == b"ftyp"  # mp4 container magic
         else:
             assert r["file_size"] == r["frame_count"] * 1024
+
+
+def test_streaming_job_on_real_bmp_frames(spark, tmp_path):
+    """Streaming form of the same job: BMP frames replayed via
+    readStream -> stateful bytes gate (applyInPandasWithState) ->
+    stream-static payload re-join -> detect -> explode -> idempotent
+    fact sink through writeStream.foreachBatch. Must land exactly the
+    batch composition's fact rows."""
+    from video_stream_processing_spark.operators.detection import (
+        DETECTIONS_TYPE,
+        OnnxDetector,
+    )
+    from video_stream_processing_spark.streaming.sinks import (
+        write_detections_fact_idempotent,
+    )
+    from video_stream_processing_spark.streaming.stateful import (
+        keyframes_from_bytes_stream,
+    )
+
+    frames = _frames_df(spark)
+    d = str(tmp_path / "frames")
+    frames.coalesce(1).write.mode("overwrite").parquet(d)
+
+    tensor = np.zeros((1, 84, 2), dtype=np.float32)
+    tensor[0, :4, 0] = [320, 320, 100, 100]
+    tensor[0, 4 + 2, 0] = 0.7
+    tensor[0, :4, 1] = [322, 322, 100, 100]
+    tensor[0, 4 + 2, 1] = 0.95
+
+    class FakeSession:
+        def run(self, _out_names, feeds):
+            return [tensor]
+
+    @F.pandas_udf(DETECTIONS_TYPE)
+    def detect(blobs: pd.Series) -> pd.Series:
+        return OnnxDetector(session=FakeSession()).detect_batch(blobs)
+
+    stream = spark.readStream.schema(
+        "stream_id string, frame_id long, ts timestamp, frame_data binary"
+    ).parquet(d)
+    gated = keyframes_from_bytes_stream(
+        stream.select("stream_id", "ts", "frame_data"),
+        min_interval_ms=25_000,
+        scene_threshold=0.3,
+    ).where(F.col("is_keyframe"))
+    # stream-static join pulls payloads back for keyframes only
+    enriched = gated.join(
+        frames.select("stream_id", "ts", "frame_data"), ["stream_id", "ts"]
+    )
+    fact = enriched.select(
+        "stream_id",
+        F.col("ts").alias("detection_time"),
+        F.explode(detect(F.col("frame_data"))).alias("d"),
+    ).select(
+        "stream_id",
+        "detection_time",
+        F.col("d.object_class").alias("object_class"),
+        F.col("d.confidence").alias("confidence"),
+    )
+
+    fact_dir = str(tmp_path / "fact-stream")
+    q = (
+        fact.writeStream.foreachBatch(write_detections_fact_idempotent(fact_dir))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(fact_dir).collect()
+    assert len(rows) == len(STREAMS) * 3  # keyframes 0/20/40 per stream
+    kept_ms = sorted(
+        int(r["detection_time"].timestamp() * 1000) - BASE_MS
+        for r in rows
+        if r["stream_id"] == "cam1"
+    )
+    assert kept_ms == [0, 20_000, 40_000]
+    assert all(
+        r["object_class"] == "car" and abs(r["confidence"] - 0.95) < 1e-4 for r in rows
+    )

@@ -222,6 +222,100 @@ def ivf_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
     )
 
 
+def ivf_topk_multiprobe(
+    emb: DataFrame, k: int = 3, n_probes: int = 2, query_modulus: int = 50
+) -> DataFrame:
+    """IVF probe-N search — the recall/cost knob over x08's probe-1: each
+    query routes to its ``n_probes`` nearest centroids and ranks exactly
+    within their union of inverted lists (n_probes/n_clusters of the
+    corpus scanned; each vector lives in exactly one list so the union
+    is duplicate-free by construction). Same broadcast-centroid /
+    broadcast-assignment plan shape as probe-1 — the corpus side still
+    never shuffles."""
+    cents = ivf_centroids(emb)
+    q = _queries(emb, query_modulus)
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_emb",
+            "label",
+            F.round(cosine(F.col("query_emb"), F.col("centroid")), SCORE_SCALE).alias(
+                "csim"
+            ),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "label")
+            ),
+        )
+        .where(F.col("crank") <= n_probes)
+        .select(
+            "query_id",
+            "query_emb",
+            F.col("label").alias("probe_label"),
+            l2_norm(F.col("query_emb")).alias("qn"),
+        )
+    )
+    scored = (
+        emb.withColumn("cn", l2_norm(F.col("embedding")))
+        .join(F.broadcast(assigned), emb.label == assigned.probe_label)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk_multiprobe_oracle_sql(
+    k: int = 3, n_probes: int = 2, query_modulus: int = 50
+) -> str:
+    cos_qc = cosine_sql("q.embedding", "ct.centroid")
+    cos_qv = cosine_sql("q2.query_emb", "e.embedding")
+    return f"""
+WITH pos AS (
+    SELECT label, u.i AS pos, u.x AS v
+    FROM embeddings, unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) AS t(u)
+),
+cent AS (
+    SELECT label, list(CAST(c AS DOUBLE) ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c FROM pos GROUP BY label, pos)
+    GROUP BY label
+),
+assigned AS (
+    SELECT query_id, query_emb, probe_label FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_emb, ct.label AS probe_label,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, ct.label) AS crank
+        FROM embeddings q CROSS JOIN cent ct
+        WHERE q.vec_id % {query_modulus} = 0
+    ) WHERE crank <= {n_probes}
+),
+scored AS (
+    SELECT q2.query_id, e.vec_id, {cos_qv} AS score
+    FROM embeddings e JOIN assigned q2 ON e.label = q2.probe_label
+    WHERE e.vec_id != q2.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 

@@ -1293,3 +1293,18 @@ def x40_multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return real_decode_meta(rendered)
+
+
+@register(
+    "x41_ivf_multiprobe_topk",
+    oracle=S.ivf_topk_multiprobe_oracle_sql(n_probes=2),
+    tags=("extension", "similarity", "ivf"),
+)
+def x41_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-2 ANN — the standard recall/cost knob over x08's
+    probe-1: rank exactly within the union of the 2 nearest centroids'
+    inverted lists (each vector lives in exactly one list, so the union
+    is duplicate-free). 2/n_clusters of the corpus scanned per query;
+    centroids and query assignments broadcast, corpus never shuffles
+    (operators/similarity.py:ivf_topk_multiprobe)."""
+    return S.ivf_topk_multiprobe(load_table(spark, sf_dir, "embeddings"), n_probes=2)
