@@ -25,6 +25,9 @@ NESTED_LOOP_ALLOWED = {
     "x08_ivf_ann_topk",
     "x09_quantized_cosine_topk",
     "x29_semantic_dedup",
+    # same bounded query x centroid broadcast cross join as x08 (Q x
+    # n_clusters rows, both tiny); the corpus side is a hash join
+    "x41_ivf_multiprobe_topk",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -1308,3 +1308,46 @@ def x41_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and query assignments broadcast, corpus never shuffles
     (operators/similarity.py:ivf_topk_multiprobe)."""
     return S.ivf_topk_multiprobe(load_table(spark, sf_dir, "embeddings"), n_probes=2)
+
+
+@register(
+    "x42_incremental_dedup",
+    oracle="""
+WITH new_shard AS (
+    SELECT doc_id, text, md5(text) AS text_hash FROM documents WHERE doc_id % 10 = 7
+),
+existing AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 10 != 7
+),
+fresh AS (
+    SELECT n.doc_id, n.text_hash
+    FROM new_shard n LEFT JOIN existing e ON n.text_hash = e.text_hash
+    WHERE e.text_hash IS NULL
+)
+SELECT text_hash, min(doc_id) AS keep_id, count(*) AS n_in_shard
+FROM fresh GROUP BY text_hash
+""",
+    tags=("extension", "dedup", "incremental"),
+)
+def x42_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the arriving-shard form of x01: a new
+    shard (doc_id%10==7 stands in for the latest crawl batch) is deduped
+    against the existing corpus by content hash (anti join) and then
+    within itself (min-doc_id election). Both sides hash FIRST so every
+    shuffle key is a fixed-width md5, never the document body; at 100 TB
+    the existing-corpus side is just its hash column (or a pre-built
+    hash table partition layout) — the bodies are never read."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_shard = docs.where(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    existing = (
+        docs.where(F.col("doc_id") % 10 != 7)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    fresh = new_shard.join(existing, "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_in_shard"),
+    )
