@@ -231,3 +231,40 @@ def test_real_decode_meta_on_planted_images(spark):
         assert got[bad]["width"] is None and got[bad]["height"] is None
         assert got[bad]["format"] == "undecodable"
     assert got[4]["n_bytes"] == 0
+
+
+# --------------------------------------------------------------------------
+# Property tests (hypothesis): round-trip exactness over arbitrary
+# shapes/content; decode never raises on arbitrary or corrupted bytes.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_codec_roundtrip_property(h, w, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@given(blob=st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_decode_never_raises_on_arbitrary_bytes(blob):
+    out = decode_image_bgr(blob)  # None or an array; never an exception
+    assert out is None or out.dtype == np.uint8
+
+
+@given(
+    pos=st.integers(0, 200),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_decode_never_raises_on_corrupted_bmp(pos, val, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    blob = bytearray(encode_bmp(img))
+    blob[pos % len(blob)] = val  # single-byte corruption anywhere
+    out = decode_image_bgr(bytes(blob))
+    assert out is None or (out.dtype == np.uint8 and out.ndim == 3)
