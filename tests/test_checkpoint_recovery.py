@@ -97,3 +97,75 @@ def test_segments_survive_restart(spark, tmp_path, batches):
     # restored rather than restarting empty: 3 pre-restart frames + the
     # post-restart trigger frame at +180s (trigger-inclusive close)
     assert got[0][2] == 4
+
+
+def test_bytes_keyframe_gate_survives_restart(spark, tmp_path):
+    """The binary-driven gate's state (last-kept time + previous frame's
+    byte histogram) must restore across a restart: a scene cut whose
+    PREVIOUS frame arrived before the stop is only detectable if the
+    restored prev_hist spans the restart."""
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
+    from video_stream_processing_spark.streaming.stateful import (
+        keyframes_from_bytes_stream,
+    )
+    import numpy as np
+
+    def frame(v):
+        return bytearray(encode_bmp(np.full((16, 16, 3), v, dtype=np.uint8)))
+
+    # scene A up to t=4, scene B from t=5 (the cut's prev frame is t=4,
+    # delivered BEFORE the restart; the cut frame t=5 arrives after)
+    first = [("s1", BASE + t * 1000, frame(50)) for t in range(5)]
+    second = [("s1", BASE + t * 1000, frame(200)) for t in range(5, 10)]
+
+    d = str(tmp_path / "frames")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write(rows, mode):
+        (
+            spark.createDataFrame(rows, "stream_id string, ts_ms long, frame_data binary")
+            .select("stream_id", F.timestamp_millis("ts_ms").alias("ts"), "frame_data")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(d)
+        )
+
+    def run():
+        def sink(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(
+            "stream_id string, ts timestamp, frame_data binary"
+        ).parquet(d)
+        q = (
+            keyframes_from_bytes_stream(stream, min_interval_ms=60_000)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write(first, "overwrite")
+    run()
+    write(second, "append")
+    run()
+
+    got = sorted(
+        int(r["ts"].timestamp() * 1000) - BASE
+        for r in spark.read.parquet(out).collect()
+        if r["is_keyframe"]
+    )
+    # uninterrupted batch reference over all frames
+    all_frames = spark.read.parquet(d)
+    want = sorted(
+        int(r["ts"].timestamp() * 1000) - BASE
+        for r in keyframe_gate_from_bytes(
+            all_frames, min_interval_ms=60_000
+        ).collect()
+    )
+    assert got == want == [0, 5_000]  # t=0 interval; t=5s ONLY if prev_hist restored
