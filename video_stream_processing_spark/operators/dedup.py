@@ -404,6 +404,47 @@ WHERE round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
 """
 
 
+def dedup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    """Connected components as a DuckDB RECURSIVE CTE: reachability
+    closure over the (undirected) near-dup edge set, then min reachable
+    id per node. Upgrade path for x15 from rows-only to oracle-checked —
+    the oracle tolerates exponential closure size because the differential
+    corpus is small; Spark's iterative pointer-jumping propagation is the
+    form that scales."""
+    return f"""
+WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+    FROM t
+),
+tok AS (SELECT doc_id, md5(unnest(shs)) AS w FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pr AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pr
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pr
+),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -470,14 +470,19 @@ def x14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x15_dedup_clusters", oracle=None, tags=("extension", "dedup", "rows_only"))
+@register(
+    "x15_dedup_clusters",
+    oracle=D.dedup_clusters_oracle_sql(threshold=0.5),
+    tags=("extension", "dedup"),
+)
 def x15_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (x03): each doc
     labeled with the min doc_id reachable through near-dup edges — the
     'pick one canonical doc per duplicate cluster' step of corpus dedup.
-    Iterative min-label propagation (bounded rounds, join per round);
-    genuinely iterative => rows-only + planted-cluster tests
-    (tests/test_extensions.py)."""
+    Iterative min-label propagation with pointer jumping (bounded rounds,
+    join per round) on the Spark side; the oracle computes the same
+    closure as a DuckDB RECURSIVE CTE (round-4 upgrade from rows-only),
+    plus planted-cluster tests (tests/test_extensions.py)."""
     from video_stream_processing_spark.operators.dedup import (
         dedup_clusters,
         ngram_jaccard_pairs,
