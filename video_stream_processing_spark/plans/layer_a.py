@@ -421,12 +421,52 @@ def a07_detection_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("a08_segment_windows_exact", oracle=None, tags=("layer_a", "stateful", "rows_only"))
+# Same linear-recursion pattern as _A09_ORACLE: each walk row is the
+# buffer state AFTER its frame. add-then-check close (trigger frame
+# INCLUDED, VideoProcessFunction.java:88-91); after a close the NEXT
+# frame opens the new buffer; the final open buffer per stream flushes
+# as the tail (batch semantics — SURVEY.md §2.6(g)).
+_A08_ORACLE = f"""
+WITH RECURSIVE f AS MATERIALIZED (
+    SELECT CAST(user_id AS VARCHAR) AS stream_id, ts, epoch_ms(ts) AS ts_ms,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+),
+walk AS (
+    SELECT stream_id, rn, ts, ts_ms,
+           TRUE AS open, ts_ms AS seg_start_ms, ts AS seg_start_ts,
+           1 AS cnt, FALSE AS closed
+    FROM f WHERE rn = 1
+    UNION ALL
+    SELECT nf.stream_id, nf.rn, nf.ts, nf.ts_ms,
+           CASE WHEN NOT w.open THEN TRUE
+                WHEN nf.ts_ms - w.seg_start_ms >= {SEGMENT_SECONDS * 1000} THEN FALSE
+                ELSE TRUE END AS open,
+           CASE WHEN NOT w.open THEN nf.ts_ms ELSE w.seg_start_ms END AS seg_start_ms,
+           CASE WHEN NOT w.open THEN nf.ts ELSE w.seg_start_ts END AS seg_start_ts,
+           CASE WHEN NOT w.open THEN 1 ELSE w.cnt + 1 END AS cnt,
+           CASE WHEN w.open AND nf.ts_ms - w.seg_start_ms >= {SEGMENT_SECONDS * 1000}
+                THEN TRUE ELSE FALSE END AS closed
+    FROM walk w JOIN f nf ON nf.stream_id = w.stream_id AND nf.rn = w.rn + 1
+)
+SELECT stream_id, seg_start_ts AS start_time, ts AS end_time,
+       CAST(cnt AS INT) AS frame_count, CAST(ts_ms - seg_start_ms AS BIGINT) AS duration_ms
+FROM walk WHERE closed
+UNION ALL
+SELECT stream_id, seg_start_ts AS start_time, ts AS end_time,
+       CAST(cnt AS INT) AS frame_count, CAST(ts_ms - seg_start_ms AS BIGINT) AS duration_ms
+FROM (SELECT *, row_number() OVER (PARTITION BY stream_id ORDER BY rn DESC) AS rr FROM walk) w
+WHERE rr = 1 AND open
+"""
+
+
+@register("a08_segment_windows_exact", oracle=_A08_ORACLE, tags=("layer_a", "stateful"))
 def a08_segment_windows_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact reference buffering semantics (SURVEY.md §2.6(c)):
     first-arrival-aligned windows, trigger frame included, tail flushed.
     Sequential per-key recurrence -> applyInPandas; verified by
-    tests/test_segments_exact.py hand-computed traces."""
+    tests/test_segments_exact.py hand-computed traces. Oracle: DuckDB
+    linear RECURSIVE CTE (round-4 upgrade from rows-only)."""
     from video_stream_processing_spark.operators.segments import segment_windows_exact
 
     events = load_table(spark, sf_dir, "events")
@@ -441,14 +481,44 @@ def a08_segment_windows_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("a09_keyframe_gate_exact", oracle=None, tags=("layer_a", "stateful", "rows_only"))
+# The exact gate is a per-stream sequential recurrence; DuckDB expresses
+# it as a linear RECURSIVE CTE stepping one frame per level (depth = max
+# frames per stream, ~86 at sf0.01). Each walk row is the state AFTER its
+# frame: last-kept ms updates only on keep; the previous frame's signal
+# is simply the parent walk row's signal. (stream, ts) is unique in the
+# data, so row_number ordering is deterministic.
+_A09_ORACLE = f"""
+WITH RECURSIVE f AS MATERIALIZED (
+    SELECT CAST(user_id AS VARCHAR) AS stream_id, ts, value AS scene_signal,
+           epoch_ms(ts) AS ts_ms,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+),
+walk AS (
+    SELECT stream_id, rn, ts, scene_signal, ts_ms, TRUE AS keep, ts_ms AS last_kept_ms
+    FROM f WHERE rn = 1
+    UNION ALL
+    SELECT nf.stream_id, nf.rn, nf.ts, nf.scene_signal, nf.ts_ms,
+           (nf.ts_ms - w.last_kept_ms >= {KEYFRAME_INTERVAL_MS})
+               OR (abs(nf.scene_signal - w.scene_signal) > {SCENE_THRESHOLD}) AS keep,
+           CASE WHEN (nf.ts_ms - w.last_kept_ms >= {KEYFRAME_INTERVAL_MS})
+                     OR (abs(nf.scene_signal - w.scene_signal) > {SCENE_THRESHOLD})
+                THEN nf.ts_ms ELSE w.last_kept_ms END AS last_kept_ms
+    FROM walk w JOIN f nf ON nf.stream_id = w.stream_id AND nf.rn = w.rn + 1
+)
+SELECT stream_id, ts, scene_signal FROM walk WHERE keep
+"""
+
+
+@register("a09_keyframe_gate_exact", oracle=_A09_ORACLE, tags=("layer_a", "stateful"))
 def a09_keyframe_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact reference keyframe semantics: the interval rule measures
     from the last KEPT frame (KeyFrameExtractor.java:57-61 updates
     lastKeyFrameTime only on emission) — a sequential recurrence the
     lag-based a02 can't express. applyInPandas per key; the streaming
     twin (streaming/stateful.py:keyframes_stream) is proven equivalent
-    in tests/test_streaming.py."""
+    in tests/test_streaming.py. Oracle: DuckDB linear RECURSIVE CTE
+    (round-4 upgrade from rows-only)."""
     from video_stream_processing_spark.operators.keyframe import keyframe_gate_stateful
 
     events = load_table(spark, sf_dir, "events")
@@ -473,7 +543,62 @@ def a09_keyframe_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("a10_keyframes_from_bytes", oracle=None, tags=("layer_a", "stateful", "rows_only"))
+# The full binary chain in SQL: byte histogram of the payload (the 40x
+# repetition cancels under normalization, so per-char counts of the type
+# string suffice — chr()/replace() over all 256 bins), HISTCMP_CORREL
+# between consecutive frames via lag, then the same linear recursion as
+# _A09_ORACLE with the similarity rule. The threshold margin is wide
+# (cross-type corr <= 0.42, same-type ~1.0 vs cut 0.7), so sub-ulp float
+# divergence between engines cannot flip a keep decision.
+_A10_ORACLE = f"""
+WITH RECURSIVE f AS MATERIALIZED (
+    SELECT CAST(user_id AS VARCHAR) AS stream_id, ts, epoch_ms(ts) AS ts_ms,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           CAST(length(event_type) * 40 AS BIGINT) AS n_bytes,
+           list_transform(range(256), i ->
+               CAST(length(event_type) - length(replace(event_type, chr(CAST(i AS INTEGER)), '')) AS DOUBLE)
+                   / length(event_type)) AS hist
+    FROM events
+),
+g AS MATERIALIZED (
+    SELECT stream_id, ts, ts_ms, rn, n_bytes, hist,
+           lag(hist) OVER (PARTITION BY stream_id ORDER BY ts) AS ph
+    FROM f
+),
+m AS MATERIALIZED (
+    SELECT *, list_sum(hist) / 256.0 AS ma, list_sum(ph) / 256.0 AS mb FROM g
+),
+s AS MATERIALIZED (
+    SELECT stream_id, ts, ts_ms, rn, n_bytes,
+           CASE WHEN ph IS NULL THEN NULL
+                ELSE (
+                    CASE WHEN sqrt(list_sum(list_transform(hist, x -> (x - ma) * (x - ma)))
+                              * list_sum(list_transform(ph, x -> (x - mb) * (x - mb)))) > 0
+                         THEN list_sum(list_transform(range(256), i ->
+                                  (hist[i + 1] - ma) * (ph[i + 1] - mb)))
+                              / sqrt(list_sum(list_transform(hist, x -> (x - ma) * (x - ma)))
+                                   * list_sum(list_transform(ph, x -> (x - mb) * (x - mb))))
+                         WHEN hist = ph THEN 1.0 ELSE 0.0 END)
+           END AS sim
+    FROM m
+),
+walk AS (
+    SELECT stream_id, rn, ts, ts_ms, n_bytes, TRUE AS keep, ts_ms AS last_kept_ms
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT nf.stream_id, nf.rn, nf.ts, nf.ts_ms, nf.n_bytes,
+           (nf.ts_ms - w.last_kept_ms >= {KEYFRAME_INTERVAL_MS})
+               OR (nf.sim IS NOT NULL AND nf.sim < 0.7) AS keep,
+           CASE WHEN (nf.ts_ms - w.last_kept_ms >= {KEYFRAME_INTERVAL_MS})
+                     OR (nf.sim IS NOT NULL AND nf.sim < 0.7)
+                THEN nf.ts_ms ELSE w.last_kept_ms END AS last_kept_ms
+    FROM walk w JOIN s nf ON nf.stream_id = w.stream_id AND nf.rn = w.rn + 1
+)
+SELECT stream_id, ts, n_bytes FROM walk WHERE keep
+"""
+
+
+@register("a10_keyframes_from_bytes", oracle=_A10_ORACLE, tags=("layer_a", "stateful"))
 def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end binary gate (operators/scene.py): payload bytes ->
     256-bin byte histogram (Arrow UDF; binary never shuffles) ->
@@ -481,8 +606,11 @@ def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented HISTCMP_CORREL intent of README.md:241-245) -> exact
     isKeyFrame recurrence (KeyFrameExtractor.java:53-82) as a bounded
     keyed scan. Payload here: each event's type string repeated — frames
-    change "scene" when the event type flips. Non-SQL (recurrence) =>
-    rows-only; planted-cut + streaming-twin tests in tests/test_scene.py."""
+    change "scene" when the event type flips. Oracle: the WHOLE chain in
+    DuckDB — per-byte histogram, lag correlation, linear RECURSIVE CTE
+    (round-4 upgrade from rows-only); the kept rows project
+    (stream_id, ts, n_bytes) so the value hash is binary-free.
+    Planted-cut + streaming-twin tests in tests/test_scene.py."""
     from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
 
     events = load_table(spark, sf_dir, "events")
@@ -490,7 +618,9 @@ def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("stream_id"),
         "ts",
         F.encode(F.repeat(F.col("event_type"), 40), "UTF-8").alias("frame_data"),
-    )
+    ).withColumn("n_bytes", F.octet_length("frame_data").cast("long"))
+    # n_bytes rides through the gate (the payload itself is dropped
+    # before the window shuffle — scene.py UDF discipline)
     return keyframe_gate_from_bytes(
         frames,
         payload_col="frame_data",
@@ -498,4 +628,4 @@ def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         min_interval_ms=KEYFRAME_INTERVAL_MS,
         scene_threshold=0.3,
-    )
+    ).select("stream_id", "ts", "n_bytes")

@@ -6,8 +6,9 @@ u01 runs the REAL pandas-UDF machinery (Arrow batch in, numpy scoring,
 array<struct> out, inner explode) with a deterministic stub scorer whose
 math is re-expressed in the DuckDB oracle — so the JVM<->Python boundary,
 schema mapping and explode semantics are all hash-checked, per SURVEY.md
-§5.2. NMS (u02) is iterative-greedy and genuinely non-SQL-expressible:
-rows-only here, exhaustively property-tested in tests/test_nms.py.
+§5.2. NMS (u02) is iterative-greedy; since round 4 its oracle replays
+the greedy walk as a DuckDB linear RECURSIVE CTE (accepted-box list as
+recursion state), on top of the property tests in tests/test_nms.py.
 """
 
 from __future__ import annotations
@@ -62,13 +63,71 @@ def u01_stub_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("u02_nms", oracle=None, tags=("udf", "pandas_udf", "rows_only"))
+# IoU of an accepted box `a` against the candidate row `cand`, inline in
+# a list lambda — calculateIOU's arithmetic (YOLODetector.java:324-336):
+# intersection / (areaA + areaB - intersection), denom<=0 -> 0.
+_IOU_SQL = """
+(CASE WHEN (greatest(0.0, a.x2 - a.x1) * greatest(0.0, a.y2 - a.y1)
+            + greatest(0.0, cand.x2 - cand.x1) * greatest(0.0, cand.y2 - cand.y1)
+            - greatest(0.0, least(a.x2, cand.x2) - greatest(a.x1, cand.x1))
+              * greatest(0.0, least(a.y2, cand.y2) - greatest(a.y1, cand.y1))) > 0
+      THEN (greatest(0.0, least(a.x2, cand.x2) - greatest(a.x1, cand.x1))
+            * greatest(0.0, least(a.y2, cand.y2) - greatest(a.y1, cand.y1)))
+           / (greatest(0.0, a.x2 - a.x1) * greatest(0.0, a.y2 - a.y1)
+              + greatest(0.0, cand.x2 - cand.x1) * greatest(0.0, cand.y2 - cand.y1)
+              - greatest(0.0, least(a.x2, cand.x2) - greatest(a.x1, cand.x1))
+                * greatest(0.0, least(a.y2, cand.y2) - greatest(a.y1, cand.y1)))
+      ELSE 0.0 END)
+"""
+
+# Greedy NMS as a DuckDB linear RECURSIVE CTE per frame (depth <= 10
+# anchors): rank candidates (conf DESC, anchor j tiebreak — the stable
+# input order of the stable Java sort, YOLODetector.java:294), walk the
+# ranks carrying the accepted-box LIST, suppress iff any accepted
+# SAME-CLASS box has IoU > 0.45. Both engines sort on the 4-decimal
+# rounded conf, so the greedy order is engine-identical.
+_U02_ORACLE = f"""
+WITH RECURSIVE cands AS MATERIALIZED (
+    SELECT vec_id, j,
+           {coco_sql_array()}[(8 * j + 1) % 80 + 1] AS cls,
+           round(conf, 4) AS conf,
+           CAST((17 * j) % 320 AS DOUBLE) AS x1,
+           CAST((29 * j) % 320 AS DOUBLE) AS y1,
+           CAST((17 * j) % 320 + 64 + j AS DOUBLE) AS x2,
+           CAST((29 * j) % 320 + 48 + j AS DOUBLE) AS y2
+    FROM ({stub_detector_oracle_fragment()}) s
+    WHERE conf > 0.5
+),
+ranked AS MATERIALIZED (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY conf DESC, j) AS rnk
+    FROM cands
+),
+walk AS (
+    SELECT vec_id, rnk, cls, conf,
+           [struct_pack(cls := cls, x1 := x1, y1 := y1, x2 := x2, y2 := y2)] AS accepted,
+           TRUE AS keep
+    FROM ranked WHERE rnk = 1
+    UNION ALL
+    SELECT cand.vec_id, cand.rnk, cand.cls, cand.conf,
+           CASE WHEN len(list_filter(w.accepted, a -> a.cls = cand.cls AND {_IOU_SQL} > 0.45)) = 0
+                THEN list_append(w.accepted, struct_pack(cls := cand.cls, x1 := cand.x1, y1 := cand.y1, x2 := cand.x2, y2 := cand.y2))
+                ELSE w.accepted END AS accepted,
+           len(list_filter(w.accepted, a -> a.cls = cand.cls AND {_IOU_SQL} > 0.45)) = 0 AS keep
+    FROM walk w JOIN ranked cand ON cand.vec_id = w.vec_id AND cand.rnk = w.rnk + 1
+)
+SELECT vec_id, cls AS object_class, conf AS confidence FROM walk WHERE keep
+"""
+
+
+@register("u02_nms", oracle=_U02_ORACLE, tags=("udf", "pandas_udf"))
 def u02_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """detect -> NMS -> explode, the complete reference UDF chain
-    (VideoProcessFunction.java:108-109). Greedy suppression is iterative
-    => rows-only driver check; invariants proven in tests/test_nms.py
-    (output subset of input, no same-class surviving pair with IoU > 0.45,
-    confidence-desc greedy order)."""
+    (VideoProcessFunction.java:108-109). Greedy suppression runs in the
+    pandas UDF; the oracle replays it as a DuckDB linear RECURSIVE CTE
+    carrying the accepted-box list (round-4 upgrade from rows-only), on
+    top of the invariants proven in tests/test_nms.py (output subset of
+    input, no same-class surviving pair with IoU > 0.45, confidence-desc
+    greedy order)."""
     emb = load_table(spark, sf_dir, "embeddings")
     detect = stub_detect_udf()
     nms = nms_udf()
@@ -79,7 +138,8 @@ def u02_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dets.select("vec_id", d).select(
         "vec_id",
         F.col("d.object_class").alias("object_class"),
-        F.col("d.confidence").cast("double").alias("confidence"),
+        # re-round after the float32 -> double upcast (see u01)
+        F.round(F.col("d.confidence").cast("double"), 4).alias("confidence"),
     )
 
 
