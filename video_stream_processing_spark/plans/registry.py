@@ -143,15 +143,48 @@ _DRIVER_VERIFIED_R03 = frozenset(
 
 _DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
 
+# Queries with a green row in the driver's CORRECTNESS_r04.json (all against
+# the current regenerated parquet; 48 hash-exact + b44/x22 rows-only by
+# design).
+_DRIVER_VERIFIED_R04 = frozenset(
+    [
+        "b37_hash_sample", "b38_posexplode", "b39_multiset_ops", "b40_null_semantics",
+        "b41_range_frame_window", "b42_shipping_priority", "b43_supplier_part_counts",
+        "b44_approx_percentile", "b45_ordered_list_agg", "b46_first_last_nth",
+        "b47_ntile_distribution", "b48_merge_upsert", "b49_unpivot",
+        "b50_customer_distribution", "b51_supplier_share_semijoin", "b52_timeseries_gapfill",
+        "b53_ewma", "flagship_segment_pipeline", "u01_stub_inference", "u02_nms",
+        "u03_detection_stats", "x01_exact_dedup", "x02_minhash_lsh_neardup",
+        "x03_ngram_jaccard_pairs", "x04_simhash", "x05_embedding_neardup", "x06_cosine_topk",
+        "x07_lsh_ann_topk", "x08_ivf_ann_topk", "x09_quantized_cosine_topk", "x10_token_stats",
+        "x11_quality_score", "x12_lang_id", "x13_fingerprint", "x14_tfidf_top_terms",
+        "x15_dedup_clusters", "x16_normalize_text", "x17_dedup_materialize",
+        "x18_lsh_multitable_topk", "x20_multimodal_decode", "x21_frame_sample",
+        "x22_frame_sample_op", "x23_stratified_sample", "x24_pii_scrub",
+        "x25_repetition_ratio", "x26_decontaminate", "x27_doc_chunking", "x28_batch_packing",
+        "x29_semantic_dedup", "x30_token_entropy",
+    ]
+)
+
+# a08/a09/a10 gained DuckDB oracles in round 4 AFTER their last driver rows
+# were recorded (r03, kind=rows-only), so their oracle-checked status has no
+# driver row yet — demote them out of the current-verified tier so round 5's
+# capped pass certifies the upgrade.
+_ORACLE_UPGRADED_POST_R03 = frozenset(
+    ["a08_segment_windows_exact", "a09_keyframe_gate_exact", "a10_keyframes_from_bytes"]
+)
+
+_CURRENT_VERIFIED = (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
+
 
 def _driver_order(name: str) -> tuple[int, str]:
-    # 0 = verified only against the pre-r03 (since-regenerated) parquet —
-    # these need RE-certification most urgently and enumerate first so the
-    # driver's capped pass covers them this round (VERDICT r3 item 1);
-    # 1 = never driver-verified (new queries; all pass the local harness,
-    # their first driver row can wait a round); 2 = verified against the
-    # current parquet (free green, enumerate last).
-    if name in _DRIVER_VERIFIED_R03:
+    # 0 = driver row exists but is STALE (pre-regeneration parquet: x31-x34,
+    # or recorded before the query's oracle existed: a08-a10) — these need
+    # re-certification most urgently and enumerate first (VERDICT r4 item 1);
+    # 1 = never driver-verified (x39-x42 + round-5 additions; all pass the
+    # local harness); 2 = verified against the current parquet with the
+    # current oracle (free green, enumerate last).
+    if name in _CURRENT_VERIFIED:
         tier = 2
     elif name in _DRIVER_VERIFIED:
         tier = 0
