@@ -49,10 +49,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     files = df.inputFiles()
-    if not files or len(files) >= target:
+    if not files:
+        # Non-file source (createDataFrame / in-memory view): no scan
+        # metadata to reason from, and such inputs are driver-originated
+        # and small, so an unconditional spread is cheap and avoids
+        # serializing the hash work onto one task.
+        return df.repartition(target)
+    if len(files) >= target:
         return df
-    # A big splittable file still fans out to ~size/128MB scan tasks, so
-    # only repartition when the estimated split count is below cores.
+    # A big splittable file still fans out to ~ceil(size/128MB) scan
+    # tasks, so only repartition when the estimated split count is below
+    # cores (ceiling division: a 200MB file is 2 splits, not 1).
     est_splits = 0
     for f in files:
         size = 0
@@ -61,7 +68,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
                 size = os.path.getsize(f[len("file:"):])
             except OSError:
                 size = 0
-        est_splits += max(1, size // (128 << 20))
+        est_splits += max(1, -(-size // (128 << 20)))
     if est_splits < target:
         return df.repartition(target)
     return df

@@ -100,7 +100,10 @@ def real_decode_meta(df: DataFrame) -> DataFrame:
                     widths.append(w)
                     heights.append(h)
                     channels.append(c)
-                    formats.append(sniff_format(blob))
+                    # A container the sniffer doesn't know but a gated
+                    # library decoded (e.g. GIF via Pillow) is 'other',
+                    # never NULL — NULL format is reserved for no-row.
+                    formats.append(sniff_format(blob) or "other")
             rows["width"] = pd.array(widths, dtype="Int32")
             rows["height"] = pd.array(heights, dtype="Int32")
             rows["channels"] = pd.array(channels, dtype="Int32")

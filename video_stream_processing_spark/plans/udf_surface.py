@@ -95,8 +95,8 @@ WITH RECURSIVE cands AS MATERIALIZED (
            CAST((29 * j) % 320 AS DOUBLE) AS y1,
            CAST((17 * j) % 320 + 64 + j AS DOUBLE) AS x2,
            CAST((29 * j) % 320 + 48 + j AS DOUBLE) AS y2
-    FROM ({stub_detector_oracle_fragment()}) s
-    WHERE conf > 0.5
+    FROM (SELECT * FROM ({stub_detector_oracle_fragment()}) s0
+          WHERE conf > 0.5) s
 ),
 ranked AS MATERIALIZED (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY conf DESC, j) AS rnk
