@@ -167,9 +167,11 @@ def decode_image_bgr(blob: bytes | None) -> np.ndarray | None:
     """bytes -> (H, W, 3) uint8 BGR or None — the engine's
     ImageUtils.decodeImage analog (ImageUtils.java:23-36).
 
-    Native numpy paths for BMP/PPM; JPEG/PNG/anything-else go through
-    Pillow only if it happens to be importable. Undecodable -> None (the
-    caller then emits empty detections / skips the frame, matching
+    Native numpy paths for BMP/PPM/baseline-JPEG (the reference's actual
+    wire format — VideoStreamMockProducer.java:211-218 JPEG-encodes every
+    frame); PNG/progressive-JPEG/anything-else go through Pillow only if
+    it happens to be importable. Undecodable -> None (the caller then
+    emits empty detections / skips the frame, matching
     YOLODetector.java:115-118 and KeyFrameExtractor.java:94,107)."""
     if not blob:
         return None
@@ -178,6 +180,14 @@ def decode_image_bgr(blob: bytes | None) -> np.ndarray | None:
         return decode_bmp(blob)
     if fmt == "ppm":
         return decode_ppm(blob)
+    if fmt == "jpeg":
+        from video_stream_processing_spark.functions.jpegcodec import decode_jpeg
+
+        img = decode_jpeg(blob)
+        if img is not None:
+            return img
+        # fall through: progressive/arithmetic JPEG may still decode via
+        # Pillow when it is importable
     try:  # pragma: no cover - Pillow absent in this container
         import io
 

@@ -113,6 +113,63 @@ def real_decode_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=META_SCHEMA)
 
 
+STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string, "
+    "px_min int, px_max int"
+)
+
+
+def real_decode_stats(df: DataFrame) -> DataFrame:
+    """Real decode + pixel statistics: bytes -> dimensions AND decoded
+    pixel min/max.
+
+    Same Arrow-batched mapInPandas plumbing as ``real_decode_meta`` but
+    the output proves the DECODED VALUES, not just the header parse —
+    x43 encodes flat even-gray JPEGs whose pixels round-trip exactly
+    (DC-only blocks; functions/jpegcodec.py), so a DuckDB oracle can
+    predict px_min == px_max arithmetically. Undecodable -> null stats,
+    format 'undecodable' (ImageUtils.java:33 null contract)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            widths, heights, channels, formats, mins, maxs = [], [], [], [], [], []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                if img is None:
+                    widths.append(None)
+                    heights.append(None)
+                    channels.append(None)
+                    formats.append("undecodable")
+                    mins.append(None)
+                    maxs.append(None)
+                else:
+                    h, w, c = img.shape
+                    widths.append(w)
+                    heights.append(h)
+                    channels.append(c)
+                    formats.append(sniff_format(blob) or "other")
+                    mins.append(int(img.min()))
+                    maxs.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(channels, dtype="Int32"),
+                    "format": formats,
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=STATS_SCHEMA)
+
+
 def frame_sample(
     frames: DataFrame, key_col: str = "stream_id", ts_col: str = "ts", every_n: int = 10
 ) -> DataFrame:

@@ -58,6 +58,41 @@ def byte_histogram_udf():
     return hist
 
 
+def decoded_histogram_udf():
+    """payload BINARY -> ARRAY<DOUBLE> (256 normalized luminance bins of
+    the DECODED image); undecodable/null payload -> NULL.
+
+    The compressed-format twin of ``byte_histogram_udf``: for raw
+    containers (BMP/PPM) the byte histogram already approximates the
+    pixel distribution, but for entropy-coded formats (JPEG — the
+    reference's actual wire format) compressed bytes look like noise
+    under near-identical headers, so the histogram must be taken AFTER
+    decode, exactly as the reference does (decoded Mat into
+    compareHistograms — KeyFrameExtractor.java:86-95). Decoding runs in
+    the same Arrow batch; bytes still never cross a shuffle."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def hist(payload: pd.Series) -> pd.Series:
+        from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+
+        out = []
+        for b in payload:
+            img = decode_image_bgr(bytes(b)) if b is not None and len(b) else None
+            if img is None:
+                out.append(None)
+            else:
+                # integer-weight luminance (BT.601 x256) keeps binning exact
+                lum = (
+                    77 * img[:, :, 2].astype(np.uint32)
+                    + 150 * img[:, :, 1].astype(np.uint32)
+                    + 29 * img[:, :, 0].astype(np.uint32)
+                ) >> 8
+                out.append(np.bincount(lum.ravel(), minlength=N_BINS) / float(lum.size))
+        return pd.Series(out, dtype=object)
+
+    return hist
+
+
 def hist_correlation(
     a: Column, b: Column, mean_a: Column | None = None, mean_b: Column | None = None
 ) -> Column:
@@ -100,14 +135,20 @@ def with_scene_similarity(
     key_col: str = "stream_id",
     ts_col: str = "ts",
     drop_payload: bool = True,
+    histogram: str = "bytes",
 ) -> DataFrame:
-    """Add ``scene_sim``: correlation of each frame's byte histogram with
-    its predecessor's (per key, ts order). NULL when the frame has no
+    """Add ``scene_sim``: correlation of each frame's histogram with its
+    predecessor's (per key, ts order). NULL when the frame has no
     predecessor; 1.0 when either side is undecodable (reference
     semantics). One shuffle (the lag window); the binary column is
-    projected away before it so only 256-double vectors shuffle."""
+    projected away before it so only 256-double vectors shuffle.
+
+    ``histogram``: 'bytes' (raw payload bytes — exact and cheap for
+    uncompressed containers, and SQL-modelable so a10's oracle covers
+    it) or 'decoded' (luminance of the decoded image — required for
+    entropy-coded formats like the reference's JPEG wire payload)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    hist = byte_histogram_udf()
+    hist = byte_histogram_udf() if histogram == "bytes" else decoded_histogram_udf()
     df = frames.withColumn("__h", hist(F.col(payload_col)))
     if drop_payload:
         df = df.drop(payload_col)
@@ -196,11 +237,14 @@ def keyframe_gate_from_bytes(
     ts_col: str = "ts",
     min_interval_ms: int = 5_000,
     scene_threshold: float = 0.3,
+    histogram: str = "bytes",
 ) -> DataFrame:
-    """End-to-end binary-driven gate: payload bytes -> histogram ->
-    consecutive-frame correlation -> exact keyframe recurrence."""
+    """End-to-end binary-driven gate: payload bytes -> histogram (raw or
+    decoded, see with_scene_similarity) -> consecutive-frame correlation
+    -> exact keyframe recurrence."""
     sims = with_scene_similarity(
-        frames, payload_col=payload_col, key_col=key_col, ts_col=ts_col
+        frames, payload_col=payload_col, key_col=key_col, ts_col=ts_col,
+        histogram=histogram,
     )
     return keyframe_gate_from_similarity(
         sims,

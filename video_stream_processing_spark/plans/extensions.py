@@ -1356,3 +1356,56 @@ def x42_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_in_shard"),
     )
+
+
+@register(
+    "x43_jpeg_real_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 37) + 9 AS INT) AS width,
+       CAST((doc_id % 21) + 9 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'jpeg' AS format,
+       CAST(2 * ((doc_id * 13) % 128) AS INT) AS px_min,
+       CAST(2 * ((doc_id * 13) % 128) AS INT) AS px_max
+FROM documents
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "jpeg"),
+)
+def x43_jpeg_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TRUE wire format, oracle-checked end to end: each
+    doc becomes a real baseline JPEG (the producer JPEG-encodes every
+    frame — VideoStreamMockProducer.java:211-218) via the pure-numpy
+    encoder, then the production decoder (functions/jpegcodec.py through
+    decode_image_bgr, the ImageUtils.decodeImage analog) Huffman-decodes,
+    dequantizes, and iDCTs it back. Images are flat even-valued gray
+    (v = 2*((doc_id*13) % 128)), so every 8x8 block is DC-only and the
+    quantized DC is exact — the decoded pixels equal v EXACTLY, which
+    the DuckDB oracle predicts arithmetically (px_min = px_max = v).
+    That pins the entire wire path (marker emission, Huffman tables,
+    byte stuffing, dequant, iDCT, YCbCr round trip), not just plumbing.
+    Both stages are Arrow-batched mapInPandas; binary never crosses a
+    shuffle. Interop with an independent codec (JDK ImageIO) is pinned
+    in tests/test_jpegcodec.py."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import real_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 37 + 9
+                h = d % 21 + 9
+                v = 2 * ((d * 13) % 128)
+                payloads.append(encode_jpeg(np.full((h, w, 3), v, np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return real_decode_stats(rendered)

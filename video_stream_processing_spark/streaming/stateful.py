@@ -164,23 +164,49 @@ KEYFRAME_BYTES_OUT_SCHEMA = (
 )
 
 
-def keyframe_bytes_stateful_fn(min_interval_ms: int = 5_000, scene_threshold: float = 0.3):
+def keyframe_bytes_stateful_fn(
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+    histogram: str = "bytes",
+):
     """Binary-driven keyframe gate: per-key state carries the PREVIOUS
-    frame's byte histogram (the reference's ``previousFrame`` field,
+    frame's histogram (the reference's ``previousFrame`` field,
     KeyFrameExtractor.java:31,81) plus lastKeyFrameTime. Semantics match
     operators/scene.py (interval rule first; scene rule when similarity
-    < 1 - threshold; undecodable frames assume similarity 1.0)."""
+    < 1 - threshold; undecodable frames assume similarity 1.0).
+    ``histogram`` mirrors with_scene_similarity: 'bytes' (raw payload)
+    or 'decoded' (luminance of the decoded image — required for
+    entropy-coded wire formats like the reference's JPEG)."""
     import numpy as np
 
     from video_stream_processing_spark.operators.scene import N_BINS
 
     cut = 1.0 - scene_threshold
 
-    def _hist(b):
-        if b is None or len(b) == 0:
-            return None
-        arr = np.frombuffer(bytes(b), dtype=np.uint8)
-        return np.bincount(arr, minlength=N_BINS) / float(len(arr))
+    if histogram == "bytes":
+
+        def _hist(b):
+            if b is None or len(b) == 0:
+                return None
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            return np.bincount(arr, minlength=N_BINS) / float(len(arr))
+
+    else:
+
+        def _hist(b):
+            from video_stream_processing_spark.functions.imagecodec import (
+                decode_image_bgr,
+            )
+
+            img = decode_image_bgr(bytes(b)) if b is not None and len(b) else None
+            if img is None:
+                return None
+            lum = (
+                77 * img[:, :, 2].astype(np.uint32)
+                + 150 * img[:, :, 1].astype(np.uint32)
+                + 29 * img[:, :, 0].astype(np.uint32)
+            ) >> 8
+            return np.bincount(lum.ravel(), minlength=N_BINS) / float(lum.size)
 
     def _corr(h1, h2) -> float:
         if h1 is None or h2 is None:
@@ -238,6 +264,7 @@ def keyframes_from_bytes_stream(
     min_interval_ms: int = 5_000,
     scene_threshold: float = 0.3,
     watermark: str = "10 minutes",
+    histogram: str = "bytes",
 ) -> DataFrame:
     """Streaming binary-driven gate. Input needs (stream_id, ts,
     frame_data BINARY); emits keyframe flags + the computed similarity."""
@@ -245,7 +272,7 @@ def keyframes_from_bytes_stream(
         frames.withWatermark("ts", watermark)
         .groupBy("stream_id")
         .applyInPandasWithState(
-            keyframe_bytes_stateful_fn(min_interval_ms, scene_threshold),
+            keyframe_bytes_stateful_fn(min_interval_ms, scene_threshold, histogram),
             outputStructType=KEYFRAME_BYTES_OUT_SCHEMA,
             stateStructType=KEYFRAME_BYTES_STATE_SCHEMA,
             outputMode="append",
