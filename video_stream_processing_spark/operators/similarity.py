@@ -316,6 +316,240 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iters: int = 2) -> DataFrame:
+    """TRAINED IVF centroids: ``n_iters`` Lloyd iterations of spherical
+    k-means, every step deterministic and DataFrame-native so a DuckDB
+    oracle can replay it exactly (VERDICT r4 item 3 — replaces the
+    label-derived stand-in, which real unlabeled pipelines don't have).
+
+    - init: the ``n_clusters`` smallest vec_ids (TakeOrderedAndProject —
+      top-k merge, no global sort shuffle), cid = 0..k-1 in vec_id order;
+    - assign: broadcast the k centroids, per-vector nearest by cosine
+      ROUNDED to SCORE_SCALE first (tie -> lowest cid), exactly the
+      round-then-rank parity rule used everywhere else, via a map-side
+      partial-aggregating max(struct) — the shuffle carries one row per
+      vector, never the k-times-inflated cross join;
+    - update: positional mean of each cluster's members; clusters that
+      lose every member keep their previous centroid (left join +
+      coalesce, mirrored in SQL).
+
+    At 100 TB: centroids are k x dim doubles (broadcast, trivially);
+    each iteration is one broadcast projection + one narrow groupBy
+    per-vector + one positional-mean aggregation — no corpus self-join,
+    and the corpus is scanned n_iters+1 times total (the unavoidable
+    Lloyd cost; n_iters is small and fixed)."""
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters)
+    )
+    w = Window.orderBy("vec_id")  # k rows only — the tiny-side sort
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(n_iters):
+        scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                F.round(cosine(F.col("embedding"), F.col("centroid")), SCORE_SCALE).alias("csim"),
+                (-F.col("cid")).alias("neg_cid"),
+            ).alias("cand"),
+        )
+        # max(struct) = (max csim, then min cid): partial-aggregates
+        # map-side, so the shuffle is one row per vec_id
+        assigned = (
+            scored.groupBy("vec_id", "embedding")
+            .agg(F.max("cand").alias("best"))
+            .select("vec_id", "embedding", (-F.col("best.neg_cid")).cast("int").alias("cid"))
+        )
+        pos = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        newc = (
+            pos.groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("centroid")
+            )
+        )
+        cents = (
+            cents.select("cid", F.col("centroid").alias("prev"))
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("centroid", "prev").alias("centroid"))
+        )
+    return cents
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    k: int = 3,
+    n_probes: int = 2,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    query_modulus: int = 50,
+) -> DataFrame:
+    """IVF ANN over TRAINED (k-means) centroids — self-contained on an
+    unlabeled corpus, unlike x08/x41's label-derived lists.
+
+    Plan shape: train (kmeans_centroids) -> assign every corpus vector
+    to its nearest trained centroid (broadcast centroids; the inverted
+    lists ARE this assignment — at scale they'd be the partition/bucket
+    layout written once at ingest) -> route each query to its n_probes
+    nearest centroids -> exact cosine rank within the probed lists only.
+    Corpus never shuffles on a wide key; queries and centroids broadcast."""
+    cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                F.round(cosine(F.col("embedding"), F.col("centroid")), SCORE_SCALE).alias("csim"),
+                (-F.col("cid")).alias("neg_cid"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.col("best.neg_cid")).cast("int").alias("cid"),
+            l2_norm(F.col("embedding")).alias("cn"),
+        )
+    )
+    probes = (
+        emb.where(F.col("vec_id") % query_modulus == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_emb",
+            "cid",
+            F.round(cosine(F.col("query_emb"), F.col("centroid")), SCORE_SCALE).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
+            ),
+        )
+        .where(F.col("crank") <= n_probes)
+        .select(
+            "query_id",
+            "query_emb",
+            F.col("cid").alias("probe_cid"),
+            l2_norm(F.col("query_emb")).alias("qn"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), corpus.cid == probes.probe_cid)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_trained_oracle_sql(
+    k: int = 3,
+    n_probes: int = 2,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    query_modulus: int = 50,
+) -> str:
+    """DuckDB replay of kmeans_centroids + ivf_topk_trained: the CTE
+    chain is generated per Lloyd iteration, so the TRAINING is
+    differential-checked, not just the final search."""
+    ctes = [
+        f"seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_clusters})",
+        "cent_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid FROM seeds)",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cent_{it - 1}"
+        cos_ec = cosine_sql("e.embedding", f"c.centroid")
+        ctes.append(
+            f"""assign_{it} AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS arank
+        FROM embeddings e CROSS JOIN {prev} c
+    ) WHERE arank = 1
+)"""
+        )
+        ctes.append(
+            f"""cent_{it} AS (
+    SELECT p.cid, coalesce(n.centroid, p.centroid) AS centroid
+    FROM {prev} p LEFT JOIN (
+        SELECT cid, list(c ORDER BY pos) AS centroid
+        FROM (
+            SELECT a.cid, u.i AS pos, avg(CAST(u.x AS DOUBLE)) AS c
+            FROM assign_{it} a,
+                 unnest(list_transform(a.embedding, (x, i) -> {{'i': i, 'x': x}})) AS t(u)
+            GROUP BY a.cid, u.i
+        ) GROUP BY cid
+    ) n ON n.cid = p.cid
+)"""
+        )
+    final = f"cent_{n_iters}"
+    cos_corpus = cosine_sql("e.embedding", "c.centroid")
+    cos_query = cosine_sql("q.embedding", "c.centroid")
+    cos_score = cosine_sql("p.query_emb", "e.embedding")
+    ctes.append(
+        f"""corpus AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_corpus} DESC, c.cid) AS arank
+        FROM embeddings e CROSS JOIN {final} c
+    ) WHERE arank = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+    SELECT query_id, query_emb, probe_cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_emb, c.cid AS probe_cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_query} DESC, c.cid) AS crank
+        FROM embeddings q CROSS JOIN {final} c
+        WHERE q.vec_id % {query_modulus} = 0
+    ) WHERE crank <= {n_probes}
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+    SELECT p.query_id, e.vec_id, {cos_score} AS score
+    FROM corpus e JOIN probes p ON e.cid = p.probe_cid
+    WHERE e.vec_id != p.query_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -548,6 +782,81 @@ def lsh_multitable_topk(
     )
 
 
+def lsh_multitable_topk_capped(
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = 4,
+    bits: int = 6,
+    query_modulus: int = 50,
+    bucket_cap: int = 16,
+) -> DataFrame:
+    """x18's OR-amplified bucket join with the ADVERSARIAL-SKEW CAP: each
+    (table, bucket) contributes at most ``bucket_cap`` corpus candidates
+    (row_number over the bucket window, deterministic vec_id order).
+
+    The same argument as x39's dedup cap applies to the ANN bucket
+    equi-join: under the LSH collision model buckets are ~N/2^bits, but
+    an adversarial (or merely degenerate — e.g. all-zero embeddings)
+    corpus can put a large fraction of vectors in ONE bucket, making one
+    join task O(hot * queries_in_bucket). The cap bounds every bucket's
+    contribution to O(bucket_cap) candidates per query: the window sort
+    is O(B log B) narrow rows — no quadratic join blowup — and the
+    OR-amplification over L tables preserves recall for genuinely
+    near-dup structure since hot-bucket members that get truncated in
+    one table still collide in their other L-1 (less crowded) buckets.
+    Recall under the cap is gated in tests/test_extensions.py; the cap
+    itself is oracle-checked (x45)."""
+    with_buckets = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("cn"),
+        *[_table_bits(F.col("embedding"), t, bits).alias(f"b{t}") for t in range(n_tables)],
+    )
+    bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+    wb = Window.partitionBy("t", "bkt").orderBy("vec_id")
+    c_exp = (
+        with_buckets.select("vec_id", F.posexplode(bucket_arr).alias("t", "bkt"))
+        .withColumn("brank", F.row_number().over(wb))
+        .where(F.col("brank") <= bucket_cap)
+        .drop("brank")
+    )
+    q = with_buckets.where(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("cn").alias("qn"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
+    )
+    q_exp = q.select(
+        "query_id",
+        F.posexplode(F.array(*[F.col(f"qb{t}") for t in range(n_tables)])).alias(
+            "qt", "qbkt"
+        ),
+    )
+    pairs = (
+        c_exp.join(q_exp, (F.col("t") == F.col("qt")) & (F.col("bkt") == F.col("qbkt")))
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .distinct()
+    )
+    scored = (
+        pairs.join(with_buckets.select("vec_id", "embedding", "cn"), "vec_id")
+        .join(q.select("query_id", "query_emb", "qn"), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _bits_sql_offset(emb: str, table: int, bits: int) -> str:
     frags = []
     for j in range(bits):
@@ -568,6 +877,55 @@ def lsh_multitable_oracle_sql(
     unions = "\nUNION\n".join(
         f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id\n"
         f"    FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t} AND c.vec_id != q.vec_id\n"
+        f"    WHERE q.vec_id % {query_modulus} = 0"
+        for t in range(n_tables)
+    )
+    cos = cosine_sql("q2.embedding", "c2.embedding")
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket_cols}
+    FROM embeddings
+),
+pairs AS (
+{unions}
+),
+scored AS (
+    SELECT p.query_id, p.vec_id, {cos} AS score
+    FROM pairs p
+    JOIN bucketed q2 ON q2.vec_id = p.query_id
+    JOIN bucketed c2 ON c2.vec_id = p.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_multitable_capped_oracle_sql(
+    k: int = 3,
+    n_tables: int = 4,
+    bits: int = 6,
+    query_modulus: int = 50,
+    bucket_cap: int = 16,
+) -> str:
+    """x18's oracle with the per-(table, bucket) corpus cap replayed as a
+    row_number window — the cap itself is differential-checked."""
+    bucket_cols = ", ".join(
+        f"{_bits_sql_offset('embedding', t, bits)} AS b{t}" for t in range(n_tables)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id\n"
+        f"    FROM bucketed q JOIN (\n"
+        f"        SELECT vec_id, b{t} FROM (\n"
+        f"            SELECT vec_id, b{t},\n"
+        f"                   row_number() OVER (PARTITION BY b{t} ORDER BY vec_id) AS brank\n"
+        f"            FROM bucketed\n"
+        f"        ) WHERE brank <= {bucket_cap}\n"
+        f"    ) c ON q.b{t} = c.b{t} AND c.vec_id != q.vec_id\n"
         f"    WHERE q.vec_id % {query_modulus} = 0"
         for t in range(n_tables)
     )

@@ -1359,6 +1359,47 @@ def x42_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x45_lsh_multitable_capped",
+    oracle=S.lsh_multitable_capped_oracle_sql(k=3, bucket_cap=16),
+    tags=("extension", "similarity", "lsh", "skew"),
+)
+def x45_lsh_multitable_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x18's OR-amplified ANN with the adversarial-skew cap: every
+    (table, bucket) contributes at most 16 corpus candidates (window +
+    row_number by deterministic vec_id order) — the same O(hot-bucket)
+    bound x39 gives the dedup LSH, applied to the ANN bucket equi-join
+    (VERDICT r4 item 4). The cap is replayed in the oracle's per-table
+    row_number windows, so the truncation semantics themselves are
+    differential-checked; hot-bucket behavior is pinned by
+    tests/test_extensions.py::test_capped_multitable_bounds_hot_bucket
+    (operators/similarity.py:lsh_multitable_topk_capped)."""
+    return S.lsh_multitable_topk_capped(
+        load_table(spark, sf_dir, "embeddings"), k=3, bucket_cap=16
+    )
+
+
+@register(
+    "x44_ivf_trained_topk",
+    oracle=S.ivf_trained_oracle_sql(k=3, n_probes=2, n_clusters=8, n_iters=2),
+    tags=("extension", "similarity", "ivf", "kmeans"),
+)
+def x44_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids: 2 deterministic Lloyd iterations
+    of spherical k-means (init = 8 smallest vec_ids; assignment by
+    rounded cosine, tie -> lowest cid; empty clusters keep their
+    previous centroid), then probe-2 search within the learned inverted
+    lists. Self-contained on an unlabeled corpus — the production form
+    of x08/x41, whose label-derived centroids need a label column real
+    pipelines don't have. Every training step is DataFrame-native and
+    deterministic, so the DuckDB oracle replays the TRAINING too
+    (per-iteration CTE chain), not just the search
+    (operators/similarity.py:kmeans_centroids,ivf_topk_trained)."""
+    return S.ivf_topk_trained(
+        load_table(spark, sf_dir, "embeddings"), k=3, n_probes=2, n_clusters=8, n_iters=2
+    )
+
+
+@register(
     "x43_jpeg_real_roundtrip",
     oracle="""
 SELECT doc_id,
