@@ -50,6 +50,15 @@ HEADLINE = (
     "x02_minhash_lsh_neardup",  # banded MinHash LSH near-dup (scale-defining dedup path)
     "x18_lsh_multitable_topk",  # OR-amplified multi-table ANN (scale-defining similarity path)
     "x35_curation_pipeline",  # composed normalize->filter->dedup->split corpus prep
+    # round-5 additions (VERDICT r4 item 5): the scale-defining variants
+    "x39_minhash_lsh_bounded",  # skew-capped LSH dedup (the adversarial path)
+    "x41_ivf_multiprobe_topk",  # IVF probe-2 (the recall/cost knob)
+    "x42_incremental_dedup",  # arriving-shard anti-join dedup
+    "x40_multimodal_real_roundtrip",  # real BMP codec round trip (Arrow batch path)
+    "x43_jpeg_real_roundtrip",  # real JPEG codec round trip (the true wire format)
+    "x44_ivf_trained_topk",  # k-means-trained IVF (training + search)
+    "x45_lsh_multitable_capped",  # skew-capped ANN bucket join
+    "a10_keyframes_from_bytes",  # binary-payload keyframe gate (real-codec a-path)
 )
 
 

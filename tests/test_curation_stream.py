@@ -71,3 +71,71 @@ def test_curation_stream_filters_dedups_and_expires_state(spark, tmp_path):
         assert ids == [1, 5]
     finally:
         q.stop()
+
+
+def test_incremental_dedup_stream_replay_emits_once(spark, tmp_path):
+    """Streaming twin of x42 (VERDICT r4 item 6): an arriving shard is
+    anti-joined against the existing corpus's hash set, deduped within
+    the stream, and landed through the idempotent sink — so (a) docs
+    already in the corpus never emit, (b) a shard replayed within the
+    watermark emits exactly once, and (c) a re-delivered micro-batch
+    overwrites its own partition instead of duplicating."""
+    from video_stream_processing_spark.streaming.pipeline import (
+        incremental_dedup_stream,
+    )
+    from video_stream_processing_spark.streaming.sinks import write_docs_idempotent
+
+    corpus = spark.createDataFrame(
+        [(100, "existing corpus document body one"), (101, "existing corpus document body two")],
+        "doc_id long, text string",
+    )
+
+    d = str(tmp_path / "shards")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "landed")
+    # shard 1: one genuinely new doc, one already-in-corpus doc
+    _write(
+        spark,
+        d,
+        [(1, BASE, "a brand new never seen document"), (2, BASE + 1_000, "existing corpus document body one")],
+        "overwrite",
+    )
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        incremental_dedup_stream(stream, corpus, watermark="10 minutes")
+        .writeStream.foreachBatch(write_docs_idempotent(out))
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # shard 2: REPLAY of shard 1's new doc (same content, inside the
+        # watermark) plus another new doc
+        _write(
+            spark,
+            d,
+            [(3, BASE + 2_000, "a brand new never seen document"), (4, BASE + 3_000, "a second new document arrives")],
+            "append",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in landed.collect())
+    assert ids == [1, 4]  # corpus dup (2) and replayed content (3) dropped
+
+    # sink re-delivery: rewriting the SAME batch id must not duplicate.
+    # Materialize the replay rows first — a lazy plan over `out` would
+    # re-read the files the first sink call just overwrote.
+    sink = write_docs_idempotent(out)
+    doc4_rows = landed.where(F.col("doc_id") == 4).collect()
+    batch4 = int(doc4_rows[0]["__batch_id"])
+    replay_df = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text_hash"]) for r in doc4_rows],
+        "doc_id long, ts timestamp, text_hash string",
+    )
+    sink(replay_df, batch4)
+    sink(replay_df, batch4)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]

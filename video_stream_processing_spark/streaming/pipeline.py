@@ -228,3 +228,41 @@ def curation_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame
     return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame,
+    existing_corpus: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of x42's incremental-ingest dedup: each arriving
+    document is content-hashed, anti-joined against the EXISTING
+    corpus's hash set (stream-static join — the static side is its md5
+    column only, the bodies are never loaded), then deduped within the
+    stream itself by ``dropDuplicatesWithinWatermark`` so a shard
+    replayed inside the watermark is emitted exactly once and the
+    seen-hash state still EXPIRES (bounded state, the same contract as
+    curation_stream).
+
+    At 100 TB the static side is the corpus's hash index (a fixed-width
+    column scan, or a pre-built bucketed hash table); the stream-static
+    join broadcasts or hash-joins per micro-batch without shuffling the
+    stream on anything wider than the md5. Pair with
+    sinks.write_docs_idempotent for end-to-end exactly-once
+    (plans/extensions.py:x42 is the batch form).
+
+    Input: streaming (doc_id, ts, text); output (doc_id, ts, text_hash)
+    for first-seen, not-in-corpus docs.
+    """
+    seen = existing_corpus.select(F.md5("text").alias("__corpus_hash")).distinct()
+    arriving = new_docs.select(
+        "doc_id", "ts", F.md5("text").alias("text_hash")
+    )
+    fresh = (
+        arriving.join(seen, arriving.text_hash == seen.__corpus_hash, "left")
+        .where(F.col("__corpus_hash").isNull())
+        .drop("__corpus_hash")
+    )
+    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )

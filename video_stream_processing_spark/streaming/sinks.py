@@ -67,6 +67,26 @@ def write_detections_fact_idempotent(out_dir: str):
     return sink
 
 
+def write_docs_idempotent(out_dir: str):
+    """Generic idempotent foreachBatch sink for document-shaped streams
+    (the incremental-dedup twin's landing table): every micro-batch
+    overwrites its own batch-id-keyed partition, so a replay after a
+    failure between sink-write and checkpoint commit lands in the same
+    place instead of appending duplicates. Same exactly-once mechanism
+    as write_detections_fact_idempotent, schema-agnostic."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
 def write_detections_ndjson(out_dir: str):
     """foreachBatch sink emitting the reference's LITERAL wire format:
     one JSON object per line (`format=json` + `read_json_by_line=true`
