@@ -28,6 +28,10 @@ NESTED_LOOP_ALLOWED = {
     # same bounded query x centroid broadcast cross join as x08 (Q x
     # n_clusters rows, both tiny); the corpus side is a hash join
     "x41_ivf_multiprobe_topk",
+    # trained IVF: Lloyd assignment + corpus assignment are corpus x
+    # k-broadcast-centroid cross joins (linear, bounded inner side —
+    # the canonical k-means/IVF shape); the search is an equi-join
+    "x44_ivf_trained_topk",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -351,18 +351,24 @@ list_transform({e}, x -> round(CAST(x AS DOUBLE) * 127.0 /
 
 
 def _x09_oracle() -> str:
-    qa = _X09_Q.format(e="q.embedding")
-    qc = _X09_Q.format(e="c.embedding")
-    cos = f"""
-round(
-  list_sum(list_transform(range(len(q.embedding)), i -> ({qa})[i+1] * ({qc})[i+1]))
-  / (sqrt(list_sum(list_transform({qa}, x -> x * x)))
-     * sqrt(list_sum(list_transform({qc}, x -> x * x)))), 5)
-"""
+    # Quantize ONCE per vector in a materialized CTE — inlining the
+    # quantization expression into the pair cosine re-evaluates it per
+    # lambda ELEMENT (O(d^2) nested transforms per pair; measured 43 s at
+    # sf0.001 in DuckDB). Arithmetic is unchanged: the quantized list is
+    # a pure function of the embedding, so precomputing it is
+    # value-identical and the hash-compare is unaffected.
+    q = _X09_Q.format(e="embedding")
     return f"""
-WITH scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS qscore
-    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+WITH qv AS MATERIALIZED (
+    SELECT vec_id, {q} AS qe FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           round(
+             list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1] * c.qe[i+1]))
+             / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.qe, x -> x * x)))), 5) AS qscore
+    FROM qv q JOIN qv c ON c.vec_id != q.vec_id
     WHERE q.vec_id % 50 = 0
 ),
 ranked AS (
@@ -1184,7 +1190,7 @@ def x37_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x38_span_dedup",
-    oracle="""
+    oracle=r"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
 s AS (
     SELECT doc_id, i - 1 AS pos,
