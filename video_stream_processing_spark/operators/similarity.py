@@ -316,68 +316,78 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iters: int = 2) -> DataFrame:
+def _centroid_candidates(emb_col: Column, cents: list[list[float]]) -> Column:
+    """ARRAY<STRUCT<csim, neg_cid>> of the vector's rounded cosine to
+    each LITERAL centroid. Pure projection — no join, no shuffle; struct
+    lexicographic order makes array_max/array_sort implement the
+    (csim DESC, cid ASC) round-then-rank rule (cid ASC == neg_cid DESC)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(emb_col, F.array(*[F.lit(float(v)) for v in c])), SCORE_SCALE
+                ).alias("csim"),
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_clusters: int = 8, n_iters: int = 2
+) -> list[list[float]]:
     """TRAINED IVF centroids: ``n_iters`` Lloyd iterations of spherical
-    k-means, every step deterministic and DataFrame-native so a DuckDB
-    oracle can replay it exactly (VERDICT r4 item 3 — replaces the
-    label-derived stand-in, which real unlabeled pipelines don't have).
+    k-means, deterministic so a DuckDB oracle can replay the training
+    exactly (VERDICT r4 item 3 — replaces the label-derived stand-in,
+    which real unlabeled pipelines don't have).
 
     - init: the ``n_clusters`` smallest vec_ids (TakeOrderedAndProject —
-      top-k merge, no global sort shuffle), cid = 0..k-1 in vec_id order;
-    - assign: broadcast the k centroids, per-vector nearest by cosine
-      ROUNDED to SCORE_SCALE first (tie -> lowest cid), exactly the
-      round-then-rank parity rule used everywhere else, via a map-side
-      partial-aggregating max(struct) — the shuffle carries one row per
-      vector, never the k-times-inflated cross join;
-    - update: positional mean of each cluster's members; clusters that
-      lose every member keep their previous centroid (left join +
-      coalesce, mirrored in SQL).
+      top-k merge, no global sort), cid = 0..k-1 in vec_id order;
+    - assign: nearest LITERAL centroid by cosine ROUNDED to SCORE_SCALE
+      (tie -> lowest cid) — a pure projection, since k x dim doubles are
+      driver-sized by definition of k-means (k=8, dim=64 here);
+    - update: positional mean per cluster via posexplode + groupBy
+      (cid, pos) — map-side combine reduces every task to <= k*dim
+      partial rows, so the per-iteration shuffle is centroid-sized, not
+      corpus-sized; clusters that lose every member keep their previous
+      centroid.
 
-    At 100 TB: centroids are k x dim doubles (broadcast, trivially);
-    each iteration is one broadcast projection + one narrow groupBy
-    per-vector + one positional-mean aggregation — no corpus self-join,
-    and the corpus is scanned n_iters+1 times total (the unavoidable
-    Lloyd cost; n_iters is small and fixed)."""
-    seeds = (
-        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters)
-    )
-    w = Window.orderBy("vec_id")  # k rows only — the tiny-side sort
-    cents = seeds.select(
-        (F.row_number().over(w) - 1).cast("int").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-    )
+    Plan shape per iteration: ONE corpus scan -> projection -> narrow
+    agg. The corpus is never shuffled and never joined during training;
+    total cost is n_iters scans + the k-row init job. (The naive
+    alternative — carrying centroids as a lazily-composed DataFrame —
+    re-derives the whole training lineage inside every downstream
+    reference: the audited plan showed 32 scans / 50 exchanges before
+    this shape.) Returns the centroids as plain lists for literal
+    inlining; jobs run eagerly at call time (k-means is an action, like
+    x15's fixpoint probes)."""
+    seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seeds, key=lambda r: r["vec_id"])
+    ]
+    dim = len(cents[0]) if cents else 0
     for _ in range(n_iters):
-        scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            F.struct(
-                F.round(cosine(F.col("embedding"), F.col("centroid")), SCORE_SCALE).alias("csim"),
-                (-F.col("cid")).alias("neg_cid"),
-            ).alias("cand"),
-        )
-        # max(struct) = (max csim, then min cid): partial-aggregates
-        # map-side, so the shuffle is one row per vec_id
-        assigned = (
-            scored.groupBy("vec_id", "embedding")
-            .agg(F.max("cand").alias("best"))
-            .select("vec_id", "embedding", (-F.col("best.neg_cid")).cast("int").alias("cid"))
-        )
-        pos = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
-        newc = (
-            pos.groupBy("cid", "pos")
+        best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+        # project cid in its OWN select before posexplode: combining the
+        # getField with a generator in one projection makes the analyzer
+        # rebuild the struct nameless (col1/col2) under the aggregate and
+        # the by-name field access fails
+        rows = (
+            emb.select((-best["neg_cid"]).cast("int").alias("cid"), "embedding")
+            .select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
             .agg(F.avg(F.col("v").cast("double")).alias("c"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-                ).alias("centroid")
-            )
+            .collect()
         )
-        cents = (
-            cents.select("cid", F.col("centroid").alias("prev"))
-            .join(newc, "cid", "left")
-            .select("cid", F.coalesce("centroid", "prev").alias("centroid"))
-        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        cents = [
+            [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
+            for i in range(len(cents))
+        ]
     return cents
 
 
@@ -392,55 +402,39 @@ def ivf_topk_trained(
     """IVF ANN over TRAINED (k-means) centroids — self-contained on an
     unlabeled corpus, unlike x08/x41's label-derived lists.
 
-    Plan shape: train (kmeans_centroids) -> assign every corpus vector
-    to its nearest trained centroid (broadcast centroids; the inverted
-    lists ARE this assignment — at scale they'd be the partition/bucket
-    layout written once at ingest) -> route each query to its n_probes
-    nearest centroids -> exact cosine rank within the probed lists only.
-    Corpus never shuffles on a wide key; queries and centroids broadcast."""
+    Plan shape: train (kmeans_centroids — centroids come back as
+    literals) -> corpus assignment is a pure PROJECTION (nearest literal
+    centroid; the inverted lists ARE this assignment — at scale they'd
+    be the partition/bucket layout written once at ingest) -> each query
+    takes its n_probes best centroids by reversed array_sort (csim DESC,
+    cid ASC — no window, no shuffle) -> exact cosine rank within the
+    probed lists only. The corpus is scanned once and never shuffled
+    before the final candidate equi-join against the broadcast probes."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
-    corpus = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            F.struct(
-                F.round(cosine(F.col("embedding"), F.col("centroid")), SCORE_SCALE).alias("csim"),
-                (-F.col("cid")).alias("neg_cid"),
-            ).alias("cand"),
-        )
-        .groupBy("vec_id", "embedding")
-        .agg(F.max("cand").alias("best"))
-        .select(
-            "vec_id",
-            "embedding",
-            (-F.col("best.neg_cid")).cast("int").alias("cid"),
-            l2_norm(F.col("embedding")).alias("cn"),
-        )
+    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        (-best["neg_cid"]).cast("int").alias("cid"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    # reversed lexicographic sort = (csim DESC, neg_cid DESC == cid ASC):
+    # exactly the oracle's ORDER BY cos DESC, cid — top n_probes by slice
+    probe_structs = F.slice(
+        F.reverse(F.array_sort(_centroid_candidates(F.col("embedding"), cents))),
+        1,
+        n_probes,
     )
     probes = (
         emb.where(F.col("vec_id") % query_modulus == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"))
-        .crossJoin(F.broadcast(cents))
         .select(
-            "query_id",
-            "query_emb",
-            "cid",
-            F.round(cosine(F.col("query_emb"), F.col("centroid")), SCORE_SCALE).alias("csim"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_emb"),
+            l2_norm(F.col("embedding")).alias("qn"),
+            F.explode(probe_structs).alias("p"),
         )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
-            ),
-        )
-        .where(F.col("crank") <= n_probes)
         .select(
-            "query_id",
-            "query_emb",
-            F.col("cid").alias("probe_cid"),
-            l2_norm(F.col("query_emb")).alias("qn"),
+            "query_id", "query_emb", "qn", (-F.col("p.neg_cid")).cast("int").alias("probe_cid")
         )
     )
     scored = (

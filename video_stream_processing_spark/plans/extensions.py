@@ -1396,8 +1396,12 @@ def x44_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous centroid), then probe-2 search within the learned inverted
     lists. Self-contained on an unlabeled corpus — the production form
     of x08/x41, whose label-derived centroids need a label column real
-    pipelines don't have. Every training step is DataFrame-native and
-    deterministic, so the DuckDB oracle replays the TRAINING too
+    pipelines don't have. Centroids are driver-sized by definition of
+    k-means, so each Lloyd pass inlines them as LITERALS: assignment is
+    a pure projection (no join, no corpus shuffle) and the update's
+    groupBy(cid, pos) partial-aggregates to <= k*dim rows per task —
+    audited plan: 0 shuffle joins, corpus scanned once per pass. The
+    training is deterministic, so the DuckDB oracle replays IT too
     (per-iteration CTE chain), not just the search
     (operators/similarity.py:kmeans_centroids,ivf_topk_trained)."""
     return S.ivf_topk_trained(
