@@ -456,16 +456,11 @@ def ivf_topk_trained(
     )
 
 
-def ivf_trained_oracle_sql(
-    k: int = 3,
-    n_probes: int = 2,
-    n_clusters: int = 8,
-    n_iters: int = 2,
-    query_modulus: int = 50,
-) -> str:
-    """DuckDB replay of kmeans_centroids + ivf_topk_trained: the CTE
-    chain is generated per Lloyd iteration, so the TRAINING is
-    differential-checked, not just the final search."""
+def _kmeans_training_ctes(n_clusters: int, n_iters: int) -> tuple[list[str], str]:
+    """The Lloyd-training CTE chain shared by every trained-centroid
+    oracle (x44/x46/x47): seeds -> cent_0 -> (assign_i, cent_i)* — the
+    SQL replay of kmeans_centroids, iteration by iteration. Returns
+    (ctes, final_centroid_cte_name)."""
     ctes = [
         f"seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_clusters})",
         "cent_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
@@ -473,7 +468,7 @@ def ivf_trained_oracle_sql(
     ]
     for it in range(1, n_iters + 1):
         prev = f"cent_{it - 1}"
-        cos_ec = cosine_sql("e.embedding", f"c.centroid")
+        cos_ec = cosine_sql("e.embedding", "c.centroid")
         ctes.append(
             f"""assign_{it} AS (
     SELECT vec_id, embedding, cid FROM (
@@ -497,7 +492,20 @@ def ivf_trained_oracle_sql(
     ) n ON n.cid = p.cid
 )"""
         )
-    final = f"cent_{n_iters}"
+    return ctes, f"cent_{n_iters}"
+
+
+def ivf_trained_oracle_sql(
+    k: int = 3,
+    n_probes: int = 2,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    query_modulus: int = 50,
+) -> str:
+    """DuckDB replay of kmeans_centroids + ivf_topk_trained: the CTE
+    chain is generated per Lloyd iteration, so the TRAINING is
+    differential-checked, not just the final search."""
+    ctes, final = _kmeans_training_ctes(n_clusters, n_iters)
     cos_corpus = cosine_sql("e.embedding", "c.centroid")
     cos_query = cosine_sql("q.embedding", "c.centroid")
     cos_score = cosine_sql("p.query_emb", "e.embedding")
@@ -540,6 +548,128 @@ def ivf_trained_oracle_sql(
         + f"""
 SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame, n_clusters: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """Trained-cluster profile: size and mean cohesion (rounded cosine to
+    own centroid) per learned cluster — the corpus-curation view of the
+    k-means output (cluster balance drives IVF probe cost and SemDeDup
+    pair-join bounds). Assignment is the same literal-centroid projection
+    as ivf_topk_trained: one corpus scan, one centroid-sized groupBy
+    (map-side combine to <= k partials per task), zero joins."""
+    cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
+    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    assigned = emb.select(
+        (-best["neg_cid"]).cast("int").alias("cid"), best["csim"].alias("csim")
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("csim"), 4).alias("avg_csim"),
+    )
+
+
+def kmeans_profile_oracle_sql(n_clusters: int = 8, n_iters: int = 2) -> str:
+    ctes, final = _kmeans_training_ctes(n_clusters, n_iters)
+    cos_corpus = cosine_sql("e.embedding", "c.centroid")
+    ctes.append(
+        f"""corpus AS (
+    SELECT vec_id, cid, csim FROM (
+        SELECT e.vec_id, c.cid, {cos_corpus} AS csim,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_corpus} DESC, c.cid) AS arank
+        FROM embeddings e CROSS JOIN {final} c
+    ) WHERE arank = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cid, count(*) AS n_members, round(avg(csim), 4) AS avg_csim
+FROM corpus GROUP BY cid
+"""
+    )
+
+
+def semantic_dedup_trained(
+    emb: DataFrame, threshold: float = 0.4, n_clusters: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """SemDeDup over TRAINED clusters — x29's semantic dedup with the
+    label-derived routing replaced by the k-means assignment, making the
+    whole curation step self-contained on an unlabeled corpus. Same
+    single-pass drop rule and dup_of attribution as semantic_dedup
+    (lower-id cluster-mate at cosine >= threshold); same scale shape
+    (per-cluster equi-join bounds the quadratic term; raise n_clusters
+    to keep clusters small at 100 TB)."""
+    cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
+    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    assigned = emb.select(
+        "vec_id", "embedding", (-best["neg_cid"]).cast("int").alias("cluster")
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_b",
+            "vec_a",
+            _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    dropped = pairs.groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+    return assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
+def semantic_dedup_trained_oracle_sql(
+    threshold: float = 0.4, n_clusters: int = 8, n_iters: int = 2
+) -> str:
+    ctes, final = _kmeans_training_ctes(n_clusters, n_iters)
+    cos_corpus = cosine_sql("e.embedding", "c.centroid")
+    cos_ab = cosine_sql("a.embedding", "b.embedding")
+    ctes.append(
+        f"""corpus AS (
+    SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_corpus} DESC, c.cid) AS arank
+        FROM embeddings e CROSS JOIN {final} c
+    ) WHERE arank = 1
+)"""
+    )
+    ctes.append(
+        f"""pairs AS (
+    SELECT b.vec_id AS vec_b, a.vec_id AS vec_a, {cos_ab} AS sim
+    FROM corpus a JOIN corpus b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= {threshold}
+)"""
+    )
+    ctes.append("dropped AS (SELECT vec_b, min(vec_a) AS dup_of FROM pairs GROUP BY vec_b)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT asg.vec_id, asg.cluster, d.vec_b IS NULL AS keep, d.dup_of
+FROM corpus asg LEFT JOIN dropped d ON asg.vec_id = d.vec_b
 """
     )
 

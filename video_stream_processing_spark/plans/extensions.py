@@ -1365,6 +1365,41 @@ def x42_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x46_kmeans_cluster_profile",
+    oracle=S.kmeans_profile_oracle_sql(n_clusters=8, n_iters=2),
+    tags=("extension", "similarity", "kmeans"),
+)
+def x46_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-learned-cluster size and mean cohesion over the trained
+    (Lloyd) k-means assignment — the corpus-curation view of x44's
+    training output: cluster balance is what bounds IVF probe cost and
+    the SemDeDup pair join. One corpus scan, literal-centroid projection,
+    centroid-sized groupBy; the oracle replays the full training chain
+    (operators/similarity.py:kmeans_cluster_profile)."""
+    return S.kmeans_cluster_profile(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=2
+    )
+
+
+@register(
+    "x47_semantic_dedup_trained",
+    oracle=S.semantic_dedup_trained_oracle_sql(threshold=0.4, n_clusters=8, n_iters=2),
+    tags=("extension", "similarity", "dedup", "kmeans"),
+)
+def x47_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED clusters — x29 with the label-derived
+    routing replaced by x44's k-means assignment, so the semantic-dedup
+    curation stage is self-contained on an unlabeled corpus (real
+    pipelines have no label column). Same single-pass drop rule, dup_of
+    attribution, and per-cluster equi-join bound; oracle replays
+    training + routing + drop in one CTE chain
+    (operators/similarity.py:semantic_dedup_trained)."""
+    return S.semantic_dedup_trained(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=8, n_iters=2
+    )
+
+
+@register(
     "x45_lsh_multitable_capped",
     oracle=S.lsh_multitable_capped_oracle_sql(k=3, bucket_cap=16),
     tags=("extension", "similarity", "lsh", "skew"),
