@@ -1196,3 +1196,435 @@ SELECT asg.vec_id, CAST(asg.cluster AS INT) AS cluster,
        d.vec_b IS NULL AS keep, d.dup_of
 FROM assigned asg LEFT JOIN dropped d ON asg.vec_id = d.vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the canonical 100 TB ANN layout
+# (Jegou et al. 2011, "Product Quantization for Nearest Neighbor Search";
+# the FAISS IVFPQ index structure). Coarse k-means routes vectors to
+# inverted lists; within a list, candidates are scored by Asymmetric
+# Distance Computation (ADC) against M per-subspace codebooks — M table
+# lookups per pair instead of a D-dim dot product — then the survivors
+# are reranked with the exact metric.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64-dim embedding -> 4 x 16-dim sub-vectors)
+PQ_K = 8  # codes per subspace codebook
+
+
+def _sub(col: Column, m: int, sub_dim: int) -> Column:
+    """Sub-vector m of an embedding column (1-based slice, length sub_dim)."""
+    return F.slice(col, m * sub_dim + 1, sub_dim)
+
+
+def _l2sq_lit(sub_col: Column, code_vec: list[float]) -> Column:
+    """Squared L2 distance of a sub-vector to a LITERAL code vector —
+    sequential left fold in double, mirroring the oracle's list_sum."""
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            F.array(*[F.lit(float(v)) for v in code_vec]),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_code_for(sub_col: Column, codebook: list[list[float]]) -> Column:
+    """Nearest code id in a LITERAL codebook by ROUNDED squared-L2
+    (tie -> lowest code id): array_max over (-round(d2), -code) structs —
+    the same projection-only argmin trick as _centroid_candidates."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (-F.round(_l2sq_lit(sub_col, c), SCORE_SCALE)).alias("nd2"),
+                    F.lit(-j).alias("neg_code"),
+                )
+                for j, c in enumerate(codebook)
+            ]
+        )
+    )
+    return (-best["neg_code"]).cast("int")
+
+
+def pq_codebooks(
+    emb: DataFrame, m_sub: int = PQ_M, k_codes: int = PQ_K, n_iters: int = 1
+) -> list[list[list[float]]]:
+    """Train M per-subspace PQ codebooks with ``n_iters`` deterministic
+    Lloyd iterations (init = sub-vectors of the k_codes smallest vec_ids;
+    assignment by rounded squared-L2, tie -> lowest code; empty codes
+    keep their previous vector) — the product-quantizer half of IVF-PQ.
+
+    Scale shape: ALL M subspaces train in ONE corpus scan per iteration —
+    each row projects its per-subspace code (literal-codebook argmin, no
+    join), flattens M sub-vectors into (m, code, pos, v) structs, and one
+    explode + groupBy(m, code, pos) computes every positional mean with
+    map-side combine (<= M*K*sub_dim partial rows per task). Codebooks
+    are M*K*sub_dim doubles = driver-sized by definition, so they inline
+    as literals, exactly like kmeans_centroids. At 100 TB you would train
+    on a sample; the full-corpus pass here keeps the DuckDB oracle an
+    exact replay. Returns books[m][code] = list of sub_dim floats."""
+    seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k_codes).collect()
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seeds, key=lambda r: r["vec_id"])
+    ]
+    dim = len(vecs[0]) if vecs else 0
+    sub_dim = dim // m_sub
+    books = [
+        [v[m * sub_dim : (m + 1) * sub_dim] for v in vecs] for m in range(m_sub)
+    ]
+    for _ in range(n_iters):
+        # codes in their OWN select before the generator (see the analyzer
+        # caveat in kmeans_centroids)
+        coded = emb.select(
+            "embedding",
+            *[
+                _pq_code_for(_sub(F.col("embedding"), m, sub_dim), books[m]).alias(
+                    f"code_{m}"
+                )
+                for m in range(m_sub)
+            ],
+        )
+        def _part_structs(m: int) -> Column:
+            # closure factory, NOT a default-arg lambda: pyspark introspects
+            # the lambda's parameter count, and a bound default would make
+            # the 2-arg (x, i) transform look 3-ary
+            return F.transform(
+                _sub(F.col("embedding"), m, sub_dim),
+                lambda x, i: F.struct(
+                    F.lit(m).alias("m"),
+                    F.col(f"code_{m}").alias("code"),
+                    i.alias("pos"),
+                    x.cast("double").alias("v"),
+                ),
+            )
+
+        parts = F.flatten(F.array(*[_part_structs(m) for m in range(m_sub)]))
+        rows = (
+            coded.select(F.explode(parts).alias("t"))
+            .groupBy(
+                F.col("t.m").alias("m"),
+                F.col("t.code").alias("code"),
+                F.col("t.pos").alias("pos"),
+            )
+            .agg(F.avg("t.v").alias("c"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_key.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["c"]
+        books = [
+            [
+                [by_key[(m, j)][p] for p in range(sub_dim)]
+                if (m, j) in by_key
+                else books[m][j]
+                for j in range(k_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_probes: int = 2,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    pq_iters: int = 1,
+    rerank: int = 20,
+    query_modulus: int = 50,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse k-means routing (x44's trained inverted lists)
+    + per-list ADC scoring against trained PQ codebooks + exact rerank of
+    the top ``rerank`` ADC candidates.
+
+    Plan shape — the part that matters at 100 TB:
+    - encode: ONE corpus projection adds the coarse cid and the M code
+      ids (all literal-codebook argmins — no join, no shuffle). At scale
+      this projection is written once at ingest; the stored index is
+      (cid, M bytes) per vector, a ~64x compression of the scan the ANN
+      pays, and the original embedding is only fetched for the rerank
+      shortlist.
+    - search: each query precomputes its M x K lookup table ONCE on the
+      broadcast probe side; per (query, candidate) pair the ADC score is
+      M element_at lookups + 3 adds — no D-dim arithmetic touches the
+      corpus rows until the <= ``rerank``-per-query exact pass.
+    - both windows partition by query_id, so the only corpus-side
+      shuffle is candidate-sized (probed lists), never corpus-sized.
+
+    Deterministic end to end (rounded scores, vec_id tiebreaks), so the
+    DuckDB oracle replays coarse training, PQ training, encoding, ADC
+    and rerank exactly (ivfpq_oracle_sql)."""
+    cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
+    books = pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters)
+    sub_dim = len(books[0][0])
+    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        (-best["neg_cid"]).cast("int").alias("cid"),
+        l2_norm(F.col("embedding")).alias("cn"),
+        *[
+            _pq_code_for(_sub(F.col("embedding"), m, sub_dim), books[m]).alias(
+                f"code_{m}"
+            )
+            for m in range(m_sub)
+        ],
+    )
+    probe_structs = F.slice(
+        F.reverse(F.array_sort(_centroid_candidates(F.col("embedding"), cents))),
+        1,
+        n_probes,
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        dot(
+                            _sub(F.col("embedding"), m, sub_dim),
+                            F.array(*[F.lit(float(v)) for v in books[m][j]]),
+                        ),
+                        SCORE_SCALE,
+                    )
+                    for j in range(k_codes)
+                ]
+            )
+            for m in range(m_sub)
+        ]
+    )
+    probes = (
+        emb.where(F.col("vec_id") % query_modulus == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_emb"),
+            l2_norm(F.col("embedding")).alias("qn"),
+            lut.alias("lut"),
+            F.explode(probe_structs).alias("p"),
+        )
+        .select(
+            "query_id",
+            "query_emb",
+            "qn",
+            "lut",
+            (-F.col("p.neg_cid")).cast("int").alias("probe_cid"),
+        )
+    )
+    adc = F.round(
+        sum(
+            (
+                F.element_at(F.element_at(F.col("lut"), m + 1), F.col(f"code_{m}") + 1)
+                for m in range(1, m_sub)
+            ),
+            F.element_at(F.element_at(F.col("lut"), 1), F.col("code_0") + 1),
+        ),
+        SCORE_SCALE,
+    )
+    cands = (
+        corpus.join(F.broadcast(probes), corpus.cid == probes.probe_cid)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "cn",
+            "query_emb",
+            "qn",
+            adc.alias("adc"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlist = (
+        cands.withColumn("crank", F.row_number().over(w1))
+        .where(F.col("crank") <= rerank)
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_prenorm(
+                F.col("query_emb"), F.col("embedding"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _pq_training_ctes(
+    m_sub: int, k_codes: int, n_iters: int, sub_dim: int
+) -> tuple[list[str], str]:
+    """The PQ-training CTE chain: pq_seeds -> cb_0 -> (pq_assign_i, cb_i)*
+    — the SQL replay of pq_codebooks, iteration by iteration."""
+    sd = sub_dim
+    ms = f"(SELECT CAST(unnest(range({m_sub})) AS INT) AS m) ms"
+    ctes = [
+        f"pq_seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k_codes})",
+        f"""cb_0 AS (
+    SELECT ms.m,
+           CAST(row_number() OVER (PARTITION BY ms.m ORDER BY s.vec_id) - 1 AS INT) AS code,
+           list_transform(list_slice(s.embedding, ms.m*{sd}+1, ms.m*{sd}+{sd}),
+                          x -> CAST(x AS DOUBLE)) AS cvec
+    FROM pq_seeds s CROSS JOIN {ms}
+)""",
+    ]
+    d2 = (
+        f"round(list_sum(list_transform(range({sd}), "
+        f"j -> (s.sub[j+1] - c.cvec[j+1]) * (s.sub[j+1] - c.cvec[j+1]))), {SCORE_SCALE})"
+    )
+    for it in range(1, n_iters + 1):
+        prev = f"cb_{it - 1}"
+        ctes.append(
+            f"""pq_assign_{it} AS (
+    SELECT vec_id, m, code, sub FROM (
+        SELECT s.vec_id, s.m, c.code, s.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.code) AS arank
+        FROM (
+            SELECT e.vec_id, ms.m,
+                   list_transform(list_slice(e.embedding, ms.m*{sd}+1, ms.m*{sd}+{sd}),
+                                  x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings e CROSS JOIN {ms}
+        ) s JOIN {prev} c ON c.m = s.m
+    ) WHERE arank = 1
+)"""
+        )
+        ctes.append(
+            f"""cb_{it} AS (
+    SELECT p.m, p.code, coalesce(n.cvec, p.cvec) AS cvec
+    FROM {prev} p LEFT JOIN (
+        SELECT m, code, list(c ORDER BY pos) AS cvec
+        FROM (
+            SELECT a.m, a.code, u.i AS pos, avg(u.x) AS c
+            FROM pq_assign_{it} a,
+                 unnest(list_transform(a.sub, (x, i) -> {{'i': i, 'x': x}})) AS t(u)
+            GROUP BY a.m, a.code, u.i
+        ) GROUP BY m, code
+    ) n ON n.m = p.m AND n.code = p.code
+)"""
+        )
+    return ctes, f"cb_{n_iters}"
+
+
+def ivfpq_oracle_sql(
+    k: int = 3,
+    n_probes: int = 2,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    pq_iters: int = 1,
+    rerank: int = 20,
+    query_modulus: int = 50,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the ENTIRE IVF-PQ pipeline: coarse k-means
+    training, PQ codebook training, corpus encoding, probe selection,
+    LUT build, ADC scoring, shortlist and exact rerank — so every stage
+    of the index, not just the final ranking, is differential-checked."""
+    sd = dim // m_sub
+    ms = f"(SELECT CAST(unnest(range({m_sub})) AS INT) AS m) ms"
+    ctes, cent_final = _kmeans_training_ctes(n_clusters, n_iters)
+    pq_ctes, cb_final = _pq_training_ctes(m_sub, k_codes, pq_iters, sd)
+    ctes.extend(pq_ctes)
+    d2 = (
+        f"round(list_sum(list_transform(range({sd}), "
+        f"j -> (s.sub[j+1] - c.cvec[j+1]) * (s.sub[j+1] - c.cvec[j+1]))), {SCORE_SCALE})"
+    )
+    ctes.append(
+        f"""pq_codes AS MATERIALIZED (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.code) AS arank
+        FROM (
+            SELECT e.vec_id, ms.m,
+                   list_transform(list_slice(e.embedding, ms.m*{sd}+1, ms.m*{sd}+{sd}),
+                                  x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings e CROSS JOIN {ms}
+        ) s JOIN {cb_final} c ON c.m = s.m
+    ) WHERE arank = 1
+)"""
+    )
+    cos_corpus = cosine_sql("e.embedding", "c.centroid")
+    cos_query = cosine_sql("q.embedding", "c.centroid")
+    ctes.append(
+        f"""corpus AS MATERIALIZED (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_corpus} DESC, c.cid) AS arank
+        FROM embeddings e CROSS JOIN {cent_final} c
+    ) WHERE arank = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS MATERIALIZED (
+    SELECT query_id, probe_cid FROM (
+        SELECT q.vec_id AS query_id, c.cid AS probe_cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_query} DESC, c.cid) AS crank
+        FROM embeddings q CROSS JOIN {cent_final} c
+        WHERE q.vec_id % {query_modulus} = 0
+    ) WHERE crank <= {n_probes}
+)"""
+    )
+    ctes.append(
+        f"""lut AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.m, c.code,
+           round(list_sum(list_transform(range({sd}),
+               j -> CAST(list_slice(q.embedding, c.m*{sd}+1, c.m*{sd}+{sd})[j+1] AS DOUBLE)
+                    * c.cvec[j+1])), {SCORE_SCALE}) AS v
+    FROM embeddings q CROSS JOIN {cb_final} c
+    WHERE q.vec_id % {query_modulus} = 0
+)"""
+    )
+    code_joins = "\n    ".join(
+        f"JOIN pq_codes c{m} ON c{m}.vec_id = e.vec_id AND c{m}.m = {m}\n"
+        f"    JOIN lut l{m} ON l{m}.query_id = p.query_id AND l{m}.m = {m} AND l{m}.code = c{m}.code"
+        for m in range(m_sub)
+    )
+    adc_sum = " + ".join(f"l{m}.v" for m in range(m_sub))
+    ctes.append(
+        f"""adc_scored AS (
+    SELECT p.query_id, e.vec_id, e.embedding, round({adc_sum}, {SCORE_SCALE}) AS adc
+    FROM corpus e
+    JOIN probes p ON e.cid = p.probe_cid AND e.vec_id != p.query_id
+    {code_joins}
+)"""
+    )
+    ctes.append(
+        f"""shortlist AS (
+    SELECT query_id, vec_id, embedding FROM (
+        SELECT query_id, vec_id, embedding,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crank
+        FROM adc_scored
+    ) WHERE crank <= {rerank}
+)"""
+    )
+    cos_rerank = cosine_sql("q.embedding", "s.embedding")
+    ctes.append(
+        f"""rescored AS (
+    SELECT s.query_id, s.vec_id, {cos_rerank} AS score
+    FROM shortlist s JOIN embeddings q ON q.vec_id = s.query_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM rescored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )

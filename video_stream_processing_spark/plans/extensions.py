@@ -1495,3 +1495,36 @@ def x43_jpeg_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return real_decode_stats(rendered)
+
+
+@register(
+    "x48_ivfpq_topk",
+    oracle=S.ivfpq_oracle_sql(
+        k=3, n_probes=2, n_clusters=8, n_iters=2, pq_iters=1, rerank=20
+    ),
+    tags=("extension", "similarity", "ivf", "pq", "kmeans"),
+)
+def x48_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jegou et al. 2011 / the FAISS IVFPQ layout): trained
+    coarse k-means routes vectors into inverted lists; within probed
+    lists, candidates are scored by Asymmetric Distance Computation
+    against M=4 trained per-subspace codebooks — M table lookups per
+    pair instead of a 64-dim dot product — and the top-20 ADC shortlist
+    is reranked with the exact cosine. This is the canonical 100 TB ANN
+    design: the stored index is (cid, 4 code bytes) per vector (~64x
+    scan compression); encoding is a literal-codebook projection (no
+    join, no corpus shuffle); PQ training runs ALL subspaces in one
+    corpus scan per Lloyd pass; query LUTs are built once on the
+    broadcast probe side. Training, encoding, ADC and rerank are all
+    deterministic, so the DuckDB oracle replays the entire index build,
+    not just the final ranking
+    (operators/similarity.py:pq_codebooks,ivfpq_topk)."""
+    return S.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        k=3,
+        n_probes=2,
+        n_clusters=8,
+        n_iters=2,
+        pq_iters=1,
+        rerank=20,
+    )
