@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from video_stream_processing_spark.operators.text import tokens_col
@@ -627,3 +627,73 @@ SELECT ov.doc_id, ov.bench_id, CAST(shared AS BIGINT) AS shared,
        round(shared * 1.0 / n, 4) AS overlap_ratio
 FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id
 """
+
+
+def decontaminate_pairs_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 5,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """decontaminate_pairs for the regime where the benchmark side is
+    TOO BIG TO BROADCAST (x26 broadcasts the bench shingle index; a
+    large held-out suite or another corpus shard may not fit): a
+    Bloom-style prefilter whose size is FIXED by n_bits regardless of
+    bench size, then an exact sort-merge join on the survivors.
+
+    Plan shape at 100 TB:
+    - bench shingle hashes fold into <= n_bits DISTINCT bit positions
+      per hash function (k=n_hashes functions via seeded xxhash64) —
+      the "bitset" is a bounded int set, broadcastable even when the
+      bench index itself is not;
+    - the corpus streams through n_hashes broadcast LEFT SEMI joins on
+      those int positions — a corpus shingle enters the exact join's
+      shuffle ONLY if every position hits (classic Bloom AND), so
+      shuffle volume is true-collisions + false-positive rate, not
+      corpus size;
+    - the exact join is hinted sort-merge (both sides shuffle on the
+      fixed-width md5 key) because THIS regime assumes the bench side
+      exceeds the broadcast threshold; false positives die here, so
+      the result is exactly decontaminate_pairs' output.
+
+    Same oracle as x26 (the prefilter is semantics-preserving); the
+    soundness invariant (no true match pruned) and the actual pruning
+    are pinned by tests/test_extensions.py::test_bloom_decontaminate_*."""
+    from video_stream_processing_spark.operators.text import shingles
+
+    b_sh = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+    ).select("bench_id", F.md5("s").alias("w"))
+    t_sh = _ensure_parallelism(
+        train.select(
+            "doc_id",
+            F.size(F.array_distinct(shingles(text_col, k))).cast("long").alias("n"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+        ).select("doc_id", "n", F.md5("s").alias("w"))
+    )
+
+    def pos(col: Column, seed: int) -> Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+
+    filtered = t_sh
+    for seed in range(n_hashes):
+        bits = b_sh.select(pos(F.col("w"), seed).alias("p")).distinct()
+        filtered = filtered.join(
+            F.broadcast(bits), pos(F.col("w"), seed) == bits.p, "left_semi"
+        )
+    return (
+        filtered.join(b_sh.hint("merge"), "w")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"), F.first("n").alias("n"))
+        .where(F.col("shared") >= min_shared)
+        .select(
+            "doc_id",
+            "bench_id",
+            "shared",
+            F.round(F.col("shared") / F.col("n"), 4).alias("overlap_ratio"),
+        )
+    )

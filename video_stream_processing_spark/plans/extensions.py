@@ -1528,3 +1528,45 @@ def x48_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_iters=1,
         rerank=20,
     )
+
+
+@register(
+    "x49_decontaminate_bloom",
+    oracle=D.decontaminate_oracle_sql(bench_mod=10, bench_rem=3, min_shared=4),
+    tags=("extension", "dedup", "decontamination", "bloom"),
+)
+def x49_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination for the LARGE-bench regime (x26's broadcast
+    assumption dropped): a fixed-size Bloom prefilter — bench shingle
+    hashes folded to <= 2^17 bit positions per seeded hash function,
+    broadcast as bounded int sets no matter how big the bench is — and
+    two broadcast LEFT SEMI joins gate which corpus shingles enter the
+    exact sort-merge join at all. Corpus-side shuffle volume becomes
+    true-collisions + false-positive rate instead of corpus size; the
+    exact join kills false positives, so the oracle is x26's exact SQL
+    (different split: bench = doc_id%10==3, min_shared=4). Soundness and
+    actual pruning are pinned by tests
+    (operators/dedup.py:decontaminate_pairs_bloom)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 3)
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    return D.decontaminate_pairs_bloom(train, bench, min_shared=4)
+
+
+@register(
+    "x50_rp_ann_topk",
+    oracle=S.rp_ann_oracle_sql(k=3, out_dim=16, shortlist=20),
+    tags=("extension", "similarity", "random_projection"),
+)
+def x50_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (Achlioptas 2003 database-friendly JL):
+    embeddings project onto 16 deterministic +/-1 sign rows — a pure
+    per-row projection computed once at ingest, shrinking the ANN scan
+    and per-pair dot cost 4x — then the projected-cosine top-20
+    shortlist is reranked exactly. The sign matrix is an integer
+    formula, so the oracle replays projection, shortlist and rerank
+    bit-for-bit; shortlist recall on the planted corpus is pytest-gated
+    (operators/similarity.py:rp_project,rp_ann_topk)."""
+    return S.rp_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), k=3, out_dim=16, shortlist=20
+    )
