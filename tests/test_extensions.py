@@ -694,3 +694,28 @@ def test_rp_projection_full_rank_and_recall(spark):
     got = pairs(rp_ann_topk(emb, k=3, out_dim=8, shortlist=20, query_modulus=1000))
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_mjpeg_split_truncation_and_corruption(spark):
+    """EOI-split contract: a truncated trailing frame (no EOI) is
+    dropped; a frame with corrupted interior still splits correctly
+    (stuffing keeps FF D9 unique) and decodes to null stats, matching
+    the null-on-failure contract."""
+    import numpy as np
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import mjpeg_frames_stats
+
+    f0 = encode_jpeg(np.full((9, 11, 3), 40, np.uint8))
+    f1 = encode_jpeg(np.full((12, 8, 3), 100, np.uint8))
+    corrupt = bytearray(f1)
+    corrupt[2:6] = b"\x00\x00\x00\x00"  # destroy the first marker segment
+    assert b"\xff\xd9" not in bytes(corrupt[:-2])  # still exactly one EOI
+    truncated = f0[:-2]  # strip EOI -> not a complete frame
+    blob = f0 + bytes(corrupt) + truncated
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, payload binary")
+    rows = sorted(mjpeg_frames_stats(df).collect(), key=lambda r: r["frame_id"])
+    assert len(rows) == 2  # truncated tail dropped
+    assert (rows[0]["width"], rows[0]["height"]) == (11, 9)
+    assert rows[0]["px_min"] == rows[0]["px_max"] == 40
+    assert rows[1]["width"] is None and rows[1]["px_min"] is None

@@ -184,3 +184,67 @@ def frame_sample(
         .where(((F.col("rn") - 1) % every_n) == 0)
         .drop("rn")
     )
+
+
+def mjpeg_frames_stats(df: DataFrame) -> DataFrame:
+    """Split a concatenated-JPEG ("MJPEG over the wire") BINARY column
+    into frames and decode each — the video-ingest analog of the
+    reference's per-frame pipeline when a producer batches whole clips
+    instead of single frames.
+
+    Frame boundary rule: split after each EOI marker (FF D9). Sound for
+    baseline JPEG streams because entropy-coded data byte-stuffs FF as
+    FF 00 (a literal FF D9 cannot occur inside a scan), and our fixed
+    header segments carry no FF bytes — the same rule real MJPEG/HTTP
+    demuxers use. One Arrow-batched mapInPandas does split AND decode:
+    a row fans out to its frames in-place, so the (large) binary never
+    crosses a shuffle and no intermediate frame table materializes.
+    Emits (doc_id, frame_id, width, height, px_min, px_max); an
+    undecodable frame yields null stats (ImageUtils.java:33 contract)."""
+
+    def split_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+
+        for pdf in batches:
+            doc_ids, frame_ids = [], []
+            widths, heights, mins, maxs = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(blob)
+                start = 0
+                frame_id = 0
+                while start < len(data):
+                    eoi = data.find(b"\xff\xd9", start)
+                    if eoi < 0:
+                        break
+                    frame = data[start : eoi + 2]
+                    start = eoi + 2
+                    img = decode_image_bgr(frame)
+                    doc_ids.append(doc_id)
+                    frame_ids.append(frame_id)
+                    if img is None:
+                        widths.append(None)
+                        heights.append(None)
+                        mins.append(None)
+                        maxs.append(None)
+                    else:
+                        h, w, _ = img.shape
+                        widths.append(w)
+                        heights.append(h)
+                        mins.append(int(img.min()))
+                        maxs.append(int(img.max()))
+                    frame_id += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="Int64"),
+                    "frame_id": pd.array(frame_ids, dtype="Int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        split_decode,
+        schema="doc_id long, frame_id int, width int, height int, px_min int, px_max int",
+    )

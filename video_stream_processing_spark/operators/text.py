@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword list used by quality scoring and lang-id.
@@ -257,3 +257,61 @@ def curation_keep(text_col: str = "text") -> Column:
     for r in rules[1:]:
         out = out & r
     return out
+
+
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability — the self-trained
+    language-model quality signal (the cheap proxy for CCNet-style
+    perplexity filtering: docs whose tokens are improbable under the
+    corpus' own unigram distribution are boilerplate/noise candidates).
+
+    Two-phase plan, both phases one shuffle:
+    - train: explode tokens once, groupBy(token) count; the corpus-total
+      divisor rides on the (small) vocab via a global window, so no
+      driver-side scalar collect;
+    - score: the exploded tokens re-join their logprob via a BROADCAST
+      hash join (a natural-text vocab is heavy-tailed and bounded —
+      ~millions of rows at 100 TB; cap to top-V with a smoothed floor if
+      a tokenizer explosion ever unbounds it), then one groupBy(doc_id)
+      mean. Every token is in-vocab by construction (trained on the
+      same corpus), so no smoothing branch is needed.
+
+    avg() of per-token doubles differs across engines only in summation
+    order; rounding to 4 decimals absorbs it (same argument as every
+    score column in this module)."""
+    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    w_all = Window.partitionBy()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .select("tok", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_oracle_sql() -> str:
+    return """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok, count(*) AS cnt, sum(count(*)) OVER () AS total
+    FROM toks GROUP BY tok
+),
+scored AS (
+    SELECT t.doc_id, ln(v.cnt / v.total) AS logp
+    FROM toks t JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""

@@ -1570,3 +1570,119 @@ def x50_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rp_ann_topk(
         load_table(spark, sf_dir, "embeddings"), k=3, out_dim=16, shortlist=20
     )
+
+
+@register(
+    "x51_unigram_logprob",
+    oracle=T.unigram_logprob_oracle_sql(),
+    tags=("extension", "text", "quality", "lm"),
+)
+def x51_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM quality scoring (the cheap stand-in for
+    CCNet/KenLM perplexity filtering): train the token distribution on
+    the corpus in one explode + groupBy, then score every document's
+    mean token log-probability through a broadcast vocab join — low
+    scorers are boilerplate/noise candidates for the curation filter
+    chain. Two shuffles total (vocab count, per-doc mean); the corpus
+    never joins anything bigger than the vocab
+    (operators/text.py:unigram_logprob_scores)."""
+    return T.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x52_temperature_mixing",
+    oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+r AS (
+    SELECT lang, n,
+           least(1.0, (sqrt(n) / sum(sqrt(n)) OVER ()) * sum(n) OVER () / n) AS kr
+    FROM c
+)
+SELECT d.doc_id, d.lang, round(r.kr, 6) AS keep_rate
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < r.kr
+""",
+    tags=("extension", "sampling", "mixing", "temperature"),
+)
+def x52_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/multilingual balancing
+    rule: sample language s with probability proportional to n_s^alpha,
+    alpha=0.5 — upweights tail languages, damps the en-heavy head — computed
+    here as sqrt for exact cross-engine parity). Keep rate rescales the
+    temperature share back to corpus size (the en head drops to kr~0.7
+    at sf0.01 while every tail language keeps rate 1), capped at 1; membership is
+    the same deterministic md5-uniform draw as x36, so the resample is
+    reproducible under re-runs and repartitioning. The per-language rate
+    table is a tiny aggregate (window over languages, not the corpus)
+    broadcast back onto the scan — one corpus shuffle total (the
+    groupBy(lang) count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    win = Window.partitionBy()
+    r = c.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt("n") / F.sum(F.sqrt("n")).over(win))
+            * F.sum("n").over(win)
+            / F.col("n"),
+        ).alias("kr"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .where(u < F.col("kr"))
+        .select("doc_id", "lang", F.round("kr", 6).alias("keep_rate"))
+    )
+
+
+@register(
+    "x53_mjpeg_frame_split",
+    oracle="""
+SELECT doc_id, CAST(f AS INT) AS frame_id,
+       CAST(((doc_id + 5*f) % 17) + 8 AS INT) AS width,
+       CAST(((doc_id + 3*f) % 13) + 8 AS INT) AS height,
+       CAST(2 * ((doc_id * 7 + f * 11) % 128) AS INT) AS px_min,
+       CAST(2 * ((doc_id * 7 + f * 11) % 128) AS INT) AS px_max
+FROM (SELECT doc_id, unnest(range((doc_id % 4) + 2)) AS f FROM documents)
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "video"),
+)
+def x53_mjpeg_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-JPEG clip ingest: each doc renders (doc_id%4)+2 real
+    baseline-JPEG frames (flat even-gray, per-frame dims/value varying
+    arithmetically) into ONE binary blob — the MJPEG wire shape a
+    batching producer emits — then mjpeg_frames_stats splits on EOI
+    markers and real-decodes every frame in a single Arrow-batched
+    mapInPandas (fan-out in place; binary never crosses a shuffle).
+    The DuckDB oracle predicts frame count, per-frame dimensions and
+    exact decoded gray arithmetically, so the splitter AND the decoder
+    are both differential-checked
+    (operators/multimodal.py:mjpeg_frames_stats)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import mjpeg_frames_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = b""
+                for f in range(d % 4 + 2):
+                    w = (d + 5 * f) % 17 + 8
+                    h = (d + 3 * f) % 13 + 8
+                    v = 2 * ((d * 7 + f * 11) % 128)
+                    blob += encode_jpeg(np.full((h, w, 3), v, np.uint8))
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return mjpeg_frames_stats(rendered)
