@@ -59,6 +59,10 @@ HEADLINE = (
     "x44_ivf_trained_topk",  # k-means-trained IVF (training + search)
     "x45_lsh_multitable_capped",  # skew-capped ANN bucket join
     "a10_keyframes_from_bytes",  # binary-payload keyframe gate (real-codec a-path)
+    # round-5 additions: the new scale-path operators
+    "x48_ivfpq_topk",  # IVF-PQ: trained coarse + product quantization + rerank
+    "x49_decontaminate_bloom",  # fixed-size Bloom prefilter + sort-merge exact join
+    "x51_unigram_logprob",  # self-trained unigram-LM quality scoring
 )
 
 

@@ -139,3 +139,42 @@ def test_incremental_dedup_stream_replay_emits_once(spark, tmp_path):
     sink(replay_df, batch4)
     sink(replay_df, batch4)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
+
+
+def test_decontaminate_stream_flags_overlap(spark, tmp_path):
+    """Ingest-time decontamination: an arriving doc sharing >= min_shared
+    distinct 3-gram shingles with a bench doc is flagged with the exact
+    overlap count; clean docs pass silently. Stateless stream-static
+    broadcast — restart-safe with no state directory."""
+    from video_stream_processing_spark.streaming.pipeline import decontaminate_stream
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean_text = "one two three four five six seven eight nine ten"
+    # 8 tokens shared with bench -> 6 shared trigram shingles
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta XX YY"
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    d = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    _write(
+        spark,
+        d,
+        [(1, BASE, contaminated), (2, BASE + 1_000, clean_text)],
+        "overwrite",
+    )
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        decontaminate_stream(stream, bench, k=3, min_shared=5)
+        .writeStream.format("memory")
+        .queryName("decont")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM decont").collect()
+        assert [(r["doc_id"], r["bench_id"], r["shared"]) for r in rows] == [(1, 100, 6)]
+    finally:
+        q.stop()

@@ -57,6 +57,22 @@ def _planted_section(spark, S, pairs) -> list[str]:
         )
         / len(truth)
     )
+    r_ivfpq = (
+        len(
+            pairs(
+                S.ivfpq_topk(
+                    emb, k=3, n_probes=2, n_clusters=10, n_iters=2,
+                    m_sub=4, k_codes=8, pq_iters=1, rerank=20, query_modulus=1000,
+                )
+            )
+            & truth
+        )
+        / len(truth)
+    )
+    r_rp = (
+        len(pairs(S.rp_ann_topk(emb, k=3, out_dim=8, shortlist=20, query_modulus=1000)) & truth)
+        / len(truth)
+    )
     return [
         "",
         "## Planted-neighbor corpus (the meaningful measurement)",
@@ -72,6 +88,8 @@ def _planted_section(spark, S, pairs) -> list[str]:
         f"| lsh_1x8bits (single table) | {r_single:.3f} |",
         f"| lsh_4x6bits (4-table OR) | **{r_multi:.3f}** |",
         f"| ivf_trained_k10_probe2 (x44, Lloyd k-means) | **{r_trained:.3f}** |",
+        f"| ivfpq_m4k8_rerank20 (x48, coarse+PQ+rerank) | **{r_ivfpq:.3f}** |",
+        f"| rp_d8_shortlist20 (x50, +/-1 projection+rerank) | **{r_rp:.3f}** |",
         "",
         "The gates assert multi-table recall >= 0.9, >= the single-table",
         "recall, that the single-table index measurably misses (<= 0.8) —",
@@ -80,6 +98,11 @@ def _planted_section(spark, S, pairs) -> list[str]:
         "TRAINED IVF recall >= 0.9 and >= the label-derived probe-2 index",
         "(which inherits background label pollution; k-means does not —",
         "`tests/test_extensions.py::test_trained_ivf_recall_on_planted_clusters`).",
+        "IVF-PQ and the random-projection shortlist are gated >= 0.9 by",
+        "`test_ivfpq_recall_on_planted_clusters` and",
+        "`test_rp_projection_full_rank_and_recall` — both approximations",
+        "(quantized ADC ordering / 8-dim projected ordering) preserve the",
+        "planted neighborhood through their exact rerank.",
     ]
 
 
@@ -110,6 +133,14 @@ def main() -> int:
         "lsh_4x6bits capped@16 (x45)": (
             S.lsh_multitable_topk_capped(emb, k=k, bucket_cap=16),
             min(4 * 16, 4 * n // 64),
+        ),
+        "ivfpq_m4k8_rerank20 (x48)": (
+            S.ivfpq_topk(emb, k=k, n_probes=2, n_clusters=8, n_iters=2),
+            2 * n // 8,  # ADC-scored candidates; only 20/query pay exact cost
+        ),
+        "rp16_shortlist20 (x50)": (
+            S.rp_ann_topk(emb, k=k, out_dim=16, shortlist=20),
+            n,  # all pairs scored, but at 16-dim (1/4 cost); 20/query exact
         ),
     }
     lines = [

@@ -580,11 +580,20 @@ def decontaminate_pairs(
             F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
         ).select("bench_id", F.md5("s").alias("w"))
     )
+    # materialize the shingle array in its OWN projection before the
+    # explode: with size() and explode() in one select, the post-Generate
+    # Project re-derives the whole tokenize+shingle expression per
+    # EXPLODED row (the Generate-inlining trap shingles() documents) —
+    # this shape computes it once per doc and size(arr) is a cheap
+    # reference (measured ~2x on the sf0.1 corpus scan)
+    arr = train.select(
+        "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
+    )
     t = _ensure_parallelism(
-        train.select(
+        arr.select(
             "doc_id",
-            F.size(F.array_distinct(shingles(text_col, k))).cast("long").alias("n"),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+            F.size("arr").cast("long").alias("n"),
+            F.explode("arr").alias("s"),
         ).select("doc_id", "n", F.md5("s").alias("w"))
     )
     return (
@@ -668,11 +677,17 @@ def decontaminate_pairs_bloom(
         F.col("doc_id").alias("bench_id"),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
     ).select("bench_id", F.md5("s").alias("w"))
+    # same two-step projection as decontaminate_pairs: materialize the
+    # shingle array before the explode so size() is a reference, not a
+    # per-exploded-row re-derivation
+    t_arr = train.select(
+        "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
+    )
     t_sh = _ensure_parallelism(
-        train.select(
+        t_arr.select(
             "doc_id",
-            F.size(F.array_distinct(shingles(text_col, k))).cast("long").alias("n"),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+            F.size("arr").cast("long").alias("n"),
+            F.explode("arr").alias("s"),
         ).select("doc_id", "n", F.md5("s").alias("w"))
     )
 

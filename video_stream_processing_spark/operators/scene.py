@@ -94,7 +94,12 @@ def decoded_histogram_udf():
 
 
 def hist_correlation(
-    a: Column, b: Column, mean_a: Column | None = None, mean_b: Column | None = None
+    a: Column,
+    b: Column,
+    mean_a: Column | None = None,
+    mean_b: Column | None = None,
+    var_a: Column | None = None,
+    var_b: Column | None = None,
 ) -> Column:
     """OpenCV HISTCMP_CORREL, JVM-side:
     sum((a-ma)(b-mb)) / sqrt(sum((a-ma)^2) * sum((b-mb)^2)); zero
@@ -121,8 +126,16 @@ def hist_correlation(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    va = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x - ma) * (x - ma))
-    vb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x - mb) * (x - mb))
+    va = (
+        var_a
+        if var_a is not None
+        else F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x - ma) * (x - ma))
+    )
+    vb = (
+        var_b
+        if var_b is not None
+        else F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x - mb) * (x - mb))
+    )
     den = F.sqrt(va * vb)
     return F.when(den > 0, num / den).otherwise(
         F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
@@ -157,30 +170,48 @@ def with_scene_similarity(
     # per row instead of inside every HOF lambda element (the inlined
     # form costs O(n^2)/row and 11 duplicate lag(__h) copies — seen in
     # the formatted plan before this hoist).
+    # Each row folds its OWN mean and variance once; the predecessor's
+    # stats come back through lag() — bit-identical to re-folding the
+    # lagged array (same fold over the same values, computed when that
+    # row was current) but 2 of 5 O(n) folds per row disappear, and the
+    # lag window ships 2 extra doubles instead of re-evaluating 512
+    # interpreted lambda elements per row.
     df = (
-        df.withColumn("__ph", F.lag("__h").over(w))
-        .withColumn("__has_prev", F.lag(ts_col).over(w).isNotNull())
-        .withColumn(
+        df.withColumn(
             "__ma",
             F.aggregate("__h", F.lit(0.0), lambda acc, x: acc + x)
             / F.size("__h").cast("double"),
         )
         .withColumn(
-            "__mb",
-            F.aggregate("__ph", F.lit(0.0), lambda acc, x: acc + x)
-            / F.size("__ph").cast("double"),
+            "__va",
+            F.aggregate(
+                "__h",
+                F.lit(0.0),
+                lambda acc, x: acc + (x - F.col("__ma")) * (x - F.col("__ma")),
+            ),
         )
+        .withColumn("__ph", F.lag("__h").over(w))
+        .withColumn("__has_prev", F.lag(ts_col).over(w).isNotNull())
+        .withColumn("__mb", F.lag("__ma").over(w))
+        .withColumn("__vb", F.lag("__va").over(w))
     )
     sim = (
         F.when(~F.col("__has_prev"), F.lit(None).cast("double"))
         .when(F.col("__h").isNull() | F.col("__ph").isNull(), F.lit(1.0))
         .otherwise(
             hist_correlation(
-                F.col("__h"), F.col("__ph"), mean_a=F.col("__ma"), mean_b=F.col("__mb")
+                F.col("__h"),
+                F.col("__ph"),
+                mean_a=F.col("__ma"),
+                mean_b=F.col("__mb"),
+                var_a=F.col("__va"),
+                var_b=F.col("__vb"),
             )
         )
     )
-    return df.withColumn("scene_sim", sim).drop("__h", "__ph", "__has_prev", "__ma", "__mb")
+    return df.withColumn("scene_sim", sim).drop(
+        "__h", "__ph", "__has_prev", "__ma", "__mb", "__va", "__vb"
+    )
 
 
 def keyframe_gate_from_similarity(

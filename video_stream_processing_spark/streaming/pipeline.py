@@ -266,3 +266,49 @@ def incremental_dedup_stream(
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def decontaminate_stream(
+    new_docs: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Streaming twin of the decontamination check (x26/x49): every
+    arriving document is screened against the static benchmark set
+    BEFORE it can enter the training corpus — the ingest-time guard the
+    batch queries run retroactively.
+
+    Stateless by construction (no stream aggregation, no watermark
+    state): the bench side collapses to one (bench_id, shingle-set
+    array) row per eval doc — eval sets are bounded, this is the same
+    broadcast-ability assumption as x26 — and each arriving doc pays
+    one broadcast cross join + `array_intersect` per bench doc, all
+    JVM-side. A pair is flagged when the distinct-shingle overlap
+    reaches ``min_shared``. For a bench set past broadcast size, run
+    x49's bitset-gated batch form instead.
+
+    Input: streaming (doc_id, ts, text); output (doc_id, ts, bench_id,
+    shared) for flagged pairs.
+    """
+    from video_stream_processing_spark.operators.text import shingles
+
+    bench_sets = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_distinct(shingles("text", k)).alias("bench_shingles"),
+    )
+    arriving = new_docs.select(
+        "doc_id", "ts", F.array_distinct(shingles("text", k)).alias("doc_shingles")
+    )
+    return (
+        arriving.crossJoin(F.broadcast(bench_sets))
+        .select(
+            "doc_id",
+            "ts",
+            "bench_id",
+            F.size(F.array_intersect("doc_shingles", "bench_shingles"))
+            .cast("long")
+            .alias("shared"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )
