@@ -32,6 +32,11 @@ NESTED_LOOP_ALLOWED = {
     # k-broadcast-centroid cross joins (linear, bounded inner side —
     # the canonical k-means/IVF shape); the search is an equi-join
     "x44_ivf_trained_topk",
+    # random-projection shortlist: same bounded-query broadcast cross
+    # join as x06 — the projection cuts the per-pair and scan cost 4x,
+    # not the O(Q*N) pair count (documented in rp_ann_topk; compose
+    # with IVF/LSH routing for the full 100 TB path)
+    "x50_rp_ann_topk",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -1363,13 +1363,30 @@ def ivfpq_topk(
     and rerank exactly (ivfpq_oracle_sql)."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
     books = pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters)
+    corpus = ivfpq_encode(emb, cents, books)
+    return ivfpq_search(
+        corpus, emb, cents, books, k=k, n_probes=n_probes,
+        rerank=rerank, query_modulus=query_modulus,
+    )
+
+
+def ivfpq_encode(
+    emb: DataFrame, cents: list[list[float]], books: list[list[list[float]]]
+) -> DataFrame:
+    """The write-once-at-ingest half of IVF-PQ: project each vector's
+    coarse cid and M code ids against LITERAL codebooks — no join, no
+    shuffle. Persist this partitioned BY cid and the probe filter prunes
+    whole inverted-list partitions at the scan
+    (tests/test_extensions.py::test_ivfpq_encoded_index_partition_pruning
+    proves the pruning and that a search over the stored index equals
+    the recomputed plan)."""
+    m_sub = len(books)
     sub_dim = len(books[0][0])
     best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
-    corpus = emb.select(
+    return emb.select(
         "vec_id",
         "embedding",
         (-best["neg_cid"]).cast("int").alias("cid"),
-        l2_norm(F.col("embedding")).alias("cn"),
         *[
             _pq_code_for(_sub(F.col("embedding"), m, sub_dim), books[m]).alias(
                 f"code_{m}"
@@ -1377,6 +1394,27 @@ def ivfpq_topk(
             for m in range(m_sub)
         ],
     )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 3,
+    n_probes: int = 2,
+    rerank: int = 20,
+    query_modulus: int = 50,
+) -> DataFrame:
+    """The query half of IVF-PQ over an (optionally persisted) encoded
+    corpus: probe selection, per-query LUT build on the broadcast side,
+    ADC shortlist, exact rerank. ``corpus`` needs (vec_id, embedding,
+    cid, code_0..code_{M-1}) — the ivfpq_encode layout, live or read
+    back from storage."""
+    m_sub = len(books)
+    k_codes = len(books[0])
+    sub_dim = len(books[0][0])
+    corpus = corpus.withColumn("cn", l2_norm(F.col("embedding")))
     probe_structs = F.slice(
         F.reverse(F.array_sort(_centroid_candidates(F.col("embedding"), cents))),
         1,
@@ -1400,7 +1438,7 @@ def ivfpq_topk(
         ]
     )
     probes = (
-        emb.where(F.col("vec_id") % query_modulus == 0)
+        queries.where(F.col("vec_id") % query_modulus == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_emb"),
