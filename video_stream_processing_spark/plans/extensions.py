@@ -1686,3 +1686,148 @@ def x53_mjpeg_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return mjpeg_frames_stats(rendered)
+
+
+# --------------------------------------------------------------------------
+# Audio modality (x54-x55): WAV clips through the real RIFF/PCM codec
+# --------------------------------------------------------------------------
+
+# Shared synth formula (Spark render UDF and DuckDB oracle replay the same
+# arithmetic): per doc d, n = (d%40)+24 frames, ch = (d%2)+1 channels,
+# rate 8000, sample v(d,i,c) = ((d*31 + i*17 + c*1009) % 4001) - 2000;
+# every (d % 97 == 0) doc instead gets a malformed RIFF header to pin the
+# decode-or-null contract differentially.
+_WAV_SAMPLES_CTE = """
+WITH s AS (
+    SELECT doc_id,
+           (doc_id % 40) + 24 AS n,
+           (doc_id % 2) + 1 AS ch
+    FROM documents
+),
+si AS (SELECT doc_id, n, ch, unnest(range(n)) AS i FROM s),
+sc AS (SELECT doc_id, n, ch, i, unnest(range(ch)) AS c FROM si),
+v AS (
+    SELECT doc_id, n, ch, i, c,
+           ((doc_id * 31 + i * 17 + c * 1009) % 4001) - 2000 AS v
+    FROM sc
+)
+"""
+
+
+def _render_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Render each doc_id into a REAL RIFF/WAVE blob (or a malformed one
+    for d % 97 == 0) via the pure-numpy encoder — the mapInPandas synth
+    stage both audio queries share."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.wavcodec import encode_wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 97 == 0:
+                    payloads.append(b"RIFF\x04\x00\x00\x00WAVE\x01\x02\x03")
+                    continue
+                n = d % 40 + 24
+                ch = d % 2 + 1
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                samples = ((d * 31 + i * 17 + c * 1009) % 4001) - 2000
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        render, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "x54_wav_clip_features",
+    oracle=_WAV_SAMPLES_CTE
+    + """,
+agg AS (
+    SELECT doc_id,
+           CAST(min(v) AS INT) AS amp_min,
+           CAST(max(v) AS INT) AS amp_max,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM v GROUP BY doc_id
+),
+c0 AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+    FROM v WHERE c = 0
+),
+zc AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE pv IS NOT NULL AND ((v < 0) != (pv < 0))) AS INT)
+               AS zero_cross
+    FROM c0 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(s.n AS INT) END AS n_frames,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(s.ch AS INT) END AS channels,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.amp_min END AS amp_min,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.amp_max END AS amp_max,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.energy END AS energy,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE zc.zero_cross END AS zero_cross
+FROM s JOIN agg USING (doc_id) JOIN zc USING (doc_id)
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "audio"),
+)
+def x54_wav_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality, oracle-checked through the REAL codec: each doc
+    renders an arithmetic PCM clip ((d%40)+24 frames, mono/stereo by
+    parity) as an actual RIFF/WAVE file via the pure-numpy encoder, then
+    the production decoder (functions/wavcodec.py chunk walk) recovers
+    the samples and extracts integer-exact clip features — extrema,
+    total energy (sum v^2), channel-0 zero crossings. The DuckDB oracle
+    replays the synth formula and predicts every feature exactly, so
+    encode, chunk parsing, PCM layout (interleave, widths), and the
+    feature math are all differential-checked; the d%97==0 docs carry a
+    malformed RIFF header and must surface as all-null rows (the
+    decode-or-null contract, ImageUtils.java:33 analog). Both stages are
+    Arrow-batched mapInPandas; audio bytes never cross a shuffle
+    (operators/audio.py:wav_clip_features)."""
+    from video_stream_processing_spark.operators.audio import wav_clip_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_clip_features(_render_wav_payloads(docs))
+
+
+@register(
+    "x55_wav_frame_energy",
+    oracle=_WAV_SAMPLES_CTE
+    + """
+SELECT doc_id,
+       CAST(i // 16 AS INT) AS frame_id,
+       CAST(count(DISTINCT i) AS INT) AS n_in_frame,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(v * v) AS BIGINT) < 1000000 AS silent
+FROM v
+WHERE doc_id % 97 != 0
+GROUP BY doc_id, i // 16
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "audio"),
+)
+def x55_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length audio framing + per-frame energy (the VAD /
+    silence-trim primitive a speech-data pipeline runs before anything
+    else): decode each WAV and fan out to ceil(n/16) frames IN PLACE in
+    one Arrow-batched mapInPandas — the audio analog of the MJPEG
+    splitter (x53) — emitting per-frame sample count, exact energy, and
+    a silence flag. Undecodable clips (the planted d%97==0 malformed
+    headers) contribute no frames, which the oracle replays with the
+    same filter; partial last frames keep their true sample count. No
+    shuffle anywhere: the whole query is scan -> UDF
+    (operators/audio.py:wav_frame_energy)."""
+    from video_stream_processing_spark.operators.audio import wav_frame_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_frame_energy(
+        _render_wav_payloads(docs), frame_len=16, silence_threshold=1_000_000
+    )
