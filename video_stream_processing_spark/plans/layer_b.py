@@ -1786,3 +1786,77 @@ def b53_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select(
         "user_id", "event_id", "ts", F.round(num / den, 4).alias("ewma")
     )
+
+
+@register(
+    "b54_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+    SELECT o_custkey, o_orderpriority AS attr, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER w AS prev_attr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_attr IS NULL OR prev_attr != attr THEN 1 ELSE 0 END AS chg
+    FROM ordered
+),
+grp AS (
+    SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS g
+    FROM flagged
+),
+islands AS (
+    SELECT o_custkey, attr, CAST(g AS INT) AS version,
+           min(o_orderdate) AS valid_from
+    FROM grp GROUP BY o_custkey, attr, g
+)
+SELECT o_custkey, version, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+FROM islands
+""",
+    tags=("layer_b", "warehouse", "scd"),
+)
+def b54_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change feed — the
+    warehouse op every dimension pipeline runs: treat each customer's
+    order stream as updates to an attribute (o_orderpriority) and emit
+    versioned validity intervals [valid_from, valid_to) by collapsing
+    consecutive identical values (gaps-and-islands: lag -> change flag ->
+    running sum), valid_to = next version's valid_from, NULL + is_current
+    on the open interval. All three window specs share ONE hash partition
+    on o_custkey, so the whole build is a single shuffle + groupBy reusing
+    that partitioning — at 100 TB this is the minimal-movement plan (one
+    exchange of (key, ts, attr) triples, no self-join of the feed against
+    itself, which is the naive quadratic phrasing)."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("attr"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderpriority").over(seq).isNull()
+            | (F.lag("o_orderpriority").over(seq) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grp = flagged.withColumn(
+        "g", F.sum("chg").over(seq.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = grp.groupBy("o_custkey", "attr", F.col("g").cast("int").alias("version")).agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("version")
+    return islands.select(
+        "o_custkey",
+        "version",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        F.lead("valid_from").over(nxt).isNull().alias("is_current"),
+    )
