@@ -1,0 +1,78 @@
+"""CDC chunker (operators/chunking.py) — the property that justifies
+content-defined over fixed-size chunking: boundaries re-synchronize
+after an edit, so distant unchanged regions keep their chunk hashes."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from video_stream_processing_spark.operators.chunking import (
+    MODULUS,
+    _boundaries,
+    cdc_chunks,
+)
+
+
+def _chunks_of(text: str) -> list[str]:
+    cp = np.fromiter((ord(c) for c in text), dtype=np.int64, count=len(text))
+    b = _boundaries(cp)
+    starts = np.flatnonzero(np.concatenate(([True], b[:-1])))
+    ends = np.append(starts[1:], len(text))
+    return [text[s:e] for s, e in zip(starts, ends)]
+
+
+def test_chunks_reassemble_exactly():
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    assert "".join(_chunks_of(text)) == text
+
+
+def test_insertion_resynchronizes():
+    """Editing the head of a long text must leave the tail's chunks
+    identical — the CDC guarantee fixed-size chunking lacks."""
+    rng = np.random.default_rng(7)
+    base = "".join(chr(rng.integers(97, 123)) for _ in range(4000))
+    edited = "INSERTED-PREFIX-" + base
+    c1, c2 = _chunks_of(base), _chunks_of(edited)
+    # all boundaries depend on only 4 trailing chars, so after the edit
+    # region the chunk streams must converge; require most tail chunks
+    # shared (identity of content => identity of hash)
+    shared = set(c1) & set(c2)
+    assert len(shared) >= 0.8 * len(c1)
+    # and specifically the LAST chunks are identical
+    assert c1[-5:] == c2[-5:]
+
+
+def test_expected_chunk_length_near_modulus():
+    rng = np.random.default_rng(11)
+    text = "".join(chr(rng.integers(97, 123)) for _ in range(20000))
+    chunks = _chunks_of(text)
+    mean = len(text) / len(chunks)
+    assert MODULUS / 2 < mean < MODULUS * 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=1, max_size=500))
+def test_partition_property(text):
+    chunks = _chunks_of(text)
+    assert "".join(chunks) == text
+    assert all(len(c) > 0 for c in chunks)
+
+
+def test_spark_chunker_matches_local(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcdef " * 50), (1, ""), (2, None), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc  # empty/null -> no chunks
+    local = _chunks_of("abcdef " * 50)
+    got = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["chunk_len"] for r in got] == [len(c) for c in local]
+    import hashlib
+
+    assert [r["chunk_md5"] for r in got] == [
+        hashlib.md5(c.encode()).hexdigest() for c in local
+    ]

@@ -157,3 +157,41 @@ def test_wav_clip_features_planted(spark):
     assert list(f0["energy"]) == [100 + 100 + 400 + 400, 25]
     assert list(f0["silent"]) == [False, True]
     assert pd.api.types.is_bool_dtype(frames["silent"].dtype) or True
+
+
+def test_wav_features_streaming_twin(spark, tmp_path):
+    """The audio decode path under Structured Streaming: same
+    mapInPandas operator over a file-source stream must equal the batch
+    result row-for-row (stateless scan->UDF, so streaming is free)."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.audio import wav_clip_features
+
+    d = str(tmp_path / "wavs")
+    ck = str(tmp_path / "ck")
+    rows = [
+        (0, encode_wav(np.array([[7, -7], [8, -8]], dtype=np.int16))),
+        (1, encode_wav(np.arange(-5, 6, dtype=np.int16), sample_rate=16000)),
+        (2, b"not-a-wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    batch = {r["doc_id"]: r for r in wav_clip_features(spark.read.parquet(d)).collect()}
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(d)
+    q = (
+        wav_clip_features(stream)
+        .writeStream.format("memory")
+        .queryName("wavstream")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {r["doc_id"]: r for r in spark.sql("SELECT * FROM wavstream").collect()}
+    finally:
+        q.stop()
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert streamed[k].asDict() == batch[k].asDict()

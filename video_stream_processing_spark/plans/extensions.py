@@ -1831,3 +1831,108 @@ def x55_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_frame_energy(
         _render_wav_payloads(docs), frame_len=16, silence_threshold=1_000_000
     )
+
+
+# --------------------------------------------------------------------------
+# Trained BPE tokenizer (x56-x57)
+# --------------------------------------------------------------------------
+
+from video_stream_processing_spark.operators import bpe as B  # noqa: E402
+
+
+@register(
+    "x56_bpe_merges",
+    oracle=B.bpe_merges_oracle_sql(n_merges=3, sample_mod=5, sample_rem=0),
+    tags=("extension", "text", "tokenizer", "bpe"),
+)
+def x56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE merge table (Sennrich et al. 2016): learn 3 merges
+    from the deterministic doc_id%5==0 sample — per iteration, replay
+    prior merges as Catalyst folds, count adjacent symbol pairs
+    (slice+zip+explode, JVM-side), take the global argmax with the
+    count-DESC/left-ASC/right-ASC tie-break; only that one row reaches
+    the driver (the literal-inlining posture of the k-means centroids).
+    The DuckDB oracle retrains from scratch with string-encoded
+    list_reduce folds, so the merge CHOICES are differential-checked,
+    not just plumbing. Sample-bounded training is the production
+    posture — tokenizer trainers never scan 100 TB
+    (operators/bpe.py:train_bpe_merges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return B.bpe_merge_table(spark, docs, n_merges=3, sample_mod=5, sample_rem=0)
+
+
+@register(
+    "x57_bpe_piece_counts",
+    oracle=B.bpe_counts_oracle_sql(n_merges=3, sample_mod=5, sample_rem=0),
+    tags=("extension", "text", "tokenizer", "bpe"),
+)
+def x57_bpe_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the TRAINED merges: per doc, word count
+    and post-BPE piece count. Training reruns on the bounded sample
+    (3 argmax collects, driver-sized); the corpus-wide apply is a pure
+    scan -> project — the merge folds run per row inside
+    transform+aggregate, so tokenizing 100 TB ships ZERO bytes through
+    any exchange and parallelizes with the scan. The oracle replays
+    training AND the per-token leftmost-non-overlapping fold on every
+    document (operators/bpe.py:bpe_piece_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [m[:3] for m in B.train_bpe_merges(docs, n_merges=3, sample_mod=5, sample_rem=0)]
+    return B.bpe_piece_counts(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (x58-x59)
+# --------------------------------------------------------------------------
+
+from video_stream_processing_spark.operators import chunking as CH  # noqa: E402
+
+
+@register(
+    "x58_cdc_chunks",
+    oracle=CH.cdc_chunks_oracle_sql(),
+    tags=("extension", "dedup", "chunking", "pandas_udf"),
+)
+def x58_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/Venti rolling-hash chunker): each
+    document fans out to chunks whose boundaries are chosen by a
+    polynomial rolling hash of the trailing 4 code points (h%61==0), so
+    an insertion only perturbs boundaries locally and unchanged regions
+    keep their chunk hashes — the sub-document dedup primitive for
+    near-identical blobs. Chunking is one Arrow-batched mapInPandas
+    (vectorized numpy shifts, fan-out in place, body never shuffled);
+    the oracle rebuilds every boundary with lag windows + prefix sums
+    and every hash with md5(substr(..)), so the boundary RULE itself is
+    differential-checked (operators/chunking.py:cdc_chunks)."""
+    return CH.cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x59_cdc_shared_chunks",
+    oracle=CH.cdc_shared_chunks_oracle_sql(min_copies=2),
+    tags=("extension", "dedup", "chunking", "pandas_udf"),
+)
+def x59_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup over x58's chunk table: group by
+    chunk hash, keep chunks occurring >= 2 times, report copies, first
+    owner, and the chars dedup would save — the storage-savings view
+    CDC exists for. One fixed-width shuffle on chunk_md5 (the exact-
+    dedup posture at chunk grain); identical hash => identical content
+    => identical length, so max(chunk_len) is exact
+    (operators/chunking.py)."""
+    chunks = CH.cdc_chunks(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "chunk_md5",
+            "n_copies",
+            "first_doc",
+            "chunk_len",
+            ((F.col("n_copies") - 1) * F.col("chunk_len")).alias("dedup_savings_chars"),
+        )
+    )
