@@ -63,6 +63,10 @@ HEADLINE = (
     "x48_ivfpq_topk",  # IVF-PQ: trained coarse + product quantization + rerank
     "x49_decontaminate_bloom",  # fixed-size Bloom prefilter + sort-merge exact join
     "x51_unigram_logprob",  # self-trained unigram-LM quality scoring
+    # round-5 (cont.): the new modality / tokenizer / chunking paths
+    "x54_wav_clip_features",  # audio modality through the real RIFF/PCM codec
+    "x57_bpe_piece_counts",  # trained-BPE corpus tokenization (fold apply, 0 shuffle)
+    "x58_cdc_chunks",  # content-defined chunking (rolling-hash fan-out)
 )
 
 

@@ -195,3 +195,24 @@ def test_wav_features_streaming_twin(spark, tmp_path):
     assert set(streamed) == set(batch)
     for k in batch:
         assert streamed[k].asDict() == batch[k].asDict()
+
+
+def test_resample_2x_semantics(spark):
+    """Even positions copy, odd are floor-midpoints (negative-correct),
+    rate doubles, undecodable passes through as null payload."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.audio import resample_wav_2x
+
+    src = np.array([[-3, 4], [2, -5], [7, 0]], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(0, encode_wav(src, sample_rate=8000)), (1, b"bad")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["payload"] for r in resample_wav_2x(df).collect()}
+    assert rows[1] is None
+    out, rate = decode_wav(bytes(rows[0]))
+    assert rate == 16000
+    # floor((-3+2)/2) = -1 (floor, not trunc-to-zero 0); floor((4-5)/2) = -1
+    expect = np.array([[-3, 4], [-1, -1], [2, -5], [4, -3], [7, 0]])
+    assert np.array_equal(out, expect)

@@ -133,3 +133,41 @@ def wav_frame_energy(
             )
 
     return df.mapInPandas(split, schema=FRAME_SCHEMA)
+
+
+def resample_wav_2x(df: DataFrame) -> DataFrame:
+    """Binary -> binary audio transform: decode, 2x linear upsample,
+    re-encode at double the rate (the sample-rate normalization step a
+    speech pipeline runs before feature extraction / model ingest).
+
+    Output length 2n-1 per channel: even positions copy source frames,
+    odd positions are floor((s_k + s_{k+1}) / 2) — integer linear
+    interpolation, exactly replayable in SQL (floor, not truncate,
+    so negative midpoints match numpy's // semantics). Undecodable
+    payloads pass through as NULL payload (decode-or-null). Pure
+    per-row compute: scan -> UDF, no shuffle, binary stays in place."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.wavcodec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for blob in pdf["payload"]:
+                decoded = decode_wav(blob)
+                if decoded is None:
+                    payloads.append(None)
+                    continue
+                samples, rate = decoded
+                n = samples.shape[0]
+                mids = (samples[:-1] + samples[1:]) // 2  # floor division
+                out = np.empty((2 * n - 1, samples.shape[1]), dtype=np.int64)
+                out[0::2] = samples
+                if n > 1:
+                    out[1::2] = mids
+                payloads.append(encode_wav(out, sample_rate=rate * 2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.mapInPandas(resample, schema="doc_id long, payload binary")

@@ -1936,3 +1936,135 @@ def x59_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_copies") - 1) * F.col("chunk_len")).alias("dedup_savings_chars"),
         )
     )
+
+
+@register(
+    "x60_audio_resample",
+    oracle=_WAV_SAMPLES_CTE
+    + """,
+mids AS (
+    SELECT doc_id, n, ch, 2 * i + 1 AS j, c,
+           CAST(floor((v + nv) / 2.0) AS BIGINT) AS v
+    FROM (SELECT doc_id, n, ch, i, c, v,
+                 lead(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS nv
+          FROM v)
+    WHERE nv IS NOT NULL
+),
+r AS (
+    SELECT doc_id, n, ch, 2 * i AS j, c, v FROM v
+    UNION ALL SELECT doc_id, n, ch, j, c, v FROM mids
+),
+agg AS (
+    SELECT doc_id,
+           CAST(min(v) AS INT) AS amp_min,
+           CAST(max(v) AS INT) AS amp_max,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM r GROUP BY doc_id
+),
+c0 AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+    FROM r WHERE c = 0
+),
+zc AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE pv IS NOT NULL AND ((v < 0) != (pv < 0))) AS INT)
+               AS zero_cross
+    FROM c0 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(2 * s.n - 1 AS INT) END AS n_frames,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(16000 AS INT) END AS sample_rate,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE CAST(s.ch AS INT) END AS channels,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.amp_min END AS amp_min,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.amp_max END AS amp_max,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE agg.energy END AS energy,
+       CASE WHEN s.doc_id % 97 = 0 THEN NULL ELSE zc.zero_cross END AS zero_cross
+FROM s JOIN agg USING (doc_id) JOIN zc USING (doc_id)
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "audio"),
+)
+def x60_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio TRANSFORM through two full codec round-trips: render real
+    WAV clips (x54's synth), decode -> 2x linear upsample (even
+    positions copy, odd positions floor-midpoint — the sample-rate
+    normalization step speech pipelines run) -> re-encode at 16 kHz ->
+    decode AGAIN and extract clip features. The oracle rebuilds the
+    interpolated sequence arithmetically (lead window + floor), so
+    interpolation, both encodes, and both decodes are all
+    differential-checked; the planted malformed docs must pass through
+    as all-null rows. Every stage is Arrow-batched mapInPandas over the
+    binary column in place — scan -> UDF chain, zero shuffles
+    (operators/audio.py:resample_wav_2x)."""
+    from video_stream_processing_spark.operators.audio import (
+        resample_wav_2x,
+        wav_clip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_clip_features(resample_wav_2x(_render_wav_payloads(docs)))
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional layout: Z-order clustering (x61)
+# --------------------------------------------------------------------------
+
+def _z_terms_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave SQL: z = sum_b ((x>>b)&1)<<2b | ((y>>b)&1)<<(2b+1)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "x61_zorder_clustering",
+    oracle=f"""
+WITH dims AS (
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS x_dim,
+           CAST((epoch_ms(ts) // 1000 // 3600) & 255 AS BIGINT) AS y_dim
+    FROM events
+)
+SELECT event_id, x_dim, y_dim,
+       CAST({_z_terms_sql('x_dim', 'y_dim')} AS BIGINT) AS z_value,
+       CAST(({_z_terms_sql('x_dim', 'y_dim')}) // 256 AS BIGINT) AS z_bucket
+FROM dims
+""",
+    tags=("extension", "layout", "zorder"),
+)
+def x61_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key — the multi-dimensional layout
+    technique behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits
+    of two scan dimensions (user bucket, hour-of-epoch bucket) so rows
+    close in EITHER dimension land in the same files, and 2-D range
+    predicates prune most row groups — a 1-D sort can only prune along
+    its leading key. The interleave is 16 unrolled JVM bit terms (a pure
+    projection: zero shuffle at compute time; the one range-partition
+    shuffle happens at write time, by design); z_bucket = z >> 8 is the
+    target file assignment. tests/test_zorder.py proves the pruning
+    claim: a square region touches ~10x fewer z buckets than row-major
+    buckets on a planted grid. Oracle replays the interleave bit-exactly."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(255))
+    y = F.floor(F.unix_timestamp("ts") / 3600).cast("long").bitwiseAND(F.lit(255))
+    dims = e.select(
+        "event_id", x.alias("x_dim").cast("long"), y.alias("y_dim").cast("long")
+    )
+
+    def z_col(xc, yc):
+        z = F.lit(0).cast("long")
+        for b in range(8):
+            z = z + F.shiftleft(F.shiftright(xc, b).bitwiseAND(F.lit(1)), 2 * b)
+            z = z + F.shiftleft(F.shiftright(yc, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        return z
+
+    zv = z_col(F.col("x_dim"), F.col("y_dim"))
+    return dims.select(
+        "event_id",
+        "x_dim",
+        "y_dim",
+        zv.alias("z_value"),
+        F.shiftright(zv, 8).cast("long").alias("z_bucket"),
+    )

@@ -1860,3 +1860,119 @@ def b54_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(nxt).alias("valid_to"),
         F.lead("valid_from").over(nxt).isNull().alias("is_current"),
     )
+
+
+@register(
+    "b55_funnel_steps",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+    FROM events GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t_view
+          AND e.ts <= s1.t_view + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+          AND e.ts <= s2.t_click + INTERVAL 48 HOUR
+    GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       s3.t_purchase IS NOT NULL AS converted
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+WHERE s1.t_view IS NOT NULL
+""",
+    tags=("layer_b", "funnel", "sequence"),
+)
+def b55_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel attribution (the CEP/sequence-match analytic a
+    clickstream warehouse runs): first 'view' per user, first 'click'
+    within 48 h AFTER it, first 'purchase' within 48 h after THAT —
+    strictly ordered steps, not mere co-occurrence. Three aggregates on
+    the SAME user key: each step's table is per-user (<= one row each),
+    so the step joins are user-key equi-joins of shrinking aggregates —
+    co-located with the main shuffle, never a theta join; the 48 h bound
+    is a filter under the min, not a range join. At 100 TB each step
+    prunes (funnel narrows), so the chain's cost is dominated by the
+    one events shuffle."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).where(F.col("t_view").isNotNull())
+    s2 = (
+        e.join(s1, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 48 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "b56_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, fs.cohort_week, date_trunc('week', e.ts) AS active_week
+    FROM events e JOIN first_seen fs ON e.user_id = fs.user_id
+)
+SELECT cohort_week, active_week, CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, active_week
+""",
+    tags=("layer_b", "cohort", "retention"),
+)
+def b56_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the growth-analytics staple): users
+    bucket into their first-seen week, activity dedupes to (user, week),
+    and the matrix counts active users per (cohort, week). Two
+    aggregates on user_id share one shuffle; the cohort join is a
+    per-user aggregate (broadcastable until users outgrow it, then a
+    co-located user-key join); the final matrix groupBy moves only
+    (week, week, 1) triples with map-side combine."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort_week", F.date_trunc("week", "ts").alias("active_week"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users")
+    )

@@ -318,3 +318,100 @@ def keyframes_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = "t_view long, t_click long, done boolean"
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, t_view timestamp, t_click timestamp, t_purchase timestamp"
+)
+
+
+def funnel_stateful_fn(within_ms: int = 172_800_000):
+    """Streaming ordered-funnel state machine (the CEP pattern-match the
+    reference's Flink lineage is known for, over b55's exact semantics):
+    per-user state is three scalars — first 'view' time, first
+    qualifying 'click' time, and a done flag — advanced in event-time
+    order. A conversion emits exactly when the first 'purchase' lands
+    within ``within_ms`` of the click that itself landed within
+    ``within_ms`` of the first view; on in-order arrival this equals
+    batch b55's converted rows row-for-row
+    (tests/test_streaming_funnel.py). State is O(1) per user and
+    expires by event-time timeout 2x``within_ms`` after the funnel's
+    last step, so abandoned funnels don't accumulate."""
+
+    within_us = within_ms * 1_000  # state runs in MICROSECONDS: the
+    # event timestamps carry us precision and the batch twin (b55)
+    # compares at full precision, so ms truncation would flip boundary
+    # comparisons and shift emitted times.
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        t_view, t_click, done = state.get if state.exists else (-1, -1, False)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "ts", kind="mergesort"
+        )
+        ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
+        kinds = rows["event_type"].tolist()
+        out = []
+        for t, kind in zip(ts_us, kinds):
+            if done:
+                break
+            if kind == "view" and t_view < 0:
+                t_view = t
+            elif (
+                kind == "click"
+                and t_view >= 0
+                and t_click < 0
+                and t_view < t <= t_view + within_us
+            ):
+                t_click = t
+            elif (
+                kind == "purchase"
+                and t_click >= 0
+                and t_click < t <= t_click + within_us
+            ):
+                out.append((user_id, t_view, t_click, t))
+                done = True
+        state.update((t_view, t_click, done))
+        anchor = max(t_click, t_view, max(ts_us, default=0))
+        # timeout API takes epoch MILLISECONDS
+        state.setTimeoutTimestamp((anchor + 2 * within_us) // 1_000)
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": int(u),
+                        "t_view": pd.Timestamp(v, unit="us"),
+                        "t_click": pd.Timestamp(c, unit="us"),
+                        "t_purchase": pd.Timestamp(p, unit="us"),
+                    }
+                    for (u, v, c, p) in out
+                ]
+            )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame, within_ms: int = 172_800_000, watermark: str = "30 minutes"
+) -> DataFrame:
+    """view -> click -> purchase conversions over a user event stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel_stateful_fn(within_ms=within_ms),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
