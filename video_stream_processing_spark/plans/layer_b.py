@@ -1976,3 +1976,115 @@ def b56_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "active_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_active_users")
     )
+
+
+@register(
+    "b57_market_share",
+    oracle="""
+WITH rev AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM rev
+GROUP BY o_year
+""",
+    tags=("layer_b", "composite"),
+)
+def b57_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): revenue volume of one
+    supplier nation as a share of a region's total, per order year.
+    All five dimensions broadcast (region/nation/customer/supplier are
+    dim-sized); the only shuffle edges are lineitem⋈orders and the
+    final year groupBy — the canonical snowflake-share plan. Share =
+    conditional decimal sum / total decimal sum, rounded AFTER the
+    division on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "b58_idle_high_balance_customers",
+    oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT substr(c.c_name, 1, 9) AS name_prefix,
+       c.c_custkey,
+       round(c.c_acctbal, 2) AS acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+    tags=("layer_b", "composite"),
+)
+def b58_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (idle high-value customers): customers whose
+    balance exceeds the positive-balance average and who placed no order
+    since 2000-01-01 (churn candidates). The scalar average is a one-row
+    aggregate broadcast into the filter (no correlated re-evaluation);
+    the existence check is a LEFT ANTI join on the customer key with the
+    date filter PUSHED BELOW the distinct — at scale the anti edge moves
+    recent custkeys, not orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.substring("c_name", 1, 9).alias("name_prefix"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
