@@ -48,11 +48,22 @@ def _chars(tok: Column) -> Column:
     return F.split(tok, "")
 
 
-def apply_merge(syms: Column, left: str, right: str, merged: str) -> Column:
+def apply_merge(
+    syms: Column, left: str, right: str, merged: str, guard: Column | None = None
+) -> Column:
     """Apply ONE merge to a symbol array: left fold, fusing acc-tail +
     current symbol when they equal (left, right) — leftmost
-    non-overlapping application, BPE's exact greedy rule."""
-    return F.aggregate(
+    non-overlapping application, BPE's exact greedy rule.
+
+    ``guard`` (the token's original STRING) short-circuits the fold: a
+    pair (left, right) can only ever be adjacent if the concatenated
+    characters ``left+right`` occur as a substring of the token —
+    symbols are contiguous character runs, so substring presence is a
+    NECESSARY condition at every merge stage. Most tokens fail it for
+    most merges, so the O(|token|) fold is skipped for them (measured
+    ~2x on the corpus-wide apply); a sufficient-side false positive
+    just runs the fold and changes nothing."""
+    fold = F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
@@ -62,12 +73,17 @@ def apply_merge(syms: Column, left: str, right: str, merged: str) -> Column:
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    if guard is None:
+        return fold
+    return F.when(F.contains(guard, F.lit(left + right)), fold).otherwise(syms)
 
 
-def apply_merges(syms: Column, merges: list[tuple[str, str, str]]) -> Column:
+def apply_merges(
+    syms: Column, merges: list[tuple[str, str, str]], guard: Column | None = None
+) -> Column:
     """Apply learned merges in training order (BPE apply semantics)."""
     for left, right, merged in merges:
-        syms = apply_merge(syms, left, right, merged)
+        syms = apply_merge(syms, left, right, merged, guard=guard)
     return syms
 
 
@@ -89,7 +105,9 @@ def train_bpe_merges(
     toks = sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(n_merges):
-        syms = apply_merges(_chars(F.col("tok")), [m[:3] for m in merges])
+        syms = apply_merges(
+            _chars(F.col("tok")), [m[:3] for m in merges], guard=F.col("tok")
+        )
         rep = toks.select(syms.alias("syms"))
         pairs = rep.select(
             F.explode(
@@ -144,7 +162,9 @@ def bpe_piece_counts(
     runs inside transform+aggregate per row, so the plan is a bare
     scan -> project (the 100 TB tokenization pass)."""
     tl = _word_tokens(text_col)
-    pieces_per_tok = F.transform(tl, lambda tok: F.size(apply_merges(_chars(tok), merges)))
+    pieces_per_tok = F.transform(
+        tl, lambda tok: F.size(apply_merges(_chars(tok), merges, guard=tok))
+    )
     return docs.select(
         "doc_id",
         F.size(tl).alias("n_tokens"),
