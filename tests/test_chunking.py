@@ -76,3 +76,60 @@ def test_spark_chunker_matches_local(spark):
     assert [r["chunk_md5"] for r in got] == [
         hashlib.md5(c.encode()).hexdigest() for c in local
     ]
+
+
+def test_streaming_chunk_ingest_dedup(spark, tmp_path):
+    """Storage-ingest dedup as a stream: chunk each arriving doc and
+    drop chunk hashes already seen within the watermark — a replayed
+    near-identical doc (shifted offsets) contributes ONLY its genuinely
+    new chunks, the CDC property end to end under Structured Streaming."""
+    from datetime import datetime, timedelta
+
+    from video_stream_processing_spark.operators.chunking import cdc_chunks
+
+    rng = np.random.default_rng(3)
+    base = "".join(chr(rng.integers(97, 123)) for _ in range(3000))
+    edited = "PREFIX-EDIT " + base  # same tail chunks, new head chunk(s)
+    t0 = datetime(2024, 1, 1)
+    d = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(0, t0, base)], "doc_id long, ts timestamp, text string"
+    ).write.mode("overwrite").parquet(d + "/b1")
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=1), edited)],
+        "doc_id long, ts timestamp, text string",
+    ).write.mode("overwrite").parquet(d + "/b2")
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d + "/b*")
+    unique = (
+        cdc_chunks(stream, ts_col="ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["chunk_md5"])
+    )
+    q = (
+        unique.writeStream.format("memory")
+        .queryName("chunkstream")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM chunkstream").collect()
+    finally:
+        q.stop()
+
+    batch_base = {r["chunk_md5"] for r in cdc_chunks(
+        spark.createDataFrame([(0, base)], "doc_id long, text string")).collect()}
+    batch_edit = {r["chunk_md5"] for r in cdc_chunks(
+        spark.createDataFrame([(1, edited)], "doc_id long, text string")).collect()}
+    emitted = {r["chunk_md5"] for r in rows}
+    # everything emitted, exactly once, and doc 1 contributed only its novel chunks
+    assert emitted == batch_base | batch_edit
+    assert len(rows) == len(emitted)
+    doc1_rows = [r for r in rows if r["doc_id"] == 1]
+    assert {r["chunk_md5"] for r in doc1_rows} == batch_edit - batch_base
+    assert 0 < len(doc1_rows) < len(batch_edit)  # most chunks deduped away

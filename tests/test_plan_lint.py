@@ -37,6 +37,11 @@ NESTED_LOOP_ALLOWED = {
     # not the O(Q*N) pair count (documented in rp_ann_topk; compose
     # with IVF/LSH routing for the full 100 TB path)
     "x50_rp_ann_topk",
+    # TPC-H Q22 shape: the positive-balance AVERAGE is a ONE-ROW
+    # aggregate broadcast into the filter — a single-row build side is
+    # the canonical physical plan for a scalar subquery (constant work
+    # per probe row); the existence check is a hash anti join
+    "b58_idle_high_balance_customers",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

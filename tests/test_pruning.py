@@ -74,3 +74,30 @@ def test_predicate_reaches_parquet_scan(spark, sf_dir, qname):
 
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any(p.strip() for p in pushed), plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a filter on the DIM side of a join must prune the
+    partitioned fact's directories at runtime (the 100 TB star-join
+    mechanism — the fact scan reads only the partitions the filtered
+    dim keys select, without a literal fact predicate)."""
+    from video_stream_processing_spark.tables import load_table
+
+    fact_dir = str(tmp_path / "fact")
+    e = load_table(spark, sf_dir, "events")
+    e.withColumn("bucket", (F.col("user_id") % 10).cast("int")).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    # dim filter on a NON-key column Catalyst cannot constant-fold back
+    # onto the join key, so only runtime DPP can prune the fact side
+    dim = spark.createDataFrame(
+        [(b, f"t{b}") for b in range(10)], "bucket int, tag string"
+    ).where(F.col("tag") == "t3")
+    joined = fact.join(F.broadcast(dim), "bucket").groupBy("bucket").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and it actually executes to only bucket 3's rows
+    rows = joined.collect()
+    assert [r["bucket"] for r in rows] == [3]

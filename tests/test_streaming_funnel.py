@@ -56,3 +56,58 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
 
     assert streamed == _batch_converted(spark)
     assert len(streamed) > 0  # the fixture actually converts someone
+
+
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """Kill the query between micro-batches; the restarted query must
+    resume the per-user state machines from the checkpoint and produce
+    exactly the batch result — no lost or duplicated conversions."""
+    from video_stream_processing_spark.streaming.stateful import funnel_stream
+    from video_stream_processing_spark.tables import load_table
+
+    d = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    events = load_table(spark, SF, "events").select("user_id", "event_type", "ts")
+    # cut at the latest converted user's CLICK: that user's purchase can
+    # only arrive after the restart, so the crash provably bisects a funnel
+    expected = _batch_converted(spark)
+    cut = max(int(c.timestamp() * 1_000_000) for _, c, _ in expected.values())
+    events.where(F.unix_micros("ts") <= cut).write.mode("overwrite").parquet(d + "/b1")
+
+    schema = "user_id long, event_type string, ts timestamp"
+
+    out = str(tmp_path / "out")  # file sink: the recoverable kind
+
+    def start():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/b*")
+        return (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "crash" after the first half
+
+    first_half = spark.read.parquet(out).count()
+    events.where(F.unix_micros("ts") > cut).write.mode("overwrite").parquet(d + "/b2")
+    q = start()
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+            for r in spark.read.parquet(out).collect()
+        }
+    finally:
+        q.stop()
+
+    assert streamed == expected
+    # the restart actually mattered: some conversions completed only
+    # with second-half events
+    assert first_half < len(expected)

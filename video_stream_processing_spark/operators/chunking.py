@@ -54,16 +54,21 @@ def _boundaries(cp: np.ndarray) -> np.ndarray:
     return h % MODULUS == 0
 
 
-def cdc_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", ts_col: str | None = None
+) -> DataFrame:
     """Fan each document out to its content-defined chunks:
     (doc_id, chunk_id, chunk_len, chunk_md5). md5 is over the chunk's
     UTF-8 bytes (what DuckDB's md5(substr(..)) hashes too). Empty or
-    null text yields no chunks."""
+    null text yields no chunks. ``ts_col`` (optional) replicates the
+    document's event time onto every chunk — the streaming ingest path
+    needs it to watermark the chunk-hash dedup state."""
 
     def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, chunk_ids, lens, hashes = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            doc_ids, chunk_ids, lens, hashes, tss = [], [], [], [], []
+            ts_values = pdf[ts_col] if ts_col else pdf["doc_id"]  # dummy zip
+            for doc_id, text, ts in zip(pdf["doc_id"], pdf[text_col], ts_values):
                 if text is None or len(text) == 0:
                     continue
                 cp = np.fromiter((ord(c) for c in text), dtype=np.int64, count=len(text))
@@ -77,16 +82,19 @@ def cdc_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
                     chunk_ids.append(k)
                     lens.append(e - s)
                     hashes.append(hashlib.md5(piece.encode("utf-8")).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(doc_ids, dtype="Int64"),
-                    "chunk_id": pd.array(chunk_ids, dtype="Int32"),
-                    "chunk_len": pd.array(lens, dtype="Int32"),
-                    "chunk_md5": pd.array(hashes, dtype="string"),
-                }
-            )
+                    tss.append(ts)
+            out = {
+                "doc_id": pd.array(doc_ids, dtype="Int64"),
+                "chunk_id": pd.array(chunk_ids, dtype="Int32"),
+                "chunk_len": pd.array(lens, dtype="Int32"),
+                "chunk_md5": pd.array(hashes, dtype="string"),
+            }
+            if ts_col:
+                out[ts_col] = pd.Series(tss, dtype="datetime64[us]")
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(chunk, schema=CHUNK_SCHEMA)
+    schema = CHUNK_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
+    return df.mapInPandas(chunk, schema=schema)
 
 
 # Shared oracle CTE: rebuild boundaries with lag windows + prefix sum,
@@ -139,4 +147,87 @@ SELECT chunk_md5,
 FROM chunks
 GROUP BY chunk_md5
 HAVING count(*) >= {min_copies}
+"""
+
+
+def cdc_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage_threshold: float = 0.5,
+    max_df: int = 16,
+) -> DataFrame:
+    """Chunk-overlap near-dup detection — the USE of CDC for document
+    dedup: docs sharing enough chunk content are near-duplicates even
+    when insertions shifted every byte offset (robust where fixed-size
+    blocks break; complementary to MinHash, which samples — this
+    measures EXACT shared content).
+
+    overlap = total length of DISTINCT chunk hashes present in both
+    docs; coverage = overlap / min(doc lengths); pairs with rounded
+    coverage >= threshold survive. Inverted-index join on chunk_md5 —
+    the x03 posture — with a stop-chunk document-frequency cap
+    (df <= ``max_df``): boilerplate chunks shared by half the corpus
+    would otherwise make one reduce task quadratic (the same
+    adversarial-skew argument as x39's LSH cap), and they carry no
+    near-dup signal, exactly like stopwords."""
+    from pyspark.sql import functions as F
+
+    chunks = cdc_chunks(df, text_col).select("doc_id", "chunk_md5", "chunk_len").distinct()
+    keep = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("chunk_md5")
+    )
+    cdf = chunks.join(keep, "chunk_md5")
+    a = cdf.select(
+        F.col("doc_id").alias("doc_a"), "chunk_md5", F.col("chunk_len").alias("len_a")
+    )
+    b = cdf.select(F.col("doc_id").alias("doc_b"), "chunk_md5")
+    ov = (
+        a.join(b, "chunk_md5")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("len_a").cast("long").alias("overlap_chars"))
+    )
+    lens = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(F.col("doc_id"), F.length(text_col).cast("long").alias("n"))
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap_chars",
+            F.round(
+                F.col("overlap_chars") / F.least("n_a", "n_b"), 6
+            ).alias("coverage"),
+        )
+        .where(F.col("coverage") >= coverage_threshold)
+    )
+
+
+def cdc_neardup_oracle_sql(
+    coverage_threshold: float = 0.5, max_df: int = 16
+) -> str:
+    return cdc_chunks_oracle_cte() + f""",
+cd AS (SELECT DISTINCT doc_id, chunk_md5, chunk_len FROM chunks),
+keep AS (SELECT chunk_md5 FROM cd GROUP BY chunk_md5 HAVING count(*) <= {max_df}),
+cdf AS (SELECT cd.* FROM cd JOIN keep USING (chunk_md5)),
+ov AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(sum(a.chunk_len) AS BIGINT) AS overlap_chars
+    FROM cdf a JOIN cdf b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0)
+SELECT doc_a, doc_b, overlap_chars,
+       round(overlap_chars / least(la.n, lb.n), 6) AS coverage
+FROM ov JOIN lens la ON ov.doc_a = la.doc_id
+        JOIN lens lb ON ov.doc_b = lb.doc_id
+WHERE round(overlap_chars / least(la.n, lb.n), 6) >= {coverage_threshold}
 """

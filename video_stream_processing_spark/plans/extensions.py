@@ -2068,3 +2068,20 @@ def x61_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         zv.alias("z_value"),
         F.shiftright(zv, 8).cast("long").alias("z_bucket"),
     )
+
+
+@register(
+    "x62_cdc_neardup_pairs",
+    oracle=CH.cdc_neardup_oracle_sql(coverage_threshold=0.5, max_df=16),
+    tags=("extension", "dedup", "chunking"),
+)
+def x62_cdc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by CDC chunk overlap — exact shared content
+    surviving byte-offset shifts (the mechanism MinHash only samples):
+    distinct chunk hashes per doc, a stop-chunk df cap (<= 16 docs, the
+    x39-style skew bound — boilerplate chunks carry no signal and make
+    a reduce task quadratic), inverted-index self-join on chunk_md5,
+    coverage = shared chars / min(doc length) >= 0.5. The whole chain —
+    boundary rule, hashes, df cap, coverage arithmetic — replays in the
+    oracle (operators/chunking.py:cdc_neardup_pairs)."""
+    return CH.cdc_neardup_pairs(load_table(spark, sf_dir, "documents"))
