@@ -76,3 +76,40 @@ def test_degenerate_corpus_stops_early(spark):
 @pytest.mark.parametrize("tok,expected", [("hello", ["h", "e", "ll", "o"])])
 def test_mid_word_merge(spark, tok, expected):
     assert _apply(spark, tok, [("l", "l", "ll")]) == expected
+
+
+def _py_bpe_apply(tok: str, merges: list[tuple[str, str, str]]) -> list[str]:
+    """Reference implementation: leftmost non-overlapping merge passes."""
+    syms = list(tok)
+    for left, right, merged in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_fold_matches_reference_on_random_inputs(spark):
+    """Catalyst fold == the plain-python reference over random tokens and
+    random (chained) merge tables — including merges whose left side is
+    itself a merged symbol."""
+    import random
+
+    rng = random.Random(42)
+    merges = [("a", "b", "ab"), ("ab", "a", "aba"), ("c", "c", "cc")]
+    toks = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["s"]
+        for r in df.select(
+            "tok", apply_merges(F.split("tok", ""), merges, guard=F.col("tok")).alias("s")
+        ).collect()
+    }
+    for t in toks:
+        assert got[t] == _py_bpe_apply(t, merges), t

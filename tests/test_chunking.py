@@ -133,3 +133,19 @@ def test_streaming_chunk_ingest_dedup(spark, tmp_path):
     doc1_rows = [r for r in rows if r["doc_id"] == 1]
     assert {r["chunk_md5"] for r in doc1_rows} == batch_edit - batch_base
     assert 0 < len(doc1_rows) < len(batch_edit)  # most chunks deduped away
+
+
+def test_megabyte_document_is_bounded(spark):
+    """A single huge row chunks vectorized without group materialization
+    concerns — ~16k chunks from one 1 MB doc, contents reassembling."""
+    rng = np.random.default_rng(5)
+    big = "".join(chr(c) for c in rng.integers(97, 123, size=1_000_000))
+    df = spark.createDataFrame([(0, big)], "doc_id long, text string")
+    out = cdc_chunks(df)
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("chunk_len").alias("total")
+    ).collect()[0]
+    assert agg["total"] == len(big)
+    assert agg["n"] > 5_000  # boundaries actually fired

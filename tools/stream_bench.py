@@ -77,11 +77,25 @@ def main() -> int:
                 "stream_id", F.explode(nms(detect(F.col("embedding")))).alias("d")
             )
 
+        events_dir = os.path.join(work, "events")
+        ev.select("user_id", "event_type", "ts").write.mode("overwrite").parquet(events_dir)
+        ev_stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(events_dir)
+
+        def funnel_path():
+            """view->click->purchase CEP state machine (b55's streaming
+            twin) — per-user O(1) state, event-time timeout expiry."""
+            from video_stream_processing_spark.streaming.stateful import funnel_stream
+
+            return funnel_stream(ev_stream)
+
         results = {}
         for name, build in (
             ("keyframe_gate", lambda: keyframes_stream(stream, 300_000, 50.0)),
             ("exact_segments", lambda: exact_segments_stream(stream.select("stream_id", "ts"))),
             ("full_detection_path", full_detection_path),
+            ("funnel_cep", funnel_path),
         ):
             q = (
                 build()
