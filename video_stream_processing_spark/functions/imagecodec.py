@@ -169,8 +169,9 @@ def decode_image_bgr(blob: bytes | None) -> np.ndarray | None:
 
     Native numpy paths for BMP/PPM/baseline-JPEG (the reference's actual
     wire format — VideoStreamMockProducer.java:211-218 JPEG-encodes every
-    frame); PNG/progressive-JPEG/anything-else go through Pillow only if
-    it happens to be importable. Undecodable -> None (the caller then
+    frame) and 8-bit PNG (functions/pngcodec.py — stdlib zlib);
+    progressive-JPEG/interlaced-PNG/anything-else go through Pillow only
+    if it happens to be importable. Undecodable -> None (the caller then
     emits empty detections / skips the frame, matching
     YOLODetector.java:115-118 and KeyFrameExtractor.java:94,107)."""
     if not blob:
@@ -188,6 +189,13 @@ def decode_image_bgr(blob: bytes | None) -> np.ndarray | None:
             return img
         # fall through: progressive/arithmetic JPEG may still decode via
         # Pillow when it is importable
+    if fmt == "png":
+        from video_stream_processing_spark.functions.pngcodec import decode_png
+
+        img = decode_png(blob)
+        if img is not None:
+            return img
+        # fall through: interlaced/16-bit PNG may still decode via Pillow
     try:  # pragma: no cover - Pillow absent in this container
         import io
 

@@ -248,3 +248,62 @@ def mjpeg_frames_stats(df: DataFrame) -> DataFrame:
         split_decode,
         schema="doc_id long, frame_id int, width int, height int, px_min int, px_max int",
     )
+
+
+SUM_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string, "
+    "px_min int, px_max int, px_sum long"
+)
+
+
+def real_decode_stats_sum(df: DataFrame) -> DataFrame:
+    """``real_decode_stats`` plus the exact pixel SUM — for LOSSLESS
+    codecs (PNG, BMP) the sum pins every pixel value at every position:
+    any single-pixel reconstruction error almost surely shifts it, so a
+    DuckDB oracle replaying the render formula checks the whole decode,
+    not just extremes. Same Arrow-batched plumbing and null contract."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            widths, heights, channels, formats = [], [], [], []
+            mins, maxs, sums = [], [], []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                if img is None:
+                    widths.append(None)
+                    heights.append(None)
+                    channels.append(None)
+                    formats.append("undecodable")
+                    mins.append(None)
+                    maxs.append(None)
+                    sums.append(None)
+                else:
+                    h, w, c = img.shape
+                    widths.append(w)
+                    heights.append(h)
+                    channels.append(c)
+                    formats.append(sniff_format(blob) or "other")
+                    mins.append(int(img.min()))
+                    maxs.append(int(img.max()))
+                    sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(channels, dtype="Int32"),
+                    "format": formats,
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=SUM_STATS_SCHEMA)

@@ -2085,3 +2085,69 @@ def x62_cdc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary rule, hashes, df cap, coverage arithmetic — replays in the
     oracle (operators/chunking.py:cdc_neardup_pairs)."""
     return CH.cdc_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x63_png_real_roundtrip",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           (doc_id % 19) + 6 AS w,
+           (doc_id % 11) + 5 AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+           (doc_id + x * 3 + y * 5 + c * 11) % 256 AS v
+    FROM (SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims) t1,
+         unnest(range(h)) AS ty(y), unnest(range(3)) AS tc(c)
+)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'png' AS format,
+       CAST(min(px.v) AS INT) AS px_min,
+       CAST(max(px.v) AS INT) AS px_max,
+       CAST(sum(px.v) AS BIGINT) AS px_sum
+FROM dims d JOIN px ON d.doc_id = px.doc_id
+GROUP BY d.doc_id, d.w, d.h
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "png"),
+)
+def x63_png_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG through the REAL codec, pixel-exact: each doc renders a
+    modular-gradient BGR image (v = (d + 3x + 5y + 11c) % 256) as an
+    actual PNG via the stdlib-zlib encoder (functions/pngcodec.py), then
+    the production decoder (decode_image_bgr's native PNG path: chunk
+    walk, CRC verification, inflate, scanline unfilter) reconstructs it
+    and emits min/max/SUM of the pixels. PNG is lossless, so the DuckDB
+    oracle predicts the sum exactly from the formula — any single-pixel
+    reconstruction error in filter math, channel order, or row layout
+    shifts it. Both stages Arrow-batched mapInPandas; binary stays in
+    the scan tasks (operators/multimodal.py:real_decode_stats_sum)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.pngcodec import encode_png
+    from video_stream_processing_spark.operators.multimodal import real_decode_stats_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 19 + 6
+                h = d % 11 + 5
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                img = ((d + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return real_decode_stats_sum(rendered)
