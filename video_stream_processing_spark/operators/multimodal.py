@@ -307,3 +307,51 @@ def real_decode_stats_sum(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=SUM_STATS_SCHEMA)
+
+
+MP4_META_SCHEMA = (
+    "doc_id long, duration_ms long, timescale int, n_tracks int, "
+    "width int, height int"
+)
+
+
+def mp4_probe_meta(df: DataFrame) -> DataFrame:
+    """Catalog MP4 objects by container metadata — the box-walk probe
+    (functions/mp4probe.py) over an opaque BINARY column: movie duration
+    (normalized to ms), timescale, track count, first video track's
+    pixel dimensions. No frame decode, no shuffle; malformed payloads
+    yield null metadata (the decode-or-null contract). This is the
+    ingest-side catalog pass for the reference's own MinIO segment
+    bucket (`videos/{s}/{yyyyMMdd/HH}/{s}_{ms}.mp4`)."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.mp4probe import probe_mp4
+
+        for pdf in batches:
+            durs, scales, tracks, widths, heights = [], [], [], [], []
+            for blob in pdf["payload"]:
+                m = probe_mp4(blob)
+                if m is None:
+                    durs.append(None)
+                    scales.append(None)
+                    tracks.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                else:
+                    durs.append(m.duration * 1000 // m.timescale)
+                    scales.append(m.timescale)
+                    tracks.append(m.n_tracks)
+                    widths.append(m.width)
+                    heights.append(m.height)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "timescale": pd.array(scales, dtype="Int32"),
+                    "n_tracks": pd.array(tracks, dtype="Int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(probe, schema=MP4_META_SCHEMA)

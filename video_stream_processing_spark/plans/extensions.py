@@ -2151,3 +2151,62 @@ def x63_png_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return real_decode_stats_sum(rendered)
+
+
+@register(
+    "x64_mp4_metadata_probe",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 0 THEN NULL
+            ELSE CAST(((doc_id % 9000) + 500) * 2 AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(500 AS INT) END AS timescale,
+       CASE WHEN doc_id % 97 = 0 THEN NULL
+            ELSE CAST((doc_id % 3) + 1 AS INT) END AS n_tracks,
+       CASE WHEN doc_id % 97 = 0 THEN NULL
+            ELSE CAST((doc_id % 128) + 16 AS INT) END AS width,
+       CASE WHEN doc_id % 97 = 0 THEN NULL
+            ELSE CAST((doc_id % 96) + 16 AS INT) END AS height
+FROM documents
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "video", "mp4"),
+)
+def x64_mp4_metadata_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 catalog probe through the REAL ISO-BMFF box walker: each doc
+    renders a genuine minimal MP4 (ftyp + junk boxes + largesize escape
+    + moov[mvhd + (d%3)+1 trak/tkhd]) with arithmetic duration/
+    timescale/dimensions, then the production walker
+    (functions/mp4probe.py — the catalog pass for the reference's own
+    .mp4 segment bucket) parses it back; d%97==0 docs carry truncated
+    boxes and must surface all-null. Walker robustness (unknown boxes,
+    64-bit sizes, nested scopes) is what the oracle-exact round trip
+    pins; no frame decode happens anywhere. Scan -> UDF, zero shuffle
+    (operators/multimodal.py:mp4_probe_meta)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.mp4probe import build_mp4
+    from video_stream_processing_spark.operators.multimodal import mp4_probe_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 97 == 0:
+                    payloads.append(build_mp4(10)[:20])  # truncated moov
+                    continue
+                tracks = [
+                    ((d + i * 7) % 128 + 16, (d + i * 5) % 96 + 16)
+                    for i in range(d % 3 + 1)
+                ]
+                payloads.append(
+                    build_mp4(
+                        duration=(d % 9000) + 500, timescale=500, tracks=tracks
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return mp4_probe_meta(rendered)
