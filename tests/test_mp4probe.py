@@ -74,3 +74,44 @@ def test_multi_track_counts_and_first_dims():
     m = probe_mp4(build_mp4(500, tracks=[(100, 50), (200, 150), (64, 64)]))
     assert m.n_tracks == 3
     assert (m.width, m.height) == (100, 50)
+
+
+def test_webdataset_extractor_edge_cases(spark):
+    """Readable tar with an undecodable image -> null dims; sample with
+    caption only -> null dims; unknown extensions ignored; unreadable
+    tar -> no rows."""
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from video_stream_processing_spark.functions.pngcodec import encode_png
+    from video_stream_processing_spark.operators.multimodal import webdataset_samples
+
+    def tar_bytes(entries):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, data in entries:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    good = tar_bytes(
+        [
+            ("a.png", encode_png(np.zeros((3, 5, 3), np.uint8))),
+            ("a.txt", b"hello"),
+            ("a.json", b"{}"),  # ignored extension
+            ("b.png", b"not-an-image"),
+            ("b.txt", b"x"),
+            ("c.txt", b"caption-only"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, good), (1, b"definitely not a tar")], "doc_id long, payload binary"
+    )
+    rows = {r["sample_key"]: r for r in webdataset_samples(df).collect()}
+    assert set(rows) == {"a", "b", "c"}  # doc 1 contributed nothing
+    assert (rows["a"]["width"], rows["a"]["height"], rows["a"]["caption_len"]) == (5, 3, 5)
+    assert rows["b"]["width"] is None and rows["b"]["caption_len"] == 1
+    assert rows["c"]["width"] is None and rows["c"]["caption_len"] == 12

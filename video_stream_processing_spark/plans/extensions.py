@@ -2210,3 +2210,69 @@ def x64_mp4_metadata_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return mp4_probe_meta(rendered)
+
+
+@register(
+    "x65_webdataset_ingest",
+    oracle="""
+WITH s AS (
+    SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS i
+    FROM documents WHERE doc_id % 97 != 0
+)
+SELECT doc_id,
+       lpad(CAST(i AS VARCHAR), 5, '0') AS sample_key,
+       CAST((doc_id + i) % 13 + 4 AS INT) AS width,
+       CAST((doc_id + 2 * i) % 9 + 3 AS INT) AS height,
+       CAST(3 * ((doc_id + i) % 5 + 1) AS INT) AS caption_len
+FROM s
+""",
+    tags=("extension", "multimodal", "pandas_udf", "codec", "webdataset"),
+)
+def x65_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingest, oracle-checked end to end: each doc
+    renders a REAL tar archive of (doc_id%3)+1 samples — `{i:05d}.png`
+    (a genuine PNG via the stdlib-zlib encoder with arithmetic
+    dimensions) plus `{i:05d}.txt` caption — and the production
+    extractor (tarfile walk -> stem grouping -> REAL PNG decode for
+    dimensions -> caption length) recovers every sample row; d%97==0
+    docs carry truncated archives and must contribute nothing. Pins the
+    tar walk, the stem pairing rule, and the image decode inside the
+    shard — the whole WebDataset epoch-read path — with zero shuffle
+    (operators/multimodal.py:webdataset_samples)."""
+    import io
+    import tarfile
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.pngcodec import encode_png
+    from video_stream_processing_spark.operators.multimodal import webdataset_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def add(tar, name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tar.addfile(info, io.BytesIO(data))
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tar:
+                    for i in range(d % 3 + 1):
+                        w = (d + i) % 13 + 4
+                        h = (d + 2 * i) % 9 + 3
+                        img = np.full((h, w, 3), (d + i) % 256, np.uint8)
+                        add(tar, f"{i:05d}.png", encode_png(img))
+                        add(tar, f"{i:05d}.txt", b"cap" * ((d + i) % 5 + 1))
+                blob = buf.getvalue()
+                payloads.append(blob[:100] if d % 97 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return webdataset_samples(rendered)
