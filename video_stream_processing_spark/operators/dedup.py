@@ -368,14 +368,14 @@ def minhash_lsh_oracle_sql(
     neighbor_window: int | None = None,
 ) -> str:
     if shingle_k is None:
-        feat = "regexp_split_to_array(trim(text), '\s+')"
+        feat = "regexp_split_to_array(trim(text), '\\s+')"
     else:
         assert shingle_k == 3, "oracle SQL written for k=3"
         feat = (
-            "list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)), "
-            "i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' || "
-            "regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' || "
-            "regexp_split_to_array(trim(text), '\s+')[i+2])"
+            "list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)), "
+            "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
+            "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+            "regexp_split_to_array(trim(text), '\\s+')[i+2])"
         )
     return f"""
 WITH toks AS (
@@ -454,7 +454,7 @@ SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id
 
 def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
     return f"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 sh AS (
     SELECT doc_id,
            list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -616,7 +616,7 @@ def decontaminate_oracle_sql(
     """DuckDB oracle for decontaminate_pairs with the benchmark split
     defined as doc_id % bench_mod == bench_rem (k=3 shingles)."""
     return f"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 sh AS (
     SELECT doc_id,
            md5(unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),

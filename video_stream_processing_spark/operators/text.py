@@ -193,7 +193,7 @@ def simhash_oracle_sql(table: str = "documents") -> str:
     """DuckDB SQL recomputing simhash_udf bit-for-bit."""
     return f"""
 WITH tok AS (
-    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
     FROM {table}
 ),
 bits AS (

@@ -142,9 +142,9 @@ def x08_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x10_token_stats",
     oracle="""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
-       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_distinct,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_ish,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
@@ -172,7 +172,7 @@ _X11_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
     oracle=f"""
 WITH t AS (
     SELECT doc_id,
-           regexp_split_to_array(trim(text), '\s+') AS toks,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS pr
     FROM documents
@@ -253,7 +253,7 @@ def x12_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x13_fingerprint",
     oracle="""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
 SELECT doc_id,
        list_min(list_transform(range(1, greatest(len(toks) - 1, 1)),
                 i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fingerprint
@@ -427,7 +427,7 @@ def x09_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x14_tfidf_top_terms",
     oracle="""
 WITH tok AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
 ),
 tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
@@ -648,7 +648,7 @@ def x24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x25_repetition_ratio",
     oracle="""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 sh AS (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(toks), 1)),
@@ -714,7 +714,7 @@ def x26_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x27_doc_chunking",
     oracle="""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 c AS (
     SELECT doc_id, toks,
            unnest(range(CASE WHEN len(toks) <= 40 THEN 1
@@ -760,8 +760,8 @@ def x27_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
-           CAST(least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 64.0) AS BIGINT), 7) AS INT) AS bucket,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tokens,
+           CAST(least(CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 64.0) AS BIGINT), 7) AS INT) AS bucket,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS INT) AS shard
     FROM documents
 )
@@ -827,7 +827,7 @@ def x29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x30_token_entropy",
     oracle="""
 WITH tok AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
 ),
 freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
 agg AS (
@@ -953,7 +953,7 @@ def x32_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x33_global_trigram_topk",
     oracle="""
-WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 g AS (
     SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS trigram
@@ -980,7 +980,7 @@ def x33_global_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x34_filter_chain",
     oracle=f"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
 m AS (
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS wc,
@@ -1027,7 +1027,7 @@ WITH norm AS (
                                '\\s+', ' ', 'g')) AS text
     FROM documents
 ),
-m AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM norm),
+m AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM norm),
 kept AS (
     SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens FROM m
     WHERE len(toks) >= 30 AND len(toks) <= 2000
@@ -1137,8 +1137,8 @@ _X37_BIAS = -0.1
     oracle=f"""
 WITH w(tok, wt) AS (VALUES {", ".join(f"('{t}', {v})" for t, v in _X37_WEIGHTS)}),
 t AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
     FROM documents
 ),
 s AS (
