@@ -1,0 +1,269 @@
+"""From-scratch, oracle-replayable sketches — Count-Min and HyperLogLog
+built on md5 so BOTH engines compute identical registers.
+
+Why this module exists: the engine's built-in sketch queries (b08
+approx_count_distinct, b44 approx_percentile) are rows-only checked —
+Spark's HLL++/GK internals legitimately differ from DuckDB's. These
+operators close that asterisk: the sketch CONSTRUCTION itself is
+deterministic DataFrame algebra (md5-derived hashes, fixed widths), so
+the differential harness verifies registers AND estimates bit-for-bit.
+
+Scale posture (the reason sketches exist at 100 TB):
+- CMS (Cormode-Muthukrishnan 2005): a d x w counter grid with map-side
+  combine — the shuffle moves <= d*w partial rows per task regardless
+  of corpus size; estimates never under-count (min over d rows).
+- HLL (Flajolet et al. 2007): m max-registers per group; registers are
+  MERGEABLE by element-wise max — the global estimate derives from the
+  per-group sketches without re-scanning, which is the whole point
+  (proven here: the ALL row is computed by merging per-language
+  registers, not by re-hashing the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(tok: Column, seed: int, width: int = CMS_WIDTH) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), tok)), 1, 8), 16, 10)
+    return (h.cast("long") % width).cast("int")
+
+
+def cms_heavy_hitter_estimates(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a d x w Count-Min sketch of word frequencies, then estimate
+    the top-k TRUE heavy hitters through the sketch.
+
+    Output: (tok, true_count, cms_estimate, overcount) — CMS never
+    under-counts, so overcount >= 0 always (asserted by the oracle
+    replay; the bound is the sketch's defining property). The sketch
+    build is ONE explode + groupBy((seed, bucket)) with map-side
+    combine: at 100 TB the shuffle carries <= d*w rows per task, and
+    the final sketch is d*w counters no matter the corpus size. The
+    estimate pass joins the k query keys against the broadcast
+    d*w-row sketch."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    top = true_counts.orderBy(F.desc("true_count"), "tok").limit(top_k)
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    cms = (
+        toks.select("tok", seeds)
+        .withColumn(
+            "b",
+            F.element_at(
+                F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)]),
+                F.col("seed") + 1,
+            ),
+        )
+        .groupBy("seed", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = top.select(
+        "tok",
+        "true_count",
+        F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed"),
+    ).withColumn(
+        "b",
+        F.element_at(
+            F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)]),
+            F.col("seed") + 1,
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["seed", "b"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+    )
+
+
+def cms_oracle_sql(
+    top_k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    bucket = (
+        "('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % "
+        f"{width}"
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+toks_f AS (SELECT tok FROM toks WHERE tok != ''),
+true_counts AS (SELECT tok, count(*) AS true_count FROM toks_f GROUP BY tok),
+top AS (SELECT * FROM true_counts ORDER BY true_count DESC, tok LIMIT {top_k}),
+cms AS (
+    SELECT s, {bucket} AS b, count(*) AS cnt
+    FROM toks_f, unnest(range({depth})) AS t(s)
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT tok, true_count, s, {bucket} AS b
+    FROM top, unnest(range({depth})) AS t(s)
+)
+SELECT p.tok, CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(min(c.cnt) - p.true_count AS BIGINT) AS overcount
+FROM probes p JOIN cms c ON p.s = c.s AND p.b = c.b
+GROUP BY p.tok, p.true_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (b = 6 index bits)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_parts(key: Column) -> tuple[Column, Column]:
+    """(register index, rank) from a 60-bit md5-derived hash.
+
+    rank = 1 + trailing zeros of the remaining 54 bits, computed as
+    log2(w & -w) — exact for powers of two in IEEE doubles — with the
+    all-zero escape rank 55. Identical arithmetic runs in DuckDB."""
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    idx = (h % HLL_M).cast("int")
+    w = F.shiftright(h, 6)
+    low = w.bitwiseAND(-w)
+    rank = (
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.round(F.log2(low.cast("double"))).cast("int") + 1)
+    )
+    return idx, rank
+
+
+def hll_distinct_by_group(
+    docs: DataFrame, group_col: str = "lang", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group HLL distinct-count sketches PLUS a merged 'ALL' row
+    derived by element-wise max of the per-group registers — never by
+    re-hashing the corpus. Output per group: exact distinct count, the
+    HLL estimate (rounded), and the relative error.
+
+    One shuffle builds every per-group register (groupBy(group, idx)
+    max(rank), map-side combinable); the merge is a 64-row-per-group
+    aggregate. This is the sketch design the 100 TB layer actually
+    wants: per-partition/per-day sketches stored small and merged on
+    demand (b08's built-in HLL++ does the same thing rows-only; here
+    the whole construction is differential-checked)."""
+    idx, rank = _hll_parts(F.col(key_col).cast("string"))
+    hashed = docs.select(F.col(group_col).alias("grp"), idx.alias("idx"), rank.alias("rank"))
+    regs = hashed.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
+    merged = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
+        F.lit("ALL").alias("grp"), "idx", "m"
+    )
+    # re-aggregate the union so a DATA group literally named 'ALL'
+    # merges registers with the synthetic global row instead of
+    # double-counting register indexes (present_n > m would push the
+    # zero count negative and poison the small-range correction)
+    all_regs = (
+        regs.unionByName(merged).groupBy("grp", "idx").agg(F.max("m").alias("m"))
+    )
+
+    # estimate per group: alpha * m^2 / sum(2^-M_j) over ALL m registers
+    # (missing register index => M_j = 0 => contributes 1.0)
+    agg = all_regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("present_n"),
+        F.sum(F.when(F.col("m") > 0, 0).otherwise(1)).alias("explicit_zeros"),
+    )
+    m_lit = F.lit(float(HLL_M))
+    zeros = (m_lit - F.col("present_n")) + F.col("explicit_zeros")
+    denom = F.col("present_sum") + (m_lit - F.col("present_n")) * 1.0
+    raw_e = F.lit(_HLL_ALPHA) * m_lit * m_lit / denom
+    est = F.when(
+        (raw_e <= 2.5 * m_lit) & (zeros > 0), m_lit * F.log(m_lit / zeros)
+    ).otherwise(raw_e)
+
+    exact = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    exact_all = docs.agg(F.countDistinct(key_col).alias("n_exact")).select(
+        F.lit("ALL").alias("grp"), "n_exact"
+    )
+    truth = exact.unionByName(exact_all)
+    return (
+        agg.join(truth, "grp")
+        .select(
+            "grp",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        )
+    )
+
+
+def hll_oracle_sql(group_col: str = "lang", key_col: str = "doc_id") -> str:
+    m = HLL_M
+    alpha = repr(_HLL_ALPHA)
+    return f"""
+WITH hashed AS (
+    SELECT {group_col} AS grp,
+           CAST(h % {m} AS INT) AS idx,
+           CASE WHEN (h // {m}) = 0 THEN 55
+                ELSE CAST(round(log2(CAST((h // {m}) & (-(h // {m})) AS DOUBLE))) AS INT) + 1
+           END AS rank
+    FROM (SELECT {group_col},
+                 ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents)
+),
+regs AS (SELECT grp, idx, max(rank) AS m FROM hashed GROUP BY grp, idx),
+merged AS (SELECT 'ALL' AS grp, idx, max(m) AS m FROM regs GROUP BY idx),
+all_regs AS (
+    SELECT grp, idx, max(m) AS m
+    FROM (SELECT * FROM regs UNION ALL SELECT * FROM merged)
+    GROUP BY grp, idx
+),
+agg AS (
+    SELECT grp,
+           sum(power(2.0, -m)) AS present_sum,
+           count(*) AS present_n,
+           sum(CASE WHEN m > 0 THEN 0 ELSE 1 END) AS explicit_zeros
+    FROM all_regs GROUP BY grp
+),
+est AS (
+    SELECT grp,
+           ({m}.0 - present_n) + explicit_zeros AS zeros,
+           CAST({alpha} AS DOUBLE) * {m}.0 * {m}.0 / (present_sum + ({m}.0 - present_n) * 1.0) AS raw_e
+    FROM agg
+),
+final AS (
+    SELECT grp,
+           CASE WHEN raw_e <= 2.5 * {m}.0 AND zeros > 0
+                THEN {m}.0 * ln({m}.0 / zeros) ELSE raw_e END AS e
+    FROM est
+),
+truth AS (
+    SELECT {group_col} AS grp, count(DISTINCT {key_col}) AS n_exact
+    FROM documents GROUP BY {group_col}
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT {key_col}) FROM documents
+)
+SELECT f.grp, CAST(t.n_exact AS BIGINT) AS n_exact,
+       round(f.e, 4) AS hll_estimate,
+       round((f.e - t.n_exact) / t.n_exact, 4) AS rel_err
+FROM final f JOIN truth t ON f.grp = t.grp
+"""

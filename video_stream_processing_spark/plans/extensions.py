@@ -2276,3 +2276,47 @@ def x65_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     return webdataset_samples(rendered)
+
+
+# --------------------------------------------------------------------------
+# Oracle-replayable sketches (x66-x67)
+# --------------------------------------------------------------------------
+
+from video_stream_processing_spark.operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "x66_cms_heavy_hitters",
+    oracle=SK.cms_oracle_sql(top_k=20),
+    tags=("extension", "sketch", "cms", "heavy_hitters"),
+)
+def x66_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter estimation, differential-checked
+    END TO END (unlike b08/b44, whose engine-internal sketches are
+    rows-only by necessity): a 4x256 md5-bucketed counter grid built
+    with one explode + groupBy (map-side combine — the shuffle carries
+    <= d*w rows per task at ANY corpus size), then the top-20 true
+    words estimated through it as min-over-rows. The oracle replays
+    buckets, counters and estimates exactly, which also certifies the
+    sketch's defining one-sided bound (overcount >= 0 on every row)
+    (operators/sketches.py:cms_heavy_hitter_estimates)."""
+    return SK.cms_heavy_hitter_estimates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x67_hll_distinct_merge",
+    oracle=SK.hll_oracle_sql(),
+    tags=("extension", "sketch", "hll", "mergeable"),
+)
+def x67_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog with MERGE, differential-checked: 64
+    md5-derived max-registers per language (one map-side-combinable
+    shuffle), the global 'ALL' sketch produced by element-wise register
+    max — never by re-hashing the corpus — and the Flajolet estimate
+    (with small-range correction) computed in both engines to the same
+    4 decimals. Mergeability is the property that matters at 100 TB:
+    per-partition sketches persist small and answer distinct-count
+    rollups without re-scanning; this query PROVES the merged estimate
+    equals the oracle's replay of the same registers
+    (operators/sketches.py:hll_distinct_by_group)."""
+    return SK.hll_distinct_by_group(load_table(spark, sf_dir, "documents"))
