@@ -38,3 +38,21 @@ def test_hll_merge_equals_direct_global(spark):
     # estimate is in the right ballpark for m=64 (~13% std error)
     assert abs(out["ALL"]["rel_err"]) < 0.5
     assert out["en"]["n_exact"] == 200 and out["fr"]["n_exact"] == 200
+
+
+def test_histogram_quantiles_within_grid_error(spark):
+    """Estimates must land within one grid cell of the exact
+    percentile (the sketch's documented bound)."""
+    from video_stream_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from video_stream_processing_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    est = {r["q"]: r["estimate"] for r in histogram_quantiles(events).collect()}
+    exact = events.agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0]["p"]
+    cell = 1000.0 / 128
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(est[q] - ex) <= cell, (q, est[q], ex)

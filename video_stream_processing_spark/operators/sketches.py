@@ -267,3 +267,108 @@ SELECT f.grp, CAST(t.n_exact AS BIGINT) AS n_exact,
        round((f.e - t.n_exact) / t.n_exact, 4) AS rel_err
 FROM final f JOIN truth t ON f.grp = t.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles (mergeable approximate percentiles)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 128
+
+
+def histogram_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = HIST_BINS,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Approximate percentiles from a FIXED-GRID histogram — the
+    mergeable quantile sketch (Prometheus-bucket style) that closes
+    b44's rows-only asterisk the way x67 closes b08's: bin counts are
+    plain additive aggregates, so per-partition histograms merge by
+    summation and the construction is deterministic — both engines
+    replay bins, cumulative ranks, and the interpolated estimate to the
+    same decimals.
+
+    Error bound: one grid cell (hi-lo)/bins, certified against the
+    exact percentile in tests. One map-side-combinable shuffle of
+    <= bins rows per task at any scale; values outside [lo, hi) clamp
+    to the edge bins (counted, never dropped)."""
+    width = (hi - lo) / bins
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    hist = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    rows = None
+    for q in quantiles:
+        # first bin whose cumulative count reaches q*total; estimate =
+        # left edge + linear interpolation within the bin
+        hit = (
+            cum.where(F.col("cum") >= F.lit(q) * F.col("total"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.round(
+                    F.lit(lo)
+                    + F.col("bin") * width
+                    + width
+                    * (F.lit(q) * F.col("total") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt"),
+                    4,
+                ).alias("estimate"),
+            )
+        )
+        rows = hit if rows is None else rows.unionByName(hit)
+    return rows
+
+
+def histogram_quantiles_oracle_sql(
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = HIST_BINS,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    table: str = "events",
+) -> str:
+    width = (hi - lo) / bins
+    per_q = []
+    for q in quantiles:
+        per_q.append(f"""
+SELECT CAST({q} AS DOUBLE) AS q,
+       round({lo} + bin * {width} + {width} * ({q} * total - (cum - cnt)) / cnt, 4)
+           AS estimate
+FROM cum WHERE cum >= {q} * total ORDER BY bin LIMIT 1""")
+    union = "\nUNION ALL\n".join(f"({s.strip()})" for s in per_q)
+    return f"""
+WITH hist AS (
+    SELECT least({bins - 1}, greatest(0,
+               CAST(floor(({value_col} - {lo}) / {width}) AS INT))) AS bin,
+           count(*) AS cnt
+    FROM {table} WHERE {value_col} IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS total
+    FROM hist
+)
+{union}
+"""

@@ -2320,3 +2320,20 @@ def x67_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the oracle's replay of the same registers
     (operators/sketches.py:hll_distinct_by_group)."""
     return SK.hll_distinct_by_group(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x68_histogram_quantiles",
+    oracle=SK.histogram_quantiles_oracle_sql(),
+    tags=("extension", "sketch", "quantiles", "mergeable"),
+)
+def x68_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles from a fixed 128-bin grid —
+    the quantile counterpart of x67's from-scratch HLL, closing b44's
+    rows-only asterisk with a sketch BOTH engines replay exactly: bin
+    counts are additive (per-partition histograms merge by sum; the
+    shuffle carries <= bins rows per task at any scale), the estimate
+    interpolates inside the hit bin, and the grid-cell error bound is
+    certified against exact percentiles in tests/test_sketches.py
+    (operators/sketches.py:histogram_quantiles)."""
+    return SK.histogram_quantiles(load_table(spark, sf_dir, "events"))
