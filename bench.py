@@ -67,6 +67,9 @@ HEADLINE = (
     "x54_wav_clip_features",  # audio modality through the real RIFF/PCM codec
     "x57_bpe_piece_counts",  # trained-BPE corpus tokenization (fold apply, 0 shuffle)
     "x58_cdc_chunks",  # content-defined chunking (rolling-hash fan-out)
+    "x63_png_real_roundtrip",  # PNG codec path (zlib inflate + unfilter)
+    "x66_cms_heavy_hitters",  # sketch path (d x w counter grid + estimates)
+    "b55_funnel_steps",  # ordered-funnel composite (CEP batch twin)
 )
 
 

@@ -195,3 +195,62 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == {(100, 200), (100, 201), (101, 202)}
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """F.session_window in streaming mode: gap-based sessions close once
+    the watermark passes gap beyond their last event, and the closed
+    set equals the batch session_window aggregation (b25's expression,
+    proven on the stream side). Mid-session events must FUSE windows."""
+    d = str(tmp_path / "frames")
+    # session A: 3 events within 30s gaps; session B: later isolated
+    # pair; advancer event far in the future closes everything
+    rows = [
+        BASE + 0,
+        BASE + 20_000,
+        BASE + 45_000,  # A: one session (gaps < 60s)
+        BASE + 300_000,
+        BASE + 330_000,  # B: second session
+        BASE + 3_600_000,  # advancer (its own session stays open)
+    ]
+    _write(spark, d, rows, "overwrite")
+
+    def sessions(df):
+        return (
+            df.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "60 seconds").alias("w"), "stream_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n",
+            )
+        )
+
+    stream = spark.readStream.schema("stream_id string, ts timestamp").parquet(d)
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sesswin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["session_start"], r["session_end"], r["n"])
+        for r in spark.sql("SELECT * FROM sesswin").collect()
+    }
+
+    batch = {
+        (r["session_start"], r["session_end"], r["n"])
+        for r in sessions(spark.read.parquet(d).withWatermark("ts", "1 minute")).collect()
+    }
+    # the stream emits exactly the batch sessions minus the advancer's
+    # still-open one: the 3-event fused session A and the 2-event B
+    assert got == batch - {max(batch)}
+    assert {n for _, _, n in got} == {3, 2}

@@ -61,29 +61,17 @@ def cms_heavy_hitter_estimates(
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     top = true_counts.orderBy(F.desc("true_count"), "tok").limit(top_k)
 
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    # posexplode the bucket ARRAY (seed = position): each md5 computes
+    # exactly once per (token, seed) — the explode-then-reselect shape
+    # re-evaluated all d hashes per exploded row (measured ~2x slower)
+    buckets = F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)])
     cms = (
-        toks.select("tok", seeds)
-        .withColumn(
-            "b",
-            F.element_at(
-                F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)]),
-                F.col("seed") + 1,
-            ),
-        )
+        toks.select(F.posexplode(buckets).alias("seed", "b"))
         .groupBy("seed", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     probes = top.select(
-        "tok",
-        "true_count",
-        F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed"),
-    ).withColumn(
-        "b",
-        F.element_at(
-            F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)]),
-            F.col("seed") + 1,
-        ),
+        "tok", "true_count", F.posexplode(buckets).alias("seed", "b")
     )
     est = (
         probes.join(F.broadcast(cms), ["seed", "b"])
