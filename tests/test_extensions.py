@@ -772,3 +772,33 @@ def test_ivfpq_encoded_index_partition_pruning(spark, sf_dir, tmp_path):
         map(key, ivfpq_search(stored, emb, cents, books, k=3, n_probes=2).collect())
     )
     assert len(live) > 0 and from_store == live  # (c)
+
+
+def test_incremental_refresh_equals_recompute(spark, sf_dir):
+    """The merged partials must equal a direct full aggregate — the
+    property that makes incremental refresh safe to trust."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.plans.registry import query_map
+    from video_stream_processing_spark.tables import load_table
+
+    merged = {
+        r["event_type"]: r.asDict()
+        for r in query_map()["x71_incremental_agg_refresh"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    full = {
+        r["event_type"]: r.asDict()
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        for f in ("n_events", "value_sum", "min_value", "max_value"):
+            assert merged[k][f] == full[k][f], (k, f)

@@ -2478,3 +2478,82 @@ def x70_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") == 0).alias("passed"),
     )
     return pk.unionByName(fk).unionByName(rng).unionByName(nn)
+
+
+@register(
+    "x71_incremental_agg_refresh",
+    oracle="""
+WITH base AS (
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+           min(value) AS mn, max(value) AS mx
+    FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY event_type
+),
+delta AS (
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+           min(value) AS mn, max(value) AS mx
+    FROM events WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY event_type
+),
+merged AS (
+    SELECT coalesce(b.event_type, d.event_type) AS event_type,
+           coalesce(b.n, 0) + coalesce(d.n, 0) AS n_events,
+           coalesce(b.s, 0) + coalesce(d.s, 0) AS s,
+           least(coalesce(b.mn, d.mn), coalesce(d.mn, b.mn)) AS min_value,
+           greatest(coalesce(b.mx, d.mx), coalesce(d.mx, b.mx)) AS max_value
+    FROM base b FULL OUTER JOIN delta d ON b.event_type = d.event_type
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(s AS DOUBLE) AS value_sum,
+       round(min_value, 4) AS min_value, round(max_value, 4) AS max_value,
+       round(CAST(s AS DOUBLE) / n_events, 4) AS value_avg
+FROM merged
+""",
+    tags=("extension", "incremental", "materialized_view"),
+)
+def x71_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh — the ETL pattern that
+    avoids re-scanning 100 TB nightly: the standing aggregate stores
+    MERGEABLE partials (count, decimal sum, min, max), the newly-arrived
+    delta aggregates alone, and the refresh is a partial-merge full-outer
+    join on the group key (avg derives from the merged partials, which is
+    WHY partials — not averages — are what you store). Here base is
+    pre-cutoff events, delta is post-cutoff; the merged result is
+    bit-identical to the full recompute (the oracle IS the merge replay;
+    equality with the direct aggregate is pinned in
+    tests/test_extensions.py::test_incremental_refresh_equals_recompute).
+    Delta-side cost is delta-sized; the join moves one row per group."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partials(e.where(F.col("ts") < cutoff))
+    delta = partials(e.where(F.col("ts") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer").select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n_events"),
+        (
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("s"),
+        F.least(
+            F.coalesce(F.col("b.mn"), F.col("d.mn")), F.coalesce(F.col("d.mn"), F.col("b.mn"))
+        ).alias("min_value"),
+        F.greatest(
+            F.coalesce(F.col("b.mx"), F.col("d.mx")), F.coalesce(F.col("d.mx"), F.col("b.mx"))
+        ).alias("max_value"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("long"),
+        F.col("s").cast("double").alias("value_sum"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.col("s").cast("double") / F.col("n_events"), 4).alias("value_avg"),
+    )
