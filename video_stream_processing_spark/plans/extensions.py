@@ -2557,3 +2557,145 @@ def x71_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 4).alias("max_value"),
         F.round(F.col("s").cast("double") / F.col("n_events"), 4).alias("value_avg"),
     )
+
+
+@register(
+    "x72_multimodal_curation",
+    oracle="""
+WITH s AS (
+    SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS i
+    FROM documents WHERE doc_id % 97 != 0
+),
+samples AS (
+    SELECT doc_id,
+           lpad(CAST(i AS VARCHAR), 5, '0') AS sample_key,
+           (doc_id + i) % 13 + 4 AS width,
+           (doc_id + 2 * i) % 9 + 3 AS height,
+           3 * ((doc_id + i) % 5 + 1) AS caption_len,
+           'cap-' || CAST((doc_id + i) % 50 AS VARCHAR) AS caption
+    FROM s
+),
+filtered AS (
+    SELECT * FROM samples WHERE caption_len >= 9 AND width * height >= 40
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(caption) ORDER BY doc_id, sample_key) AS rn
+    FROM filtered
+)
+SELECT doc_id, sample_key,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(caption_len AS INT) AS caption_len,
+       md5(caption) AS caption_hash
+FROM ranked WHERE rn = 1
+""",
+    tags=("extension", "multimodal", "curation", "dedup", "pandas_udf"),
+)
+def x72_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal (LAION-style) counterpart of x35's text curation,
+    composed END TO END from real parts: render WebDataset tar shards
+    (x65's synth — real tars, real PNGs), extract samples through the
+    production tar walk + image decode, quality-filter (caption floor,
+    min pixel area), then EXACT-DEDUP captions across the whole corpus
+    (md5 groupBy; keeper = lexicographically first (doc, sample) via one
+    row_number window — captions repeat across shards by construction,
+    ~50 distinct). Plan shape: scan -> tar/decode UDF -> fused filters
+    -> ONE shuffle on the fixed-width caption hash. The oracle replays
+    extraction arithmetic, filter rules, and the keeper choice exactly
+    (operators/multimodal.py:webdataset_samples + this composition)."""
+    import io
+    import tarfile
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+
+    from video_stream_processing_spark.functions.pngcodec import encode_png
+    from video_stream_processing_spark.operators.multimodal import WDS_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def add(tar, name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tar:
+                    for i in range(d % 3 + 1):
+                        w = (d + i) % 13 + 4
+                        h = (d + 2 * i) % 9 + 3
+                        img = np.full((h, w, 3), (d + i) % 256, np.uint8)
+                        add(tar, f"{i:05d}.png", encode_png(img))
+                        # caption text repeats across shards (mod 50):
+                        # the dedup stage has real work to do; length
+                        # still follows x65's caption_len formula
+                        cap = f"cap-{(d + i) % 50}".encode()
+                        pad = 3 * ((d + i) % 5 + 1) - len(cap)
+                        add(tar, f"{i:05d}.txt", cap + b" " * max(0, pad))
+                blob = buf.getvalue()
+                payloads.append(blob[:100] if d % 97 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+
+        for pdf in batches:
+            doc_ids, keys, widths, heights, lens, caps = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    tar = tarfile.open(fileobj=io.BytesIO(bytes(blob)))
+                    members = {m.name: tar.extractfile(m).read() for m in tar if m.isfile()}
+                except (tarfile.TarError, OSError, AttributeError):
+                    continue
+                by_stem: dict[str, dict[str, bytes]] = {}
+                for name, data in members.items():
+                    stem, _, ext = name.rpartition(".")
+                    if stem:
+                        by_stem.setdefault(stem, {})[ext] = data
+                for stem in sorted(by_stem):
+                    parts = by_stem[stem]
+                    img = decode_image_bgr(parts.get("png"))
+                    cap = parts.get("txt", b"").decode("utf-8", "replace")
+                    doc_ids.append(doc_id)
+                    keys.append(stem)
+                    widths.append(None if img is None else img.shape[1])
+                    heights.append(None if img is None else img.shape[0])
+                    lens.append(len(cap))
+                    caps.append(cap.strip())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="Int64"),
+                    "sample_key": pd.array(keys, dtype="string"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "caption_len": pd.array(lens, dtype="Int32"),
+                    "caption": pd.array(caps, dtype="string"),
+                }
+            )
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    samples = rendered.mapInPandas(extract, schema=WDS_SCHEMA + ", caption string")
+    filtered = samples.where(
+        (F.col("caption_len") >= 9) & (F.col("width") * F.col("height") >= 40)
+    )
+    keeper = Window.partitionBy(F.md5("caption")).orderBy("doc_id", "sample_key")
+    return (
+        filtered.withColumn("rn", F.row_number().over(keeper))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "sample_key",
+            "width",
+            "height",
+            "caption_len",
+            F.md5("caption").alias("caption_hash"),
+        )
+    )
