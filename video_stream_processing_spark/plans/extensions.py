@@ -2699,3 +2699,67 @@ def x72_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("caption").alias("caption_hash"),
         )
     )
+
+
+@register(
+    "x73_rolling_zscore_anomalies",
+    oracle="""
+WITH w AS (
+    SELECT user_id, event_id, ts, value,
+           avg(value) OVER win AS mu,
+           stddev_samp(value) OVER win AS sigma,
+           count(*) OVER win AS n_win
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts, round(value, 4) AS value,
+       round((value - mu) / sigma, 3) AS zscore
+FROM w
+WHERE n_win >= 20 AND sigma > 0 AND abs(round((value - mu) / sigma, 3)) > 2.5
+""",
+    tags=("extension", "timeseries", "anomaly"),
+)
+def x73_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the monitoring analytic the
+    reference's Doris time-series fact exists to serve: per user, each
+    value scores against the TRAILING-50 window's mean/stddev (the
+    1-PRECEDING bound keeps the point out of its own baseline — no
+    self-masking), flagging |z| > 2.5 once >= 20 points of history
+    exist. One hash shuffle on user_id; both window aggregates share
+    the single sort; O(window) state per row. Cross-engine float
+    parity: z rounds to 3 decimals AFTER the identical avg/stddev_samp
+    computation, and the flag boundary itself compares the ROUNDED z
+    (round-before-rank/filter convention, plans/registry.py) so a
+    sub-ulp summation difference can never flip a row; the >= 20 warmup
+    floor keeps tiny-sample sigma noise out of the flag boundary."""
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, -1)
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sigma"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(
+            (F.col("n_win") >= 20)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.round(z, 3)) > 2.5)  # round-before-compare convention
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )
