@@ -2763,3 +2763,106 @@ def x73_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("zscore"),
         )
     )
+
+
+@register(
+    "x74_per_user_trend_fit",
+    oracle="""
+WITH pts AS (
+    SELECT user_id,
+           (epoch_ms(ts) - 1704067200000) / 86400000.0 AS x,
+           value AS y
+    FROM events
+),
+agg AS (
+    SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM pts GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept
+FROM agg WHERE n >= 2 AND (n * sxx - sx * sx) != 0
+""",
+    tags=("extension", "timeseries", "regression"),
+)
+def x74_per_user_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit thousands of tiny models in one pass — per-user ordinary
+    least squares (value vs days-since-epoch) via the CLOSED FORM:
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²). The whole fit is five
+    plain aggregates with map-side combine — one shuffle moving five
+    numbers per user, no per-group Python, no iteration — the pattern
+    that replaces a groupBy().applyInPandas(sklearn) anti-pattern for
+    anything with a closed form. Degenerate groups (single point, zero
+    x-variance) are excluded on both sides; x is day-scaled so the
+    normal equations stay well-conditioned in double precision and the
+    4-decimal round is stable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_millis("ts") - F.lit(1704067200000)) / F.lit(86400000.0)
+    pts = e.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    agg = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return agg.where((F.col("n") >= 2) & (det != 0)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    )
+
+
+@register(
+    "x75_event_markov_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM c
+""",
+    tags=("extension", "sequence", "markov"),
+)
+def x75_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-modeling summary behind next-event
+    prediction and anomalous-flow detection: lead() pairs each event
+    with its successor WITHIN the user's timeline (sessions never bleed
+    across users), transition counts aggregate globally, and each row
+    normalizes to P(to|from) over its from-state. Two shuffles total:
+    the user_id window and the (from,to) groupBy — the row-normalizing
+    window runs over the TRANSITION MATRIX (|types|² rows), not the
+    corpus."""
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
+    )
