@@ -2866,3 +2866,168 @@ def x75_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
     )
+
+
+@register(
+    "x76_bm25_search",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dlen) AS avgdl, count(*) AS n_docs FROM dl),
+q(term) AS (VALUES ('data'), ('model'), ('the')),
+tf AS (
+    SELECT t.doc_id, t.tok AS term, count(*) AS tf
+    FROM toks t JOIN q ON t.tok = q.term
+    GROUP BY t.doc_id, t.tok
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / s.avgdl))
+           ) AS score
+    FROM tf JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 15
+""",
+    tags=("extension", "text", "search", "bm25"),
+)
+def x76_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search with BM25 ranking (Robertson-Spärck Jones; k1 =
+    1.2, b = 0.75) for a fixed 3-term query — the retrieval op a
+    training-data pipeline runs for decontamination spot checks and
+    nearest-document lookups when embeddings are overkill. Plan shape:
+    doc lengths and the corpus avgdl are one token pass; the query-term
+    postings come from a broadcast semi of the 3-term table against the
+    token stream (the corpus never self-joins); idf/tf/length
+    normalization are JVM arithmetic; global top-15 is
+    TakeOrderedAndProject on the ROUNDED score (rank-stable
+    cross-engine). At 100 TB the postings list per term is the only
+    data touched after the scan — inverted-index behavior without
+    materializing the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    q = docs.sparkSession.createDataFrame([("data",), ("model",), ("the",)], "term string")
+    tf = (
+        toks.join(F.broadcast(q), toks.tok == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "x77_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+snap_b AS (
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) + CASE
+               WHEN o_orderkey % 13 = 0 THEN 1000.0 ELSE 0.0 END AS price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1999-01-01' AND o_orderkey % 17 != 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_kind,
+       a.price AS old_price, b.price AS new_price
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.price != b.price OR a.o_orderstatus != b.o_orderstatus
+""",
+    tags=("extension", "reconciliation", "diff"),
+)
+def x77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the diff an ingest pipeline runs
+    between yesterday's and today's extract to detect silent upstream
+    mutations: key-level FULL OUTER join classifying each divergent key
+    as added / deleted / changed (here snapshot B widens the date range,
+    drops every 17th key, and reprices every 13th by +1000.00 — an
+    ADDITIVE change so no second rounding happens and the repriced
+    double is bit-identical cross-engine; all three classes
+    materialize). Unchanged keys drop OUT of the result (the common
+    case at scale), so output is change-sized, not table-sized; the
+    join is a single co-partitioned shuffle on the key; comparisons use
+    the 2-decimal rounded money convention."""
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    snap_b = (
+        o.where(
+            (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 17 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (
+                F.round("o_totalprice", 2)
+                + F.when(F.col("o_orderkey") % 13 == 0, 1000.0).otherwise(0.0)
+            ).alias("price"),
+        )
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.where(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_kind"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+    )
