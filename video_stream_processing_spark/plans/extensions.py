@@ -3031,3 +3031,84 @@ def x77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.price").alias("old_price"),
         F.col("b.price").alias("new_price"),
     )
+
+
+@register(
+    "x78_simhash_neardup",
+    oracle=T.simhash_oracle_sql().replace(
+        "SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash\nFROM sim GROUP BY doc_id",
+        """, sig AS (
+    SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig
+    FROM sim GROUP BY doc_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig) a
+    JOIN (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig) b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(range(64), i ->
+            CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
+                      != substr(sig_b, CAST(i + 1 AS INT), 1)
+                 THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(64), i ->
+        CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
+                  != substr(sig_b, CAST(i + 1 AS INT), 1)
+             THEN 1 ELSE 0 END)) <= 3""",
+    ),
+    tags=("extension", "dedup", "simhash", "lsh"),
+)
+def x78_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — the Hamming-space complement of
+    MinHash-LSH (Charikar 2002 / Manku et al. 2007, Google's web-dedup
+    design): band the 64-bit signature into 4 x 16-bit keys (the
+    pigeonhole guarantee: any pair within Hamming distance 3 shares an
+    exact band — <= 3 is therefore the GUARANTEED-recall radius),
+    equi-join on band buckets — never all-pairs — and verify candidates
+    by exact bit-difference count <= 3. Identical-signature cliques make
+    bucket pairs quadratic in clique size, the same adversarial shape
+    x39 bounds for MinHash; the neighbor-window cap applies here
+    verbatim if a corpus needs it. Signature construction is x04's Arrow UDF, which the
+    oracle already replays bit-for-bit; banding, candidate generation
+    AND the Hamming verify are replayed too. One shuffle on the
+    fixed-width (band, key); candidate work is collision-sized
+    (operators/text.py:simhash_udf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", T.simhash_udf(F.col("text")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band"),
+    ).withColumn("bkey", F.expr("substring(sig, band * 16 + 1, 16)"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.split("sig_a", ""),
+            F.split("sig_b", ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
