@@ -3112,3 +3112,51 @@ def x78_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "x79_split_leakage_report",
+    oracle=f"""
+WITH pairs AS ({D.minhash_lsh_oracle_sql()}),
+assign AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+       round(p.jaccard, 6) AS jaccard
+FROM pairs p
+JOIN assign sa ON p.doc_a = sa.doc_id
+JOIN assign sb ON p.doc_b = sb.doc_id
+WHERE sa.split != sb.split
+""",
+    tags=("extension", "dedup", "split", "leakage"),
+)
+def x79_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination report — the eval-hygiene check every
+    training pipeline should run AFTER splitting: near-duplicate pairs
+    (x02's full MinHash-LSH chain, exact-Jaccard verified) whose members
+    landed in DIFFERENT splits (x32's md5-band assignment). A non-empty
+    result means the val/test sets leak training content through
+    near-dups that a doc-level split cannot see — the failure mode that
+    inflates benchmark scores silently. The split table is per-doc
+    (broadcastable until docs outgrow it, then a co-partitioned key
+    join); the dedup side reuses x02's bucketed plan unchanged, so the
+    composite costs one LSH pass + two key joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_neardups(docs)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assign = docs.select(
+        "doc_id",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", F.round("jaccard", 6).alias("jaccard"))
+    )
