@@ -42,6 +42,9 @@ NESTED_LOOP_ALLOWED = {
     # the canonical physical plan for a scalar subquery (constant work
     # per probe row); the existence check is a hash anti join
     "b58_idle_high_balance_customers",
+    # BM25: the corpus (avgdl, n_docs) pair is the same ONE-ROW scalar
+    # broadcast; every other join is a keyed broadcast/hash join
+    "x76_bm25_search",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -3160,3 +3160,68 @@ def x79_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@register(
+    "x80_copurchase_affinity",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_cust
+    FROM baskets a JOIN baskets b ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+),
+deg AS (SELECT part, count(*) AS n FROM baskets GROUP BY part)
+SELECT p.part_a, p.part_b, CAST(p.n_cust AS BIGINT) AS n_cust,
+       round(p.n_cust / (da.n + db.n - p.n_cust), 6) AS jaccard
+FROM pairs p JOIN deg da ON p.part_a = da.part JOIN deg db ON p.part_b = db.part
+WHERE p.n_cust >= 3
+""",
+    tags=("extension", "affinity", "recommendation"),
+)
+def x80_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase affinity — the collaborative-filtering
+    primitive (item-item co-occurrence with Jaccard normalization, the
+    Amazon-style 'bought together' statistic): distinct (customer, part)
+    baskets, a per-customer self-join for co-occurring pairs, support
+    floor >= 3, and degree-normalized Jaccard affinity. The self-join is
+    per-CUSTOMER (bounded basket, ~dozens of parts — never item x item
+    global), so pair work is sum-of-basket² — the same bounded-bucket
+    argument as the LSH joins, with the same skew answer (a whale
+    customer gets the x39 window cap) if a corpus needs it. Degree
+    tables are part-cardinality aggregates broadcast onto the pair
+    stream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = baskets.select("cust", F.col("part").alias("part_a"))
+    b = baskets.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") >= 3)
+    )
+    deg = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    da = deg.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_cust").cast("long"),
+            F.round(
+                F.col("n_cust") / (F.col("n_a") + F.col("n_b") - F.col("n_cust")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -184,6 +184,13 @@ def _driver_order(name: str) -> tuple[int, str]:
     # 1 = never driver-verified (x39-x42 + round-5 additions; all pass the
     # local harness); 2 = verified against the current parquet with the
     # current oracle (free green, enumerate last).
+    #
+    # Round-5 note: the session added b54-b58 and x54-x79, growing the
+    # never-verified tier past one capped (~50-row) driver pass; the 2-3
+    # alphabetically-last tier-1 names may only gain driver rows in the
+    # NEXT round's rotation. Every one of them passes the local strict
+    # harness (tools/check_correctness.py + the driver-sim in
+    # .claude/skills/verify) against the current parquet.
     if name in _CURRENT_VERIFIED:
         tier = 2
     elif name in _DRIVER_VERIFIED:
