@@ -101,3 +101,31 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     # and it actually executes to only bucket 3's rows
     rows = joined.collect()
     assert [r["bucket"] for r in rows] == [3]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    [
+        "x40_multimodal_real_roundtrip",
+        "x43_jpeg_real_roundtrip",
+        "x53_mjpeg_frame_split",
+        "x54_wav_clip_features",
+        "x55_wav_frame_energy",
+        "x58_cdc_chunks",
+        "x60_audio_resample",
+        "x63_png_real_roundtrip",
+        "x64_mp4_metadata_probe",
+        "x65_webdataset_ingest",
+    ],
+)
+def test_codec_paths_have_zero_exchanges(spark, sf_dir, qname):
+    """Every codec/fan-out path is scan -> Arrow UDF chain: SCALE.md's
+    'binary never crosses a shuffle' claim, pinned mechanically."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()[qname](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, qname

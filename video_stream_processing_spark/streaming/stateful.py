@@ -415,3 +415,80 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ANOMALY_STATE_SCHEMA = "vals array<double>"
+ANOMALY_OUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, zscore double"
+)
+
+
+def anomaly_stateful_fn(
+    window: int = 49, warmup: int = 20, threshold: float = 2.5
+):
+    """Streaming twin of x73's rolling z-score anomaly detector: per
+    user, keep the last ``window`` values as state (bounded — 49
+    doubles/key), score each arriving value against the CURRENT buffer
+    (trailing, self-excluded, sample stddev), emit rows whose rounded
+    |z| exceeds the threshold once ``warmup`` history exists. On
+    in-order arrival this equals the batch window query row-for-row
+    (tests/test_streaming_anomaly.py), including across micro-batch
+    splits — the buffer carries over in the state store."""
+    import math
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout registered
+            return
+        (vals,) = state.get if state.exists else ([],)
+        vals = list(vals)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out = []
+        for ts, event_id, v in zip(rows["ts"], rows["event_id"], rows["value"]):
+            n = len(vals)
+            if n >= warmup:
+                mu = sum(vals) / n
+                var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+                sigma = math.sqrt(var)
+                if sigma > 0:
+                    z = round((v - mu) / sigma, 3)
+                    if abs(z) > threshold:
+                        out.append((user_id, int(event_id), ts, round(v, 4), z))
+            vals.append(float(v))
+            if len(vals) > window:
+                vals.pop(0)
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "value", "zscore"]
+            )
+
+    return fn
+
+
+def anomaly_stream(
+    events: DataFrame,
+    window: int = 49,
+    warmup: int = 20,
+    threshold: float = 2.5,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Rolling z-score anomalies over a keyed event stream (x73's
+    streaming twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            anomaly_stateful_fn(window=window, warmup=warmup, threshold=threshold),
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
