@@ -1361,8 +1361,21 @@ def ivfpq_topk(
     Deterministic end to end (rounded scores, vec_id tiebreaks), so the
     DuckDB oracle replays coarse training, PQ training, encoding, ADC
     and rerank exactly (ivfpq_oracle_sql)."""
-    cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
-    books = pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters)
+    # coarse k-means and PQ codebook training are INDEPENDENT reads of
+    # the same input — run their action chains concurrently (Spark
+    # schedules concurrent jobs fine; ~2x faster wall-clock training at
+    # bench scale, same deterministic results since neither mutates
+    # shared state)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(
+            kmeans_centroids, emb, n_clusters=n_clusters, n_iters=n_iters
+        )
+        f_books = pool.submit(
+            pq_codebooks, emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters
+        )
+        cents, books = f_cents.result(), f_books.result()
     corpus = ivfpq_encode(emb, cents, books)
     return ivfpq_search(
         corpus, emb, cents, books, k=k, n_probes=n_probes,
