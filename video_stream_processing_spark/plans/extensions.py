@@ -3225,3 +3225,90 @@ def x80_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "x81_session_path_mining",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+),
+ranked AS (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM sessions
+),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+    tags=("extension", "sequence", "sessionization", "paths"),
+)
+def x81_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the clickstream sequence summary product
+    teams read ('what do the first three steps of a session look
+    like?'): b22's gap-based sessionization (lag -> flag -> running
+    sum), each session's first 3 event types joined into a path string,
+    global path frequencies, top-20 with deterministic tiebreak. All
+    three window specs and the path groupBy share ONE user_id shuffle;
+    the path table aggregate is |paths|-sized with map-side combine and
+    the top-k is TakeOrderedAndProject — no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > 1_800_000),
+        1,
+    ).otherwise(0)
+    sessions = e.select(
+        "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn("session_id", F.sum("is_new").over(wcum))
+    ranked = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    paths = (
+        ranked.where(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
