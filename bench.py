@@ -70,6 +70,9 @@ HEADLINE = (
     "x63_png_real_roundtrip",  # PNG codec path (zlib inflate + unfilter)
     "x66_cms_heavy_hitters",  # sketch path (d x w counter grid + estimates)
     "b55_funnel_steps",  # ordered-funnel composite (CEP batch twin)
+    # round-5 (cont.): graph iteration + distributed sweep line
+    "x82_pagerank_fixedpoint",  # checkpointed edges-join-ranks power iteration
+    "x85_session_concurrency",  # two-level prefix-sum sweep line
 )
 
 

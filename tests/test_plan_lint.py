@@ -45,6 +45,15 @@ NESTED_LOOP_ALLOWED = {
     # BM25: the corpus (avgdl, n_docs) pair is the same ONE-ROW scalar
     # broadcast; every other join is a keyed broadcast/hash join
     "x76_bm25_search",
+    # fuzzy dictionary match: the edit-distance predicate joins the
+    # DISTINCT VOCABULARY against a broadcast ~6-term dictionary —
+    # vocab x dict is the linear-with-bounded-inner-side shape (the
+    # corpus-token stream itself never enters the nested loop)
+    "x83_fuzzy_dict_match",
+    # triangle count: the final result glues two ONE-ROW scalar
+    # aggregates (edge count x triangle count); all graph joins are
+    # keyed hash joins
+    "x86_triangle_count",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

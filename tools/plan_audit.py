@@ -53,6 +53,7 @@ def audit_plan(df) -> dict:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    explicit = bool(args[1:])
     names = args[1:] or list(all_queries())
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,6 +86,20 @@ def main() -> int:
             f"| {a['codegen_spans']} | {'Y' if a['aqe'] else '-'} |"
         )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    if explicit and os.path.exists(out):
+        # Merge mode: update/append ONLY the named rows, preserving the
+        # full-registry audit (a names run must not clobber it).
+        audited = {n: line for n, line in zip([r[0] for r in rows], lines[8:])}
+        merged, seen = [], set()
+        for line in open(out).read().splitlines():
+            qname = line.split("|")[1].strip() if line.startswith("| ") else None
+            if qname in audited:
+                merged.append(audited[qname])
+                seen.add(qname)
+            else:
+                merged.append(line)
+        merged.extend(audited[n] for n in audited if n not in seen)
+        lines = merged
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -3312,3 +3312,90 @@ def x81_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "x87_compaction_plan",
+    oracle="""
+WITH sized AS (
+    SELECT source, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM documents
+),
+binned AS (
+    SELECT source, doc_id, n_chars, (cum - n_chars) // 40000 AS bin
+    FROM sized
+)
+SELECT source, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM binned GROUP BY source, bin
+""",
+    tags=("extension", "layout", "compaction"),
+)
+def x87_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the lakehouse OPTIMIZE planner):
+    treat each document as a file (n_chars = bytes) within its source
+    partition, order size-descending (deterministic doc_id tiebreak),
+    and assign output bins by offset division — a file opens a new
+    40 kB-target bin exactly when the bytes packed before it fill the
+    previous bins. The per-bin summary (file count, bytes) is what a
+    compaction executor would consume.
+
+    Scale posture: ONE shuffle on the table-partition key, a per-
+    partition window sort (Spark spills sorts; no global order), and a
+    map-side-combinable rollup. The offset-division rule makes the
+    plan a pure projection of the running sum — no sequential
+    first-fit state, so it distributes and replays deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    ).select(
+        "source",
+        "n_chars",
+        F.expr("(cum - n_chars) div 40000").alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "x88_k_anonymity",
+    oracle="""
+SELECT lang, source, CAST(n_chars // 1000 AS BIGINT) AS chars_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       count(*) < 5 AS at_risk
+FROM documents
+GROUP BY lang, source, n_chars // 1000
+""",
+    tags=("extension", "governance", "privacy"),
+)
+def x88_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (the privacy-governance gate run before a
+    corpus release): group by the quasi-identifier tuple (lang, source,
+    size band) and flag equivalence classes smaller than k=5 — rows in
+    an at-risk class are re-identifiable by their quasi-identifiers
+    alone. Complements the x24 PII scrub: scrubbing removes direct
+    identifiers, this measures the indirect ones.
+
+    Scale posture: a single map-side-combinable aggregate on a
+    fixed-width composite key; output is equivalence-class-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", "source", F.expr("n_chars div 1000").alias("chars_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )

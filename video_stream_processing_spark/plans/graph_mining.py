@@ -1,0 +1,534 @@
+"""Graph / sequence / sampling extensions (round 5 continuation).
+
+The co-purchase graph family (x80) generalizes to the classic
+graph-mining primitives a training-data platform runs on relational
+exhaust: fixed-point PageRank (influence/centrality over the item
+graph), degree-oriented triangle counting (community density), plus
+three pipeline utilities — vocabulary-level fuzzy dictionary matching
+(typo-tolerant entity/brand lookup), weighted sampling without
+replacement (Efraimidis–Spirakis A-ES, the corpus-subsampling
+primitive), and an interval-concurrency sweep line (peak concurrent
+sessions — the capacity-planning query).
+
+Determinism rules (driver contract): PageRank runs in scaled integer
+arithmetic (micro-units, floor division) so both engines agree
+bit-for-bit with no float-summation-order hazard; A-ES keys round to 10
+decimals before the rank (ln() ulp differences are ~1e-20 absolute here,
+ten orders below the grid); everything else is integer/exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.plans.registry import register
+from video_stream_processing_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Shared co-purchase graph (x80's basket pairs, support >= 3)
+# --------------------------------------------------------------------------
+
+_GRAPH_SQL = """
+baskets AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_cust
+    FROM baskets a JOIN baskets b ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING count(*) >= 3
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION ALL
+    SELECT part_b AS src, part_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, symmetric edges, degree) of the support>=3 co-purchase
+    graph. The pair self-join is per-customer (bounded basket — never
+    item x item global); the symmetric union is a projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = baskets.select("cust", F.col("part").alias("part_a"))
+    b = baskets.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") >= 3)
+    )
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return pairs, edges, deg
+
+
+# --------------------------------------------------------------------------
+# x82 — fixed-point PageRank
+# --------------------------------------------------------------------------
+
+_X82_ITERS = 3
+
+
+def _x82_oracle() -> str:
+    # Unroll the iterations as a CTE chain; all arithmetic is BIGINT
+    # (// is integer floor division in DuckDB, div in Spark).
+    chain = [
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg)",
+    ]
+    for i in range(1, _X82_ITERS + 1):
+        chain.append(
+            f"""r{i} AS (
+    SELECT e.dst AS node,
+           CAST(150000 + sum((r.rank * 85) // (100 * d.deg)) AS BIGINT) AS rank
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + _GRAPH_SQL.strip().rstrip()
+        + ",\n"
+        + ",\n".join(chain)
+        + f"\nSELECT node AS part, rank AS pr_mass FROM r{_X82_ITERS}"
+    )
+
+
+@register(
+    "x82_pagerank_fixedpoint",
+    oracle=_x82_oracle(),
+    tags=("extension", "graph", "pagerank"),
+)
+def x82_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph in fixed-point integer
+    arithmetic: each node starts with 1e6 micro-units of mass; every
+    iteration a node keeps 0.15e6 restart mass and receives
+    floor(rank_u * 85 / (100 * deg_u)) from each in-neighbor — the
+    standard damped power iteration (d=0.85) scaled to micro-units with
+    floor truncation, which makes the result an order-independent
+    integer SUM (no float-summation-order divergence between engines).
+
+    Scale posture: the per-iteration shape is edges JOIN ranks ON src ->
+    groupBy dst — the canonical distributed PageRank step. The
+    degree-annotated edge list is materialized ONCE (localCheckpoint,
+    the x15 iterative-lineage discipline — without it each iteration
+    re-derives the whole basket pipeline and the plan tree grows
+    exponentially), and each rank frontier is checkpointed per round,
+    so every iteration is exactly ONE shuffle join + ONE aggregate over
+    |E| + |V| rows; at cluster scale edges and ranks co-partition on
+    src. Ranks stay |V|-sized; edge data never recomputes."""
+    _, edges, deg = _copurchase_edges(spark, sf_dir)
+    # Materialize the graph once (eager: within one action Spark would
+    # recompute a lazily-checkpointed subtree per reference).
+    edges = edges.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    # Attach src degree once; every iteration reuses this materialized set.
+    e2 = (
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    r = deg.select("node", F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(_X82_ITERS):
+        r = (
+            e2.join(r, e2.src == r.node)
+            .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
+            .groupBy("dst")
+            .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint(eager=True)  # cut lineage per round (x15 discipline)
+        )
+    return r.select(F.col("node").alias("part"), F.col("rank").alias("pr_mass"))
+
+
+# --------------------------------------------------------------------------
+# x83 — fuzzy dictionary matching (vocabulary-level edit distance)
+# --------------------------------------------------------------------------
+
+_X83_DICT = ("spark", "tabel", "query", "window", "scann", "jon")
+
+
+@register(
+    "x83_fuzzy_dict_match",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY token
+),
+dict(term) AS (VALUES {", ".join(f"('{t}')" for t in _X83_DICT)})
+SELECT d.term, v.token,
+       CAST(levenshtein(d.term, v.token) AS INT) AS dist,
+       CAST(v.n_docs AS BIGINT) AS n_docs,
+       CAST(v.n_occ AS BIGINT) AS n_occ
+FROM dict d
+JOIN vocab v
+  ON abs(length(d.term) - length(v.token)) <= 1
+ AND levenshtein(d.term, v.token) <= 1
+""",
+    tags=("extension", "text", "fuzzy"),
+)
+def x83_fuzzy_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant dictionary matching (spell-tolerant entity/brand
+    lookup over a corpus): match every corpus token against a small term
+    dictionary at Levenshtein distance <= 1.
+
+    Scale posture: the fuzzy work runs on the DISTINCT VOCABULARY, not
+    the corpus — tokens aggregate to (token, n_occ, n_docs) first (one
+    shuffle, map-side combine), then the vocabulary joins the broadcast
+    dictionary with a length-band prefilter + edit-distance predicate
+    (a broadcast nested-loop over vocab x dict, which is vocab-sized —
+    at 100 TB the vocabulary is millions of rows while the corpus is
+    trillions of tokens; the expensive predicate never touches the
+    corpus). Occurrence/document counts ride along from the aggregate,
+    so no second corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    dictionary = spark.createDataFrame([(t,) for t in _X83_DICT], ["term"])
+    dist = F.levenshtein(F.col("term"), F.col("token"))
+    return (
+        vocab.join(
+            F.broadcast(dictionary),
+            (F.abs(F.length("term") - F.length("token")) <= 1) & (dist <= 1),
+        )
+        .select("term", "token", dist.cast("int").alias("dist"), "n_docs", "n_occ")
+    )
+
+
+# --------------------------------------------------------------------------
+# x84 — weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+_X84_K = 50
+
+
+@register(
+    "x84_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                    / 4294967296.0) / n_chars, 10) AS samp_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, samp_key
+FROM keyed
+ORDER BY samp_key DESC, doc_id
+LIMIT {_X84_K}
+""",
+    tags=("extension", "sampling"),
+)
+def x84_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic md5-uniform u in (0,1] and gets key
+    u^(1/w) with weight w = n_chars; the top-k keys ARE a weighted
+    sample without replacement. Computed in log space (ln(u)/w, larger
+    is better) and rounded to 10 decimals before the rank so both
+    engines agree (libm ln() ulp differences are ~1e-20 absolute at
+    this magnitude — ten orders below the rounding grid).
+
+    Scale posture: key assignment is a map-side projection over the
+    scan; the top-k is orderBy+limit => TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows), never a global sort.
+    This is THE corpus-subsampling primitive (quality-weighted corpus
+    draws) and it reads each row exactly once."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "n_chars", F.round(F.log(u) / F.col("n_chars"), 10).alias("samp_key")
+    )
+    return keyed.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(_X84_K)
+
+
+# --------------------------------------------------------------------------
+# x85 — peak concurrent sessions (distributed sweep line)
+# --------------------------------------------------------------------------
+
+@register(
+    "x85_session_concurrency",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+),
+bounds AS (
+    SELECT user_id, session_id,
+           epoch_ms(min(ts)) AS st, epoch_ms(max(ts)) + 1 AS en
+    FROM sessions GROUP BY user_id, session_id
+),
+deltas AS (
+    SELECT st AS ms, 1 AS d FROM bounds
+    UNION ALL
+    SELECT en AS ms, -1 AS d FROM bounds
+),
+net AS (SELECT ms, sum(d) AS net FROM deltas GROUP BY ms),
+run AS (SELECT ms, sum(net) OVER (ORDER BY ms) AS conc FROM net)
+SELECT ms // 3600000 AS hour_bucket, CAST(max(conc) AS BIGINT) AS max_conc
+FROM run GROUP BY ms // 3600000
+""",
+    tags=("extension", "timeseries", "sweepline"),
+)
+def x85_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning sweep
+    line: b22's gap sessions become [start, end] intervals, each
+    interval contributes +1 at start and -1 just after end, and the
+    running sum of deltas ordered by time is the instantaneous
+    concurrency; max per hour bucket is the answer.
+
+    Scale posture: a naive sweep line is a GLOBAL ordered running sum —
+    a single-partition window at 100 TB. This plan distributes it as a
+    two-level prefix sum: deltas aggregate per millisecond (one
+    shuffle), the running sum runs WITHIN each hour partition, and the
+    cross-hour carry is a running sum over the HOUR-TOTALS table —
+    which is calendar-bounded (8.8k rows/year), so its single-partition
+    window is a constant-size driver-adjacent step, not a data-scale
+    one. Identical integer math to the oracle's global window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > 1_800_000),
+        1,
+    ).otherwise(0)
+    sessions = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).withColumn(
+        "session_id", F.sum("is_new").over(wcum)
+    )
+    bounds = sessions.groupBy("user_id", "session_id").agg(
+        F.unix_millis(F.min("ts")).alias("st"),
+        (F.unix_millis(F.max("ts")) + 1).alias("en"),
+    )
+    deltas = bounds.select(F.col("st").alias("ms"), F.lit(1).alias("d")).unionAll(
+        bounds.select(F.col("en").alias("ms"), F.lit(-1).alias("d"))
+    )
+    # Materialize the per-ms delta aggregate once: the within-hour
+    # window, the hour-totals aggregate and their join all probe it.
+    net = deltas.groupBy("ms").agg(F.sum("d").alias("net")).localCheckpoint(eager=True)
+    hour = F.expr("ms div 3600000")
+    within = net.withColumn("hour_bucket", hour).withColumn(
+        "run",
+        F.sum("net").over(
+            Window.partitionBy("hour_bucket")
+            .orderBy("ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    hour_totals = net.groupBy(hour.alias("hour_bucket")).agg(F.sum("net").alias("htot"))
+    carry = hour_totals.withColumn(
+        "carry",
+        F.coalesce(
+            F.sum("htot").over(
+                Window.orderBy("hour_bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("hour_bucket", "carry")
+    return (
+        within.join(carry, "hour_bucket")
+        .groupBy("hour_bucket")
+        .agg(F.max(F.col("run") + F.col("carry")).cast("long").alias("max_conc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x86 — triangle counting (degree-oriented)
+# --------------------------------------------------------------------------
+
+@register(
+    "x86_triangle_count",
+    oracle="WITH "
+    + _GRAPH_SQL.strip()
+    + """,
+o AS (
+    SELECT e.src AS s, e.dst AS d, d2.deg AS dd
+    FROM edges e
+    JOIN deg d1 ON e.src = d1.node
+    JOIN deg d2 ON e.dst = d2.node
+    WHERE (d1.deg, e.src) < (d2.deg, e.dst)
+),
+wedges AS (
+    SELECT a.s, a.d AS b, c.d AS c
+    FROM o a JOIN o c ON a.s = c.s
+    WHERE (a.dd, a.d) < (c.dd, c.d)
+),
+tri AS (
+    SELECT count(*) AS n
+    FROM wedges w JOIN o e ON e.s = w.b AND e.d = w.c
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+""",
+    tags=("extension", "graph", "triangles"),
+)
+def x86_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting on the co-purchase graph — the
+    community-density statistic. Every undirected edge is oriented from
+    its lexicographically-smaller (degree, node) endpoint to the larger,
+    turning the graph into a DAG whose max out-degree is O(sqrt(m));
+    wedges enumerate ordered out-neighbor pairs and close iff the
+    closing oriented edge exists.
+
+    Scale posture: the orientation bounds per-node wedge fan-out at
+    O(sqrt(m)) regardless of raw degree skew (the classic answer to the
+    celebrity-node problem — a hub's edges point INTO it, so it spawns
+    no wedges). Wedge generation is a self-equi-join on src; closure is
+    an equi-join on (b, c). Both shuffle on small fixed-width keys;
+    total work is the optimal O(m^1.5) bound, never degree-squared."""
+    pairs, edges, deg = _copurchase_edges(spark, sf_dir)
+    # Materialize shared graph tables once (eager localCheckpoint —
+    # pairs feeds edges AND the final edge count; deg is probed twice;
+    # the oriented list o is probed three times; without truncation the
+    # basket pipeline would re-derive per reference).
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("ds"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd"))
+    o = (
+        edges.join(d1, "src")
+        .join(d2, "dst")
+        .where(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("s"), F.col("dst").alias("d"), "dd")
+        .localCheckpoint(eager=True)
+    )
+    a = o.select(F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db"))
+    c = o.select(F.col("s"), F.col("d").alias("c"), F.col("dd").alias("dc"))
+    wedges = a.join(c, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_edges.crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# x89 — bounded-round k-core peeling
+# --------------------------------------------------------------------------
+
+_X89_K = 40
+_X89_ROUNDS = 5
+
+
+def _x89_oracle() -> str:
+    chain = ["a0 AS (SELECT node FROM deg)"]
+    for i in range(1, _X89_ROUNDS + 1):
+        chain.append(
+            f"""e{i} AS (
+    SELECT e.src, e.dst FROM edges e
+    JOIN a{i - 1} x ON e.src = x.node
+    JOIN a{i - 1} y ON e.dst = y.node
+),
+a{i} AS (SELECT src AS node FROM e{i} GROUP BY src HAVING count(*) >= {_X89_K})"""
+        )
+    return (
+        "WITH "
+        + _GRAPH_SQL.strip()
+        + ",\n"
+        + ",\n".join(chain)
+        + f""",
+ef AS (
+    SELECT e.src, e.dst FROM edges e
+    JOIN a{_X89_ROUNDS} x ON e.src = x.node
+    JOIN a{_X89_ROUNDS} y ON e.dst = y.node
+)
+SELECT src AS part, CAST(count(*) AS BIGINT) AS core_deg
+FROM ef GROUP BY src"""
+    )
+
+
+@register(
+    "x89_kcore_peel",
+    oracle=_x89_oracle(),
+    tags=("extension", "graph", "kcore"),
+)
+def x89_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (k=40) over the co-purchase graph —
+    the dense-community extractor: each round drops every node whose
+    degree WITHIN the surviving subgraph is below k, then recounts.
+    Five rounds are unrolled (deterministic in both engines; the exact
+    core is the fixpoint, which bounded peeling approaches
+    monotonically from above — x15's probe-bounded loop is the shipped
+    pattern for running any such peel to fixpoint).
+
+    Scale posture: each round is two semi-joins of the edge list
+    against the shrinking alive set plus one degree aggregate — all
+    keyed equi-joins on node ids; the alive set is checkpointed per
+    round (x15 lineage discipline) so round r+1 never re-derives round
+    r. Edge data is materialized once up front."""
+    _, edges, deg = _copurchase_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    alive = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_X89_ROUNDS):
+        ax = alive.select(F.col("node").alias("src"))
+        ay = alive.select(F.col("node").alias("dst"))
+        e_r = edges.join(ax, "src").join(ay, "dst")
+        alive = (
+            e_r.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _X89_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
+    ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
+        alive.select(F.col("node").alias("dst")), "dst"
+    )
+    return ef.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )

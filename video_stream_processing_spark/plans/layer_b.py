@@ -1223,7 +1223,7 @@ def b37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "b38_posexplode",
-    oracle="""
+    oracle=r"""
 SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.x AS token
 FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents WHERE doc_id % 25 = 0),
      unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x})) AS t(u)
@@ -2086,5 +2086,63 @@ def b58_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.substring("c_name", 1, 9).alias("name_prefix"),
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "b59_small_quantity_revenue",
+    oracle="""
+WITH brand_li AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+),
+th AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS t
+    FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+            AS DOUBLE) AS avg_yearly
+FROM brand_li b JOIN th ON b.l_partkey = th.l_partkey
+WHERE b.l_quantity < th.t
+""",
+    tags=("layer_b", "composite"),
+)
+def b59_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand's
+    parts, revenue from line items whose quantity is below 20% of that
+    part's average quantity, scaled to a yearly figure. The correlated
+    scalar subquery decorrelates into ONE grouped aggregate over the
+    brand-pruned lineitems joined back on partkey.
+
+    Scale posture: the brand filter broadcasts (|parts|/|brands| rows)
+    and prunes lineitem at the scan edge BEFORE any shuffle; the
+    per-part average becomes a WINDOW over the pruned stream, so
+    lineitem is scanned ONCE and shuffled once on l_partkey (the
+    aggregate-then-join-back formulation reads the fact table twice —
+    at 100 TB the second scan costs more than the 4%-of-rows shuffle).
+    Per-part partitions are bounded (~30 line items), so the window has
+    no skew exposure. Quantities are integer-valued doubles, so
+    sum/avg are exact and the 0.2*avg threshold compare is
+    engine-identical; revenue sums as DECIMAL(18,2) for
+    order-insensitive parity."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    t = 0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        brand_li.withColumn("t", t)
+        .where(F.col("l_quantity") < F.col("t"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
         )
     )
