@@ -322,3 +322,53 @@ def test_kcore_monotone_against_degrees(spark):
     assert len(out) > 0
     for row in out.itertuples():
         assert _X89_K <= row.core_deg <= raw[row.part]
+
+
+# -------------------------------------------------------------- b60
+
+
+def test_disjunctive_predicate_pushes_common_implications(spark):
+    # Q19's OR decomposes: each scan must carry a PushedFilter derived
+    # from the disjunction (brand/size on part, quantity on lineitem)
+    import re
+
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()["b60_disjunctive_predicate_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # toString truncates long filter lists with '...', so grab the text
+    # right after each marker rather than a bracket-balanced match
+    pushed = [
+        seg[: seg.find("ReadSchema")]
+        for seg in re.split(r"PushedFilters: \[", plan)[1:]
+    ]
+    nonempty = [p for p in pushed if not p.startswith("]")]
+    assert len(nonempty) == 2  # both sides of the join, not just one
+    joined = " ".join(nonempty)
+    assert "l_quantity" in joined and "p_brand" in joined
+
+
+# -------------------------------------------------------------- x90
+
+
+def test_gap_histogram_brute_force(spark):
+    from video_stream_processing_spark.plans.registry import query_map
+    from video_stream_processing_spark.tables import load_table
+
+    e = load_table(spark, SF, "events").toPandas()
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    expect: dict[tuple, int] = {}
+    for _, g in e.groupby("user_id"):
+        prev = None
+        for row in g.itertuples():
+            ms = int(row.ts.value // 1_000_000)
+            if prev is not None:
+                bucket = (ms - prev + 1).bit_length() - 1
+                key = (row.event_type, bucket)
+                expect[key] = expect.get(key, 0) + 1
+            prev = ms
+    got = {
+        (r.event_type, int(r.log2_bucket)): int(r.n_gaps)
+        for r in query_map()["x90_gap_log_histogram"](spark, SF).toPandas().itertuples()
+    }
+    assert got == expect

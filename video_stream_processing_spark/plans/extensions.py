@@ -3399,3 +3399,47 @@ def x88_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.count(F.lit(1)) < 5).alias("at_risk"),
     )
+
+
+@register(
+    "x90_gap_log_histogram",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(length(bin(gap_ms + 1)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY event_type, length(bin(gap_ms + 1)) - 1
+""",
+    tags=("extension", "timeseries", "histogram"),
+)
+def x90_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap histogram on log2 buckets — the burstiness
+    profile (is traffic Poisson-ish or session-clumped?) that sizes
+    watermarks and session-gap thresholds empirically. Per-user
+    consecutive gaps in ms, bucketed by floor(log2(gap+1)) computed as
+    the binary-representation length (INTEGER arithmetic — no libm
+    log2, so bucket boundaries are engine-exact by construction).
+
+    Scale posture: one user_id shuffle for the lag window, then a
+    map-side-combinable count on a (type, bucket) key whose cardinality
+    is |event_types| x ~40 buckets — the result is constant-sized no
+    matter the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    return (
+        e.select("event_type", gap.alias("gap_ms"))
+        .where(F.col("gap_ms").isNotNull())
+        .select(
+            "event_type",
+            (F.length(F.bin(F.col("gap_ms") + 1)) - 1).cast("int").alias("log2_bucket"),
+        )
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
