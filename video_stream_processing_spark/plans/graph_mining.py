@@ -52,7 +52,11 @@ deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(pairs, symmetric edges, degree) of the support>=3 co-purchase
     graph. The pair self-join is per-customer (bounded basket — never
-    item x item global); the symmetric union is a projection."""
+    item x item global); the symmetric union is a projection. A
+    collect_set + array-combination-explode variant (two shuffles
+    fewer) measured 5x SLOWER at sf0.1 — the per-row struct-array
+    allocation in the higher-order functions costs more than the
+    shuffles it saves — so the codegen'd hash self-join stays."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     baskets = (
@@ -132,18 +136,19 @@ def x82_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every iteration is exactly ONE shuffle join + ONE aggregate over
     |E| + |V| rows; at cluster scale edges and ranks co-partition on
     src. Ranks stay |V|-sized; edge data never recomputes."""
-    _, edges, deg = _copurchase_edges(spark, sf_dir)
-    # Materialize the graph once (eager: within one action Spark would
-    # recompute a lazily-checkpointed subtree per reference).
-    edges = edges.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
-    # Attach src degree once; every iteration reuses this materialized set.
-    e2 = (
-        edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=True)
+    _, edges, _ = _copurchase_edges(spark, sf_dir)
+    # Materialize the degree-annotated edge list ONCE: the degree is a
+    # count-over-src window (one shuffle, no join), and the single eager
+    # localCheckpoint both cuts the basket-pipeline lineage (the x15
+    # discipline — a flat base keeps the 3-iteration plan tree linear,
+    # so the per-round checkpoints the first cut needed are unnecessary)
+    # and lets every iteration re-probe the same in-memory partitions.
+    e2 = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    r = e2.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(1000000).cast("long")
     )
-    r = deg.select("node", F.lit(1000000).cast("long").alias("rank"))
     for _ in range(_X82_ITERS):
         r = (
             e2.join(r, e2.src == r.node)
@@ -151,7 +156,6 @@ def x82_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
-            .localCheckpoint(eager=True)  # cut lineage per round (x15 discipline)
         )
     return r.select(F.col("node").alias("part"), F.col("rank").alias("pr_mass"))
 
