@@ -2199,3 +2199,118 @@ def b60_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@register(
+    "b61_nation_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+    tags=("layer_b", "composite"),
+)
+def b61_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume): revenue shipped between
+    two nations in either direction, by supplier nation, customer
+    nation and year. Exercises the double-aliased-dimension topology —
+    the SAME nation table joins twice under different roles.
+
+    Scale posture: both nation dims and supplier/customer broadcast;
+    the only shuffle edges are lineitem->orders (keyed). The
+    either-direction predicate evaluates after the broadcasts, but each
+    nation dim is pre-filtered to the two named nations BEFORE its
+    broadcast, so the fact stream is cut by the supplier semi-product
+    early. Date range prunes the lineitem scan (PushedFilters).
+    Revenue sums as DECIMAL(18,2) products (b01 discipline)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    nations = ("NATION_1", "NATION_2", "NATION_3")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "b62_product_type_profit",
+    oracle="""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))
+              - CAST(p.p_retailprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    tags=("layer_b", "composite"),
+)
+def b62_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year): revenue
+    minus cost (retail price x quantity stands in for ps_supplycost —
+    the schema has no partsupp) for parts whose name matches a product
+    line, rolled up by supplier nation and order year.
+
+    Scale posture: the part filter (LIKE on a broadcast dim) cuts the
+    fact stream FIRST — the most selective edge runs earliest; supplier
+    and nation broadcast; the single shuffle join is lineitem->orders
+    on orderkey. All money terms are DECIMAL(18,2) products, so the
+    profit sum is order-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,2)"
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
