@@ -70,22 +70,14 @@ def test_pagerank_micro_graph_by_hand(spark):
         r = nxt
     assert r["a"] == r["c"]
     assert r["b"] > r["a"]
-    # the same recurrence implemented over a DataFrame graph
+    # the REAL operator on the same graph
+    from video_stream_processing_spark.operators.graph import pagerank_fixedpoint
+
     df_edges = spark.createDataFrame([(u, v) for u, v in edges], ["src", "dst"])
-    df_deg = df_edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    e2 = df_edges.join(df_deg, df_edges.src == df_deg.node).select("src", "dst", "deg")
-    cur = df_deg.select("node", F.lit(1_000_000).cast("long").alias("rank"))
-    for _ in range(3):
-        cur = (
-            e2.join(cur, e2.src == cur.node)
-            .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
-            .groupBy("dst")
-            .agg((F.lit(150_000) + F.sum("contrib")).cast("long").alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
-        )
-    got = {row["node"]: row["rank"] for row in cur.collect()}
+    got = {
+        row["node"]: row["pr_mass"]
+        for row in pagerank_fixedpoint(df_edges, iters=3).collect()
+    }
     assert got == r
 
 
@@ -285,26 +277,12 @@ def test_kcore_micro_graph_by_hand(spark):
             expect[s] = expect.get(s, 0) + 1
     assert expect == {i: 4 for i in range(5)}
 
-    from pyspark.sql import functions as F
+    from video_stream_processing_spark.operators.graph import kcore_peel
 
     df_edges = spark.createDataFrame(edges, ["src", "dst"])
-    df_alive = df_edges.select(F.col("src").alias("node")).distinct()
-    for _ in range(ROUNDS):
-        e_r = df_edges.join(df_alive.select(F.col("node").alias("src")), "src").join(
-            df_alive.select(F.col("node").alias("dst")), "dst"
-        )
-        df_alive = (
-            e_r.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= K)
-            .select(F.col("src").alias("node"))
-        )
-    ef = df_edges.join(df_alive.select(F.col("node").alias("src")), "src").join(
-        df_alive.select(F.col("node").alias("dst")), "dst"
-    )
     got = {
-        r["src"]: r["c"]
-        for r in ef.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(df_edges, k=K, rounds=ROUNDS).collect()
     }
     assert got == expect
 

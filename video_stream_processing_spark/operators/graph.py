@@ -1,0 +1,119 @@
+"""Reusable graph algorithms over edge-list DataFrames.
+
+Each operator takes a SYMMETRIC edge list — a DataFrame with (src, dst)
+columns containing both directions of every undirected edge — so a user
+can run them on any graph (co-purchase, citation, near-dup adjacency),
+not just the built-in query fixtures. All algorithms follow the
+iterative-lineage discipline proven on x15: materialize the edge base
+ONCE with an eager localCheckpoint, keep per-iteration work a keyed
+equi-join + aggregate, and keep the per-round frames |V|-sized.
+
+Determinism: PageRank uses fixed-point integer micro-units with floor
+division (order-independent sums — engine- and run-exact); triangle and
+k-core arithmetic is integer throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_fixedpoint", "oriented_triangle_count", "kcore_peel"]
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Damped PageRank (d=0.85) in scaled integer arithmetic.
+
+    Every node starts with 1e6 micro-units; each iteration it keeps
+    0.15e6 restart mass and receives floor(rank_u * 85 / (100 * deg_u))
+    from each in-neighbor. Returns (node, pr_mass).
+
+    The degree is a count-over-src window on the edge list (one
+    shuffle, no join), checkpointed once; iterations stay lazy on that
+    flat base — the plan tree grows linearly with ``iters``. Measured
+    at sf0.1: one eager checkpoint beats per-round checkpointing 2x
+    (SCALE.md "Graph mining")."""
+    e2 = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    r = e2.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(1000000).cast("long")
+    )
+    for _ in range(iters):
+        r = (
+            e2.join(r, e2.src == r.node)
+            .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
+            .groupBy("dst")
+            .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return r.select("node", F.col("rank").alias("pr_mass"))
+
+
+def oriented_triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count via degree orientation; returns one row
+    (n_triangles).
+
+    Each undirected edge is oriented from its lexicographically-smaller
+    (degree, node) endpoint to the larger, so per-node wedge fan-out is
+    O(sqrt(m)) regardless of degree skew (a hub's edges point INTO it —
+    it spawns no wedges); wedges close iff the oriented (b, c) edge
+    exists. Total work is the optimal O(m^1.5), all keyed hash joins."""
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("ds"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd"))
+    o = (
+        edges.join(d1, "src")
+        .join(d2, "dst")
+        .where(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("s"), F.col("dst").alias("d"), "dd")
+        .localCheckpoint(eager=True)
+    )
+    a = o.select(F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db"))
+    c = o.select(F.col("s"), F.col("d").alias("c"), F.col("dd").alias("dc"))
+    wedges = a.join(c, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    return wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peeling; returns (node, core_deg) for nodes
+    surviving ``rounds`` peels, with their degree inside the surviving
+    subgraph.
+
+    Each round drops every node whose degree within the alive subgraph
+    is below k (two semi-joins + one aggregate); the alive set is
+    checkpointed per round so round r+1 never re-derives round r. The
+    exact core is the fixpoint, approached monotonically from above —
+    wrap with x15's probe-bounded loop to run to convergence."""
+    edges = edges.localCheckpoint(eager=True)
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ax = alive.select(F.col("node").alias("src"))
+        ay = alive.select(F.col("node").alias("dst"))
+        e_r = edges.join(ax, "src").join(ay, "dst")
+        alive = (
+            e_r.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
+    ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
+        alive.select(F.col("node").alias("dst")), "dst"
+    )
+    return ef.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from video_stream_processing_spark.operators import graph as G
 from video_stream_processing_spark.plans.registry import register
 from video_stream_processing_spark.tables import load_table
 
@@ -128,36 +129,15 @@ def x82_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer SUM (no float-summation-order divergence between engines).
 
     Scale posture: the per-iteration shape is edges JOIN ranks ON src ->
-    groupBy dst — the canonical distributed PageRank step. The
-    degree-annotated edge list is materialized ONCE (localCheckpoint,
-    the x15 iterative-lineage discipline — without it each iteration
-    re-derives the whole basket pipeline and the plan tree grows
-    exponentially), and each rank frontier is checkpointed per round,
-    so every iteration is exactly ONE shuffle join + ONE aggregate over
-    |E| + |V| rows; at cluster scale edges and ranks co-partition on
-    src. Ranks stay |V|-sized; edge data never recomputes."""
+    groupBy dst — the canonical distributed PageRank step; ranks
+    co-partition with the once-checkpointed edge base on src, and the
+    plan tree stays linear in the iteration count (see
+    operators/graph.py and SCALE.md "Graph mining" for the measured
+    checkpoint economics)."""
     _, edges, _ = _copurchase_edges(spark, sf_dir)
-    # Materialize the degree-annotated edge list ONCE: the degree is a
-    # count-over-src window (one shuffle, no join), and the single eager
-    # localCheckpoint both cuts the basket-pipeline lineage (the x15
-    # discipline — a flat base keeps the 3-iteration plan tree linear,
-    # so the per-round checkpoints the first cut needed are unnecessary)
-    # and lets every iteration re-probe the same in-memory partitions.
-    e2 = edges.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).localCheckpoint(eager=True)
-    r = e2.select(F.col("src").alias("node")).distinct().withColumn(
-        "rank", F.lit(1000000).cast("long")
+    return G.pagerank_fixedpoint(edges, iters=_X82_ITERS).select(
+        F.col("node").alias("part"), "pr_mass"
     )
-    for _ in range(_X82_ITERS):
-        r = (
-            e2.join(r, e2.src == r.node)
-            .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
-            .groupBy("dst")
-            .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
-        )
-    return r.select(F.col("node").alias("part"), F.col("rank").alias("pr_mass"))
 
 
 # --------------------------------------------------------------------------
@@ -417,42 +397,15 @@ def x86_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     no wedges). Wedge generation is a self-equi-join on src; closure is
     an equi-join on (b, c). Both shuffle on small fixed-width keys;
     total work is the optimal O(m^1.5) bound, never degree-squared."""
-    pairs, edges, deg = _copurchase_edges(spark, sf_dir)
-    # Materialize shared graph tables once (eager localCheckpoint —
-    # pairs feeds edges AND the final edge count; deg is probed twice;
-    # the oriented list o is probed three times; without truncation the
-    # basket pipeline would re-derive per reference).
+    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    # pairs feeds both the edge list and the final edge count; one
+    # eager checkpoint keeps the basket pipeline from re-deriving, and
+    # the operator checkpoints its own deg/oriented tables.
     pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("ds"))
-    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd"))
-    o = (
-        edges.join(d1, "src")
-        .join(d2, "dst")
-        .where(
-            (F.col("ds") < F.col("dd"))
-            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
-        )
-        .select(F.col("src").alias("s"), F.col("dst").alias("d"), "dd")
-        .localCheckpoint(eager=True)
-    )
-    a = o.select(F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db"))
-    c = o.select(F.col("s"), F.col("d").alias("c"), F.col("dd").alias("dc"))
-    wedges = a.join(c, "s").where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = o.select(F.col("s").alias("b"), F.col("d").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    tri = G.oriented_triangle_count(edges)
     n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)
 
@@ -511,28 +464,7 @@ def x89_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed equi-joins on node ids; the alive set is checkpointed per
     round (x15 lineage discipline) so round r+1 never re-derives round
     r. Edge data is materialized once up front."""
-    _, edges, deg = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
-    alive = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select("node")
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_X89_ROUNDS):
-        ax = alive.select(F.col("node").alias("src"))
-        ay = alive.select(F.col("node").alias("dst"))
-        e_r = edges.join(ax, "src").join(ay, "dst")
-        alive = (
-            e_r.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= _X89_K)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)  # cut lineage per round
-        )
-    ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
-        alive.select(F.col("node").alias("dst")), "dst"
-    )
-    return ef.groupBy(F.col("src").alias("part")).agg(
-        F.count(F.lit(1)).cast("long").alias("core_deg")
+    _, edges, _ = _copurchase_edges(spark, sf_dir)
+    return G.kcore_peel(edges, k=_X89_K, rounds=_X89_ROUNDS).select(
+        F.col("node").alias("part"), "core_deg"
     )
