@@ -1,0 +1,109 @@
+"""Property tests for operators/graph.py: on random small undirected
+graphs, every operator must match a pure-python brute-force
+implementation exactly (the algorithms are integer-deterministic, so
+equality is exact, not approximate).
+
+Example counts are kept small — each case runs real Spark jobs (the
+operators checkpoint eagerly by design).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def undirected_graphs(draw):
+    n = draw(st.integers(min_value=3, max_value=8))
+    possible = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    und = draw(
+        st.lists(
+            st.sampled_from(possible),
+            min_size=1,
+            max_size=len(possible),
+            unique=True,
+        )
+    )
+    return und
+
+
+def _sym(und):
+    return und + [(b, a) for a, b in und]
+
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(und=undirected_graphs())
+@_SETTINGS
+def test_triangle_count_matches_brute_force(spark, und):
+    from video_stream_processing_spark.operators.graph import oriented_triangle_count
+
+    nodes = sorted({x for e in und for x in e})
+    eset = set(und)
+    brute = sum(
+        1
+        for i in nodes
+        for j in nodes
+        for k in nodes
+        if i < j < k
+        and (i, j) in eset
+        and (j, k) in eset
+        and (i, k) in eset
+    )
+    df = spark.createDataFrame(_sym(und), ["src", "dst"])
+    got = oriented_triangle_count(df).collect()[0]["n_triangles"]
+    assert got == brute
+
+
+@given(und=undirected_graphs(), k=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_kcore_matches_brute_force(spark, und, k):
+    from video_stream_processing_spark.operators.graph import kcore_peel
+
+    edges = _sym(und)
+    rounds = 4
+    alive = {x for e in edges for x in e}
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, d in edges:
+            if s in alive and d in alive:
+                deg[s] = deg.get(s, 0) + 1
+        alive = {n for n, dg in deg.items() if dg >= k}
+    expect: dict[int, int] = {}
+    for s, d in edges:
+        if s in alive and d in alive:
+            expect[s] = expect.get(s, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["core_deg"] for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == expect
+
+
+@given(und=undirected_graphs(), iters=st.integers(min_value=1, max_value=3))
+@_SETTINGS
+def test_pagerank_matches_brute_force(spark, und, iters):
+    from video_stream_processing_spark.operators.graph import pagerank_fixedpoint
+
+    edges = _sym(und)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(iters):
+        nxt = {n: 150_000 for n in deg}
+        for u, v in edges:
+            nxt[v] += (r[u] * 85) // (100 * deg[u])
+        r = nxt
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        row["node"]: row["pr_mass"]
+        for row in pagerank_fixedpoint(df, iters=iters).collect()
+    }
+    assert got == r

@@ -3443,3 +3443,76 @@ def x90_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "log2_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
     )
+
+
+@register(
+    "x91_psi_drift",
+    oracle="""
+WITH tagged AS (
+    SELECT least(n_chars // 40, 19) AS band,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 < 0.8 AS is_ref
+    FROM documents
+),
+counts AS (
+    SELECT band,
+           count(*) FILTER (WHERE is_ref) AS c_ref,
+           count(*) FILTER (WHERE NOT is_ref) AS c_cur
+    FROM tagged GROUP BY band
+),
+tot AS (SELECT sum(c_ref) AS t_ref, sum(c_cur) AS t_cur FROM counts)
+SELECT c.band,
+       round(c.c_ref / t.t_ref, 6) AS p_ref,
+       round(c.c_cur / t.t_cur, 6) AS q_cur,
+       round((c.c_ref / t.t_ref - c.c_cur / t.t_cur)
+             * ln((c.c_ref / t.t_ref) / (c.c_cur / t.t_cur)), 6) AS psi_term
+FROM counts c, tot t
+WHERE c.c_ref > 0 AND c.c_cur > 0
+""",
+    tags=("extension", "mlops", "drift"),
+)
+def x91_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per feature band — the drift monitor
+    ML-ops runs between a reference corpus slice and current arrivals:
+    documents split by the x32-style deterministic md5 draw (80% ref /
+    20% cur), n_chars banded into 20 fixed 40-char buckets, and each band
+    contributes (p - q) * ln(p / q); the banded terms sum to the PSI
+    (> 0.2 conventionally = action). Bands empty on either side are
+    excluded (documented; production adds a floor epsilon).
+
+    Scale posture: ONE scan, one 20-row aggregate (map-side combine on
+    an integer band key); shares and PSI terms compute on the 20-row
+    frame against a broadcast one-row total. Term rounding at 6
+    decimals absorbs libm ln() ulp variation (|err| ~1e-16 vs a 5e-7
+    grid)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    tagged = docs.select(
+        F.least(F.expr("n_chars div 40"), F.lit(19)).alias("band"),
+        (u < 0.8).alias("is_ref"),
+    )
+    counts = tagged.groupBy("band").agg(
+        F.count_if("is_ref").alias("c_ref"),
+        F.count_if(~F.col("is_ref")).alias("c_cur"),
+    )
+    # Totals via a window over the 20-row band aggregate (the x36
+    # pattern) — a separate scalar-aggregate branch would re-scan the
+    # corpus; this is one scan, one aggregate, then band-frame math.
+    win = Window.partitionBy()
+    p = F.col("c_ref") / F.sum("c_ref").over(win)
+    q = F.col("c_cur") / F.sum("c_cur").over(win)
+    return (
+        counts.withColumn("p", p)
+        .withColumn("q", q)
+        .where((F.col("c_ref") > 0) & (F.col("c_cur") > 0))
+        .select(
+            "band",
+            F.round("p", 6).alias("p_ref"),
+            F.round("q", 6).alias("q_cur"),
+            F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
