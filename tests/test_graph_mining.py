@@ -350,3 +350,18 @@ def test_gap_histogram_brute_force(spark):
         for r in query_map()["x90_gap_log_histogram"](spark, SF).toPandas().itertuples()
     }
     assert got == expect
+
+
+# -------------------------------------------------------------- b63
+
+
+def test_recursive_bfs_hop_invariants(spark):
+    from video_stream_processing_spark.plans.registry import query_map
+
+    out = query_map()["b63_recursive_bfs_reach"](spark, SF).toPandas()
+    assert len(out) > 0
+    assert set(out.hops) <= {0, 1, 2}
+    assert (out.hops == 0).sum() == 1  # exactly the seed
+    # BFS property: a hop-2 node can only exist if some hop-1 node exists
+    if (out.hops == 2).any():
+        assert (out.hops == 1).any()

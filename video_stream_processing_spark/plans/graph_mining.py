@@ -468,3 +468,63 @@ def x89_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_peel(edges, k=_X89_K, rounds=_X89_ROUNDS).select(
         F.col("node").alias("part"), "core_deg"
     )
+
+
+# --------------------------------------------------------------------------
+# b63 — recursive-CTE BFS (one SQL text, both engines)
+# --------------------------------------------------------------------------
+
+# Sparse high-support graph (>= 5 co-purchasers) so the bounded path
+# expansion stays small even on the dense low-SF fixture.
+_B63_SQL = """
+WITH RECURSIVE sbaskets AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+spairs AS (
+    SELECT a.part AS part_a, b.part AS part_b
+    FROM sbaskets a JOIN sbaskets b ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING count(*) >= 5
+),
+sedges AS (
+    SELECT part_a AS src, part_b AS dst FROM spairs
+    UNION ALL
+    SELECT part_b AS src, part_a AS dst FROM spairs
+),
+reach(node, hop) AS (
+    SELECT (SELECT min(part_a) FROM spairs), 0
+    UNION ALL
+    SELECT e.dst, r.hop + 1
+    FROM reach r JOIN sedges e ON e.src = r.node
+    WHERE r.hop < 2
+)
+SELECT node AS part, CAST(min(hop) AS INT) AS hops
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "b63_recursive_bfs_reach",
+    oracle=_B63_SQL,
+    tags=("layer_b", "graph", "recursive_cte"),
+)
+def b63_recursive_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS ('related products within 2 hops'): from the
+    smallest part in the high-support co-purchase graph, expand
+    neighbor hops recursively and report each reachable part's minimum
+    hop distance. ONE ANSI SQL text runs verbatim on BOTH engines —
+    Spark 4's WITH RECURSIVE executes the expansion natively (bounded
+    by the hop predicate; spark.sql.cteRecursionLevelLimit backstops),
+    and the identical string is the DuckDB oracle, so the parity check
+    also pins dialect compatibility of the recursion itself.
+
+    Scale posture: each recursion level is the same keyed
+    edges-join-frontier shape as x82's iteration; the hop bound caps
+    path multiplicity, and the closing GROUP BY collapses paths to
+    min-hop (the x15 pointer-jumping loop is the shipped pattern when
+    unbounded reachability is needed)."""
+    from video_stream_processing_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_B63_SQL)
