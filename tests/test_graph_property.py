@@ -107,3 +107,28 @@ def test_pagerank_matches_brute_force(spark, und, iters):
         for row in pagerank_fixedpoint(df, iters=iters).collect()
     }
     assert got == r
+
+
+@given(und=undirected_graphs())
+@_SETTINGS
+def test_connected_components_match_union_find(spark, und):
+    from video_stream_processing_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    df = spark.createDataFrame(_sym(und), ["src", "dst"])
+    got = {
+        r["node"]: r["component_id"] for r in connected_components(df).collect()
+    }
+    assert got == expect

@@ -478,7 +478,7 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold}
 
 
 def dedup_clusters(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 10
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 40
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the 'choose a
     canonical doc per duplicate cluster' step: every doc gets
@@ -486,8 +486,9 @@ def dedup_clusters(
 
     Iterative min-label propagation: each round joins labels across the
     (undirected) edge list and keeps the per-node minimum; rounds needed
-    = graph diameter (near-dup clusters are shallow, so the bound is
-    small). Each round is one shuffle join + one aggregation — the
+    ~= diameter/2 with the pointer jump (near-dup clusters are shallow,
+    so the early-exit probe fires after 2-3 rounds; chain-heavy graphs
+    need the generous cap). Each round is one shuffle join + one aggregation — the
     standard large-graph CC shape when a graph library isn't available.
     Converges early via a driver-side fixpoint check on a count (cheap:
     labels are already cached per round).
@@ -515,8 +516,14 @@ def dedup_clusters(
                 ).alias("cluster_id"),
             )
         )
-        # pointer jumping (label-of-label): doubles the propagation
-        # distance per round -> O(log diameter) rounds, not O(diameter)
+        # pointer jumping (label-of-label): compresses label-pointer
+        # chains so each round advances ~2 hops. Rounds-to-converge
+        # therefore scales with ~diameter/2, NOT log(diameter) — extra
+        # jumps per round don't help (measured on a 1.1k-node
+        # diameter-30 graph: 15 rounds with 1 jump, 14 with 4 — the
+        # bottleneck is the min label physically traveling neighbor
+        # hops). Hence the generous max_rounds default + early-exit
+        # probe: shallow graphs (near-dup clusters) exit in 2-3 rounds.
         parents = new_labels.select(
             F.col("doc_id").alias("cid"), F.col("cluster_id").alias("parent")
         )

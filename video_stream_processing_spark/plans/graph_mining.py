@@ -528,3 +528,76 @@ def b63_recursive_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_B63_SQL)
+
+
+# --------------------------------------------------------------------------
+# x92 — connected components of the high-support co-purchase graph
+# --------------------------------------------------------------------------
+
+_X92_ORACLE = """
+WITH RECURSIVE sbaskets AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+spairs AS (
+    SELECT a.part AS part_a, b.part AS part_b
+    FROM sbaskets a JOIN sbaskets b ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING count(*) >= 5
+),
+sedges AS (
+    SELECT part_a AS src, part_b AS dst FROM spairs
+    UNION
+    SELECT part_b AS src, part_a AS dst FROM spairs
+),
+reach AS (
+    SELECT src AS node, src AS r FROM sedges
+    UNION
+    SELECT reach.node, e.dst AS r FROM reach JOIN sedges e ON reach.r = e.src
+)
+SELECT node AS part, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "x92_copurchase_components",
+    oracle=_X92_ORACLE,
+    tags=("extension", "graph", "components"),
+)
+def x92_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the high-support (>= 5 co-purchasers)
+    co-purchase graph — the product-family discovery step (and the same
+    primitive x15 uses to pick canonical docs per duplicate cluster,
+    here exposed generically): every part labeled with the smallest
+    part id it can reach.
+
+    Scale posture: min-label propagation with pointer jumping
+    (operators/graph.connected_components -> the x15 engine) — O(log
+    diameter) rounds, each one keyed shuffle join + aggregate with
+    checkpointed |V|-sized labels; the oracle computes the same
+    fixpoint as a DuckDB reachability-closure RECURSIVE CTE (closure is
+    fine on the differential corpus; the iterative form is what
+    scales)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = baskets.select("cust", F.col("part").alias("part_a"))
+    b = baskets.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") >= 5)
+    )
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    return G.connected_components(edges).select(
+        F.col("node").alias("part"), "component_id"
+    )
