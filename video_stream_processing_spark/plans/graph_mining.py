@@ -601,3 +601,116 @@ def x92_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(edges).select(
         F.col("node").alias("part"), "component_id"
     )
+
+
+# --------------------------------------------------------------------------
+# x93 — recommendation backtest (train/test temporal split)
+# --------------------------------------------------------------------------
+
+@register(
+    "x93_recommendation_backtest",
+    oracle="""
+WITH train_b AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '2000-01-01'
+),
+test_b AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+),
+aff AS (
+    SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_cust
+    FROM train_b a JOIN train_b b ON a.cust = b.cust AND a.part <> b.part
+    GROUP BY part_a, part_b HAVING count(*) >= 3
+),
+recs AS (
+    SELECT part_a AS part, part_b AS rec
+    FROM (SELECT *, row_number() OVER (PARTITION BY part_a
+                                       ORDER BY n_cust DESC, part_b) AS rn
+          FROM aff)
+    WHERE rn = 1
+),
+evals AS (
+    SELECT t.cust, t.part, r.rec,
+           t2.part IS NOT NULL AS hit
+    FROM test_b t
+    JOIN recs r ON t.part = r.part
+    LEFT JOIN test_b t2 ON t2.cust = t.cust AND t2.part = r.rec
+)
+SELECT CAST(count(*) AS BIGINT) AS n_evals,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hits,
+       round(count(*) FILTER (WHERE hit) * 1.0 / count(*), 6) AS hit_rate
+FROM evals
+""",
+    tags=("extension", "recommendation", "eval"),
+)
+def x93_recommendation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation backtest — the offline-eval loop every
+    recommender ships with: train co-purchase affinity on pre-2000
+    orders, pick each part's top-1 'bought together' partner
+    (support >= 3, deterministic tiebreak), then measure hit-rate on
+    the HELD-OUT post-2000 baskets (did the customer who bought the
+    part also buy its recommended partner?). Train/test leakage is
+    structurally impossible: the affinity join sees only the train
+    split.
+
+    Scale posture: the same bounded per-customer basket self-join as
+    x80 builds affinity; recommendations collapse to |parts| rows via
+    one window; evaluation is two keyed equi-joins against the test
+    baskets (the hit probe joins on (cust, rec) — distinct baskets, so
+    no fan-out). The scalar metrics aggregate map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp")
+    # ONE fact-join pass builds both splits (split-tagged distinct
+    # baskets, materialized once) — train_b, test_b and the hit probe
+    # all filter this base instead of re-deriving the lineitem x orders
+    # join (was 4 scans of each base table in the naive form).
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            (F.col("o_orderdate") < cut).alias("is_train"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    train_b = baskets.where("is_train").select("cust", "part")
+    test_b = baskets.where(~F.col("is_train")).select("cust", "part")
+    a = train_b.select("cust", F.col("part").alias("part_a"))
+    b = train_b.select("cust", F.col("part").alias("part_b"))
+    aff = (
+        a.join(b, "cust")
+        .where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") >= 3)
+    )
+    recs = (
+        aff.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("part_a").orderBy(F.desc("n_cust"), F.asc("part_b"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("part_a").alias("part"), F.col("part_b").alias("rec"))
+    )
+    t2 = test_b.select(F.col("cust"), F.col("part").alias("rec_bought"))
+    evals = (
+        test_b.join(recs, "part")
+        .join(
+            t2,
+            (test_b.cust == t2.cust) & (F.col("rec") == F.col("rec_bought")),
+            "left",
+        )
+        .select((F.col("rec_bought").isNotNull()).alias("hit"))
+    )
+    return evals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.count_if("hit").cast("long").alias("n_hits"),
+        F.round(F.count_if("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+    )
