@@ -54,6 +54,9 @@ NESTED_LOOP_ALLOWED = {
     # aggregates (edge count x triangle count); all graph joins are
     # keyed hash joins
     "x86_triangle_count",
+    # mutual information: the corpus TOTAL is the same ONE-ROW scalar
+    # broadcast onto the contingency frame; marginal joins are keyed
+    "x94_mutual_information",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

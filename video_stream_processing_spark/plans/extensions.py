@@ -3516,3 +3516,61 @@ def x91_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "x94_mutual_information",
+    oracle="""
+WITH joint AS (
+    SELECT lang, source, count(*) AS c
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT sum(c) AS t FROM joint),
+mx AS (SELECT lang, sum(c) AS cl FROM joint GROUP BY lang),
+my AS (SELECT source, sum(c) AS cs FROM joint GROUP BY source)
+SELECT j.lang, j.source,
+       round(j.c / t.t, 6) AS p_joint,
+       round((j.c / t.t) * ln((j.c / t.t) / ((mx.cl / t.t) * (my.cs / t.t))), 6)
+           AS mi_term
+FROM joint j
+JOIN mx ON j.lang = mx.lang
+JOIN my ON j.source = my.source
+CROSS JOIN tot t
+""",
+    tags=("extension", "stats", "feature-selection"),
+)
+def x94_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang x
+    source) — the feature-dependence screen run before training
+    (near-zero MI => independent features; high MI => redundant or
+    leaking). Each observed cell contributes
+    p(x,y) * ln(p(x,y) / (p(x)p(y))); the terms sum to the MI estimate.
+
+    Scale posture: ONE scan to the |langs| x |sources| contingency
+    aggregate (map-side combine); marginals and the total are
+    window-free re-aggregations of THAT tiny frame, broadcast back onto
+    it. Term rounding at 6 decimals absorbs libm ln() ulp variation
+    (the x91 discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = joint.agg(F.sum("c").alias("t"))
+    mx = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    my = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    pj = F.col("c") / F.col("t")
+    px = F.col("cl") / F.col("t")
+    py = F.col("cs") / F.col("t")
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.round(pj, 6).alias("p_joint"),
+            F.round(pj * F.log(pj / (px * py)), 6).alias("mi_term"),
+        )
+    )
