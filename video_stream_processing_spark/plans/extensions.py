@@ -3574,3 +3574,57 @@ def x94_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pj * F.log(pj / (px * py)), 6).alias("mi_term"),
         )
     )
+
+
+@register(
+    "x95_feature_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT source,
+           count(*) AS n,
+           sum(n_chars) AS s1,
+           sum(n_chars * n_chars) AS s2
+    FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       round((d.n_chars - s.s1 * 1.0 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 * 1.0 / s.n) / (s.n - 1)), 6) AS zscore
+FROM documents d JOIN stats s ON d.source = s.source
+WHERE s.n > 1
+""",
+    tags=("extension", "mlops", "featurization"),
+)
+def x95_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (the z-score featurization step
+    of training-data export): each document's n_chars standardized
+    against its SOURCE's mean and sample standard deviation.
+
+    Float parity by construction: n_chars is integral, so the per-group
+    count/sum/sum-of-squares are EXACT BIGINTs in both engines; mean,
+    variance and the z-score derive from those identical integers
+    through identical IEEE expressions, and the final round(6) is pure
+    formatting. (Contrast stddev_samp directly over doubles, whose
+    float accumulation order is engine-dependent — the same reason the
+    money columns aggregate as DECIMAL.)
+
+    Scale posture: one scan -> per-source integer aggregate (map-side
+    combine, |sources| rows) -> broadcast back onto the corpus stream.
+    No window over the corpus, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") * 1.0 / F.col("n")) / (F.col("n") - 1)
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .where(F.col("n") > 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )
