@@ -132,3 +132,33 @@ def test_connected_components_match_union_find(spark, und):
         r["node"]: r["component_id"] for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+@given(und=undirected_graphs())
+@_SETTINGS
+def test_personalized_pagerank_matches_brute_force(spark, und):
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.graph import pagerank_fixedpoint
+
+    edges = _sym(und)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = sorted(deg)[:2]
+    r = {n: (1_000_000 if n in seeds else 0) for n in deg}
+    for _ in range(3):
+        nxt = {n: (150_000 if n in seeds else 0) for n in deg}
+        for u, v in edges:
+            nxt[v] += (r[u] * 85) // (100 * deg[u])
+        r = nxt
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        row["node"]: row["pr_mass"]
+        for row in pagerank_fixedpoint(df, iters=3, seeds=seed_df).collect()
+    }
+    assert got == r
+    # non-seed mass is strictly inflow: seeds always hold >= restart
+    for s in seeds:
+        assert got[s] >= 150_000

@@ -21,12 +21,19 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank_fixedpoint", "oriented_triangle_count", "kcore_peel"]
 
 
-def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = 3, seeds: DataFrame | None = None
+) -> DataFrame:
     """Damped PageRank (d=0.85) in scaled integer arithmetic.
 
-    Every node starts with 1e6 micro-units; each iteration it keeps
-    0.15e6 restart mass and receives floor(rank_u * 85 / (100 * deg_u))
-    from each in-neighbor. Returns (node, pr_mass).
+    Uniform mode (seeds=None): every node starts with 1e6 micro-units
+    and keeps 0.15e6 restart mass per iteration. Personalized mode
+    (``seeds`` = DataFrame with a ``node`` column): only seed nodes
+    start with mass and receive the restart — the result ranks the
+    graph BY PROXIMITY TO THE SEEDS (the related-items/recommendation
+    form of PageRank). Either way each node also receives
+    floor(rank_u * 85 / (100 * deg_u)) from each in-neighbor.
+    Returns (node, pr_mass).
 
     The degree is a count-over-src window on the edge list (one
     shuffle, no join), checkpointed once; iterations stay lazy on that
@@ -36,16 +43,33 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
     e2 = edges.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
-    r = e2.select(F.col("src").alias("node")).distinct().withColumn(
-        "rank", F.lit(1000000).cast("long")
+    nodes = e2.select(F.col("src").alias("node")).distinct()
+    if seeds is None:
+        nodes = nodes.withColumn("restart", F.lit(150000).cast("long"))
+    else:
+        seed_flag = seeds.select(F.col("node"), F.lit(True).alias("is_seed")).distinct()
+        nodes = nodes.join(F.broadcast(seed_flag), "node", "left").select(
+            "node",
+            F.when(F.col("is_seed"), 150000).otherwise(0).cast("long").alias("restart"),
+        )
+    nodes = nodes.localCheckpoint(eager=True)
+    r = nodes.select(
+        "node",
+        F.when(F.col("restart") > 0, 1000000).otherwise(0).cast("long").alias("rank"),
     )
     for _ in range(iters):
         r = (
             e2.join(r, e2.src == r.node)
             .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
             .groupBy("dst")
-            .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
+            .agg(F.sum("contrib").alias("inflow"))
+            .join(nodes, F.col("dst") == nodes.node, "right")
+            .select(
+                "node",
+                (F.col("restart") + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
         )
     return r.select("node", F.col("rank").alias("pr_mass"))
 

@@ -714,3 +714,81 @@ def x93_recommendation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if("hit").cast("long").alias("n_hits"),
         F.round(F.count_if("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x96 — personalized PageRank from the top-degree seeds
+# --------------------------------------------------------------------------
+
+_X96_ITERS = 3
+_X96_SEEDS = 3
+
+
+def _x96_oracle() -> str:
+    chain = [
+        f"""seeds AS (
+    SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn FROM deg
+    ) WHERE rn <= {_X96_SEEDS}
+),
+base AS (
+    SELECT d.node,
+           CASE WHEN s.node IS NOT NULL THEN CAST(150000 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS restart
+    FROM deg d LEFT JOIN seeds s ON d.node = s.node
+),
+r0 AS (SELECT node,
+           CASE WHEN restart > 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS rank
+       FROM base)"""
+    ]
+    for i in range(1, _X96_ITERS + 1):
+        chain.append(
+            f"""r{i} AS (
+    SELECT b.node,
+           CAST(b.restart + coalesce(inflow, 0) AS BIGINT) AS rank
+    FROM base b LEFT JOIN (
+        SELECT e.dst AS node, sum((r.rank * 85) // (100 * d.deg)) AS inflow
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+    ) f ON b.node = f.node
+)"""
+        )
+    return (
+        "WITH "
+        + _GRAPH_SQL.strip()
+        + ",\n"
+        + ",\n".join(chain)
+        + f"\nSELECT node AS part, rank AS pr_mass FROM r{_X96_ITERS}"
+    )
+
+
+@register(
+    "x96_personalized_pagerank",
+    oracle=_x96_oracle(),
+    tags=("extension", "graph", "pagerank", "recommendation"),
+)
+def x96_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the three highest-degree parts — the
+    'related to THESE items' ranking (recommendation/expansion form of
+    PageRank): only the seed nodes hold initial mass and receive the
+    restart, so scores decay with graph distance from the seeds; the
+    same fixed-point integer arithmetic as x82 keeps both engines
+    bit-identical.
+
+    Scale posture: identical per-iteration shape to x82 (edges JOIN
+    ranks -> groupBy dst) plus one broadcast seed join at setup; the
+    restart table is |V|-sized and checkpointed once."""
+    _, edges, deg = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        deg.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("node")))
+        )
+        .where(F.col("rn") <= _X96_SEEDS)
+        .select("node")
+    )
+    return G.pagerank_fixedpoint(edges, iters=_X96_ITERS, seeds=seeds).select(
+        F.col("node").alias("part"), "pr_mass"
+    )
