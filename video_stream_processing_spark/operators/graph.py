@@ -43,16 +43,35 @@ def pagerank_fixedpoint(
     e2 = edges.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
-    nodes = e2.select(F.col("src").alias("node")).distinct()
     if seeds is None:
-        nodes = nodes.withColumn("restart", F.lit(150000).cast("long"))
-    else:
-        seed_flag = seeds.select(F.col("node"), F.lit(True).alias("is_seed")).distinct()
-        nodes = nodes.join(F.broadcast(seed_flag), "node", "left").select(
+        # Uniform restart: every node receives inflow in a symmetric
+        # graph, so the iteration needs NO node-table join at all.
+        r = e2.select(F.col("src").alias("node")).distinct().withColumn(
+            "rank", F.lit(1000000).cast("long")
+        )
+        for _ in range(iters):
+            r = (
+                e2.join(r, e2.src == r.node)
+                .select("dst", F.expr("(rank * 85) div (100 * deg)").alias("contrib"))
+                .groupBy("dst")
+                .agg((F.lit(150000) + F.sum("contrib")).cast("long").alias("rank"))
+                .select(F.col("dst").alias("node"), "rank")
+            )
+        return r.select("node", F.col("rank").alias("pr_mass"))
+    # Personalized: nodes with zero inflow must still surface with their
+    # (zero) restart, so iterations right-join the checkpointed node
+    # table carrying each node's restart mass.
+    seed_flag = seeds.select(F.col("node"), F.lit(True).alias("is_seed")).distinct()
+    nodes = (
+        e2.select(F.col("src").alias("node"))
+        .distinct()
+        .join(F.broadcast(seed_flag), "node", "left")
+        .select(
             "node",
             F.when(F.col("is_seed"), 150000).otherwise(0).cast("long").alias("restart"),
         )
-    nodes = nodes.localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     r = nodes.select(
         "node",
         F.when(F.col("restart") > 0, 1000000).otherwise(0).cast("long").alias("rank"),
