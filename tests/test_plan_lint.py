@@ -57,6 +57,10 @@ NESTED_LOOP_ALLOWED = {
     # mutual information: the corpus TOTAL is the same ONE-ROW scalar
     # broadcast onto the contingency frame; marginal joins are keyed
     "x94_mutual_information",
+    # modularity: glues three ONE-ROW aggregates (edge count, within-
+    # community count, sum of squared community degrees); label joins
+    # are broadcast hash joins
+    "x97_brand_modularity",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -792,3 +792,162 @@ def x96_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_fixedpoint(edges, iters=_X96_ITERS, seeds=seeds).select(
         F.col("node").alias("part"), "pr_mass"
     )
+
+
+# --------------------------------------------------------------------------
+# x97 — modularity of the brand partition (is co-purchase brand-assortative?)
+# --------------------------------------------------------------------------
+
+@register(
+    "x97_brand_modularity",
+    oracle="WITH "
+    + _GRAPH_SQL.strip()
+    + """,
+lbl AS (
+    SELECT d.node, p.p_brand AS brand, d.deg
+    FROM deg d JOIN part p ON d.node = p.p_partkey
+),
+within AS (
+    SELECT count(*) AS m_within
+    FROM pairs pr
+    JOIN lbl a ON pr.part_a = a.node
+    JOIN lbl b ON pr.part_b = b.node
+    WHERE a.brand = b.brand
+),
+per_brand AS (
+    SELECT sum(CAST(dsum AS BIGINT) * CAST(dsum AS BIGINT)) AS sum_d2
+    FROM (SELECT brand, sum(deg) AS dsum FROM lbl GROUP BY brand)
+),
+m AS (SELECT count(*) AS m FROM pairs)
+SELECT CAST(m.m AS BIGINT) AS n_edges,
+       round((4 * m.m * w.m_within - pb.sum_d2) * 1.0 / (4 * m.m * m.m), 6)
+           AS modularity
+FROM m, within w, per_brand pb
+""",
+    tags=("extension", "graph", "community"),
+)
+def x97_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition of the co-purchase
+    graph — 'do customers co-purchase within brands?': Q = sum_c
+    [m_c/m - (d_c/2m)^2], computed as ONE integer expression
+    (4m*sum(m_c) - sum(d_c^2)) / 4m^2 so both engines agree exactly
+    until the single final division (rounded at 6).
+
+    Scale posture: brand labels broadcast onto the degree table
+    (|V| rows); within-community edge counting is two broadcast label
+    joins over the pair list; the brand aggregate is |brands|-sized.
+    No quadratic step anywhere — modularity of ANY labeling costs one
+    pass over edges plus a label-sized aggregate."""
+    pairs, _, deg = _copurchase_edges(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    lbl = deg.join(F.broadcast(p), "node")
+    la = lbl.select(F.col("node").alias("part_a"), F.col("brand").alias("brand_a"))
+    lb = lbl.select(F.col("node").alias("part_b"), F.col("brand").alias("brand_b"))
+    m_within = (
+        pairs.join(F.broadcast(la), "part_a")
+        .join(F.broadcast(lb), "part_b")
+        .where(F.col("brand_a") == F.col("brand_b"))
+        .agg(F.count(F.lit(1)).alias("m_within"))
+    )
+    sum_d2 = (
+        lbl.groupBy("brand")
+        .agg(F.sum("deg").alias("dsum"))
+        .agg(F.sum(F.col("dsum") * F.col("dsum")).alias("sum_d2"))
+    )
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        m.crossJoin(m_within)
+        .crossJoin(sum_d2)
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.round(
+                (4 * F.col("m") * F.col("m_within") - F.col("sum_d2"))
+                / (4 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x98 — degree assortativity (Pearson correlation of endpoint degrees)
+# --------------------------------------------------------------------------
+
+@register(
+    "x98_degree_assortativity",
+    oracle="WITH "
+    + _GRAPH_SQL.strip()
+    + """,
+dd AS (
+    SELECT d1.deg AS x, d2.deg AS y
+    FROM edges e
+    JOIN deg d1 ON e.src = d1.node
+    JOIN deg d2 ON e.dst = d2.node
+),
+s AS (
+    SELECT count(*) AS n,
+           sum(CAST(x AS BIGINT)) AS sx, sum(CAST(y AS BIGINT)) AS sy,
+           sum(CAST(x AS BIGINT) * CAST(y AS BIGINT)) AS sxy,
+           sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+           sum(CAST(y AS BIGINT) * CAST(y AS BIGINT)) AS syy
+    FROM dd
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+           AS assortativity
+FROM s
+""",
+    tags=("extension", "graph", "stats"),
+)
+def x98_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over directed edges (Newman's r):
+    positive = hubs link hubs (social-network-like), negative = hubs
+    link leaves (technological/star-like). Every sum is an EXACT
+    BIGINT (degrees are integers), so both engines agree to the bit
+    until the single final sqrt+division, rounded at 6.
+
+    Scale posture: two broadcast degree joins onto the edge stream, one
+    map-side-combinable 5-sum aggregate — one pass over the ONCE-
+    materialized edge list (pairs checkpoint; edges/deg derive from
+    it — the d1/d2/edges references would otherwise re-run the basket
+    pipeline each)."""
+    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    s = (
+        edges.join(F.broadcast(d1), "src")
+        .join(F.broadcast(d2), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
