@@ -61,6 +61,9 @@ NESTED_LOOP_ALLOWED = {
     # community count, sum of squared community degrees); label joins
     # are broadcast hash joins
     "x97_brand_modularity",
+    # clustering coefficient: glues the ONE-ROW wedge total and the
+    # ONE-ROW triangle count; graph joins are keyed
+    "x99_clustering_coefficient",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -951,3 +951,70 @@ def x98_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# x99 — global clustering coefficient (3 x triangles / wedges)
+# --------------------------------------------------------------------------
+
+@register(
+    "x99_clustering_coefficient",
+    oracle="WITH "
+    + _GRAPH_SQL.strip()
+    + """,
+o AS (
+    SELECT e.src AS s, e.dst AS d, d2.deg AS dd
+    FROM edges e
+    JOIN deg d1 ON e.src = d1.node
+    JOIN deg d2 ON e.dst = d2.node
+    WHERE (d1.deg, e.src) < (d2.deg, e.dst)
+),
+w2 AS (
+    SELECT a.s, a.d AS b, c.d AS c
+    FROM o a JOIN o c ON a.s = c.s
+    WHERE (a.dd, a.d) < (c.dd, c.d)
+),
+tri AS (SELECT count(*) AS n_tri FROM w2 w JOIN o e ON e.s = w.b AND e.d = w.c),
+wedges AS (
+    SELECT sum(CAST(deg AS BIGINT) * (deg - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CAST(t.n_tri AS BIGINT) AS n_triangles,
+       round(3.0 * t.n_tri / w.n_wedges, 6) AS clustering_coeff
+FROM wedges w, tri t
+""",
+    tags=("extension", "graph", "stats"),
+)
+def x99_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient — the 'how cliquish is this graph'
+    transitivity statistic: 3 x triangles / wedges, where wedges =
+    sum over nodes of deg*(deg-1)/2 (closed + open length-2 paths) and
+    triangles come from the same degree-oriented count as x86. Both
+    counts are exact integers; one final division, rounded at 6.
+
+    Scale posture: wedge total is a |V|-sized aggregate over the degree
+    table; the triangle count reuses x86's O(m^1.5) oriented closure —
+    nothing here exceeds the triangle bound."""
+    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    tri = G.oriented_triangle_count(edges)
+    wedges = deg.agg(
+        F.sum((F.col("deg").cast("long") * (F.col("deg") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        )
+    )
+    return wedges.crossJoin(tri).select(
+        F.col("n_wedges").cast("long"),
+        F.col("n_triangles").cast("long"),
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering_coeff"
+        ),
+    )

@@ -2314,3 +2314,50 @@ def b62_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("profit"))
     )
+
+
+@register(
+    "b64_priority_late_orders",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    tags=("layer_b", "composite"),
+)
+def b64_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders placed in a
+    six-month window that had at least one line item shipped more than
+    60 days after ordering, counted by priority — the classic
+    correlated-EXISTS composite.
+
+    Scale posture: the EXISTS decorrelates into a LEFT SEMI join on
+    orderkey with the lateness predicate evaluated in the join
+    condition (it references both sides, so it rides the join, not a
+    scan filter); the date-range predicate DOES push to the orders
+    scan and prunes before the shuffle. Output is |priorities|-sized
+    with map-side combine."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
