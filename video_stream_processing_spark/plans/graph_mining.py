@@ -1018,3 +1018,81 @@ def x99_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x100 — time-decayed co-purchase affinity (integer half-life weights)
+# --------------------------------------------------------------------------
+
+@register(
+    "x100_decayed_affinity",
+    oracle="""
+WITH dated_baskets AS (
+    SELECT o.o_custkey AS cust, l.l_partkey AS part,
+           max(o.o_orderdate) AS last_seen
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey, l.l_partkey
+),
+weighted AS (
+    SELECT cust, part,
+           1000000 // (1 << least(datediff('day', last_seen,
+                                           TIMESTAMP '2002-01-01') // 365, 20))
+               AS w
+    FROM dated_baskets
+),
+pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b,
+           sum(CAST(least(a.w, b.w) AS BIGINT)) AS decayed_support,
+           count(*) AS n_cust
+    FROM weighted a JOIN weighted b ON a.cust = b.cust AND a.part < b.part
+    GROUP BY a.part, b.part
+    HAVING sum(CAST(least(a.w, b.w) AS BIGINT)) >= 1500000
+)
+SELECT part_a, part_b, CAST(decayed_support AS BIGINT) AS decayed_support,
+       CAST(n_cust AS BIGINT) AS n_cust
+FROM pairs
+""",
+    tags=("extension", "affinity", "recommendation", "timeseries"),
+)
+def x100_decayed_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed co-purchase affinity — the freshness-aware variant
+    of x80: each (customer, part) association carries a half-life
+    weight of 1e6 micro-units halved per year since the customer LAST
+    bought the part (integer shift arithmetic — engine-exact, no
+    pow()); a pair's decayed support sums min(w_a, w_b) over customers,
+    and the support floor keeps only fresh-enough co-purchases. An
+    association last seen 4 years ago contributes 1/16th of a recent
+    one — stale affinities age out instead of accumulating forever.
+
+    Scale posture: identical bounded per-customer self-join shape to
+    x80; the weight is a projection on the (cust, part) aggregate, and
+    the decayed sum is an exact BIGINT with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dated = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .agg(F.max("o_orderdate").alias("last_seen"))
+    )
+    age_years = F.least(
+        F.expr("datediff(timestamp '2002-01-01', last_seen) div 365"), F.lit(20)
+    )
+    weighted = dated.select(
+        "cust", "part", F.expr("1000000").cast("long").alias("_base"), age_years.alias("_ay")
+    ).select(
+        "cust",
+        "part",
+        F.expr("_base div shiftleft(1, _ay)").alias("w"),
+    )
+    a = weighted.select("cust", F.col("part").alias("part_a"), F.col("w").alias("wa"))
+    b = weighted.select("cust", F.col("part").alias("part_b"), F.col("w").alias("wb"))
+    return (
+        a.join(b, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.sum(F.least("wa", "wb")).cast("long").alias("decayed_support"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+        )
+        .where(F.col("decayed_support") >= 1500000)
+    )
