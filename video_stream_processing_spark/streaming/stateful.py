@@ -492,3 +492,65 @@ def anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap stream (x90's streaming twin)
+# ---------------------------------------------------------------------------
+
+GAP_STATE_SCHEMA = "last_ms long"
+GAP_OUT_SCHEMA = "user_id long, event_id long, event_type string, log2_bucket int"
+
+
+def gap_stateful_fn():
+    """Streaming twin of x90's inter-arrival histogram input: per user,
+    carry only the last event's epoch-ms (ONE long of state per key),
+    emit each arriving event's gap bucket floor(log2(gap_ms + 1)) —
+    computed with integer bit_length, the same arithmetic as the batch
+    query's binary-repr length. On in-order arrival the emitted
+    (user, event, bucket) rows equal the batch lag-window rows across
+    micro-batch boundaries (the last-ms carries in the state store)."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout registered
+            return
+        (last_ms,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out = []
+        for ts, event_id, etype in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+            ms = int(pd.Timestamp(ts).value // 1_000_000)
+            if last_ms is not None:
+                bucket = (ms - last_ms + 1).bit_length() - 1
+                out.append((user_id, int(event_id), etype, bucket))
+            last_ms = ms
+        state.update((last_ms,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "event_type", "log2_bucket"]
+            )
+
+    return fn
+
+
+def gap_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Per-event inter-arrival gap buckets over a keyed stream — the
+    stateful input feed of x90's histogram (aggregate the output by
+    (event_type, log2_bucket) downstream for the running histogram)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            gap_stateful_fn(),
+            outputStructType=GAP_OUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
