@@ -1096,3 +1096,68 @@ def x100_decayed_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("decayed_support") >= 1500000)
     )
+
+
+# --------------------------------------------------------------------------
+# x101 — degree-distribution power-law slope (decimal-exact OLS)
+# --------------------------------------------------------------------------
+
+@register(
+    "x101_degree_powerlaw_slope",
+    oracle="WITH "
+    + _GRAPH_SQL.strip()
+    + """,
+bins AS (
+    SELECT length(bin(deg)) - 1 AS b, count(*) AS n
+    FROM deg GROUP BY length(bin(deg)) - 1
+),
+pts AS (
+    SELECT CAST(b AS BIGINT) AS x,
+           CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+    FROM bins
+),
+s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+           sum(y) AS sy, sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_bins,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS log2_slope
+FROM s
+""",
+    tags=("extension", "graph", "stats"),
+)
+def x101_degree_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law slope — the scale-free-ness
+    diagnostic: bucket node degrees into log2 bins (integer via
+    binary-repr length, the x90 trick), fit ln(count) against the bin
+    index with closed-form OLS. A slope near -1..-3 on log-log axes is
+    the power-law signature; flat means exponential-ish. Float parity:
+    each ln(count) rounds to 9 decimals and enters the sums as
+    DECIMAL(18,9) — the OLS sums are then EXACT decimals (integer x
+    decimal products), with one final double division rounded at 6.
+
+    Scale posture: everything after the degree table is |bins|-sized
+    (~40 rows max); the degree table itself is the one |V| aggregate."""
+    _, _, deg = _copurchase_edges(spark, sf_dir)
+    bins = deg.groupBy(
+        (F.length(F.bin(F.col("deg"))) - 1).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pts = bins.select(
+        F.col("b").cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_bins"),
+        F.round(num / den, 6).alias("log2_slope"),
+    )

@@ -2414,3 +2414,53 @@ def b65_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "b66_large_volume_customers",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+SELECT substr(c.c_name, 1, 12) AS name_prefix, c.c_custkey,
+       o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    tags=("layer_b", "composite"),
+)
+def b66_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line-item quantity exceeds 250 units, with customer context — the
+    grouped-HAVING-then-join-back composite.
+
+    Scale posture: the quantity rollup aggregates lineitem FIRST (one
+    orderkey shuffle with map-side combine), and only the surviving
+    ~0.1% of orderkeys join back — the join probes shrink before any
+    dimension touches them; customer broadcasts. Quantities are
+    integer-valued doubles, so the HAVING threshold is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.substring("c_name", 1, 12).alias("name_prefix"),
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double"),
+        )
+    )
