@@ -1139,8 +1139,15 @@ def x101_degree_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal products), with one final double division rounded at 6.
 
     Scale posture: everything after the degree table is |bins|-sized
-    (~40 rows max); the degree table itself is the one |V| aggregate."""
-    _, _, deg = _copurchase_edges(spark, sf_dir)
+    (~40 rows max); the degree table itself is the one |V| aggregate
+    (pairs checkpointed so the symmetric-union edge list does not run
+    the basket pipeline twice)."""
+    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     bins = deg.groupBy(
         (F.length(F.bin(F.col("deg"))) - 1).alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
