@@ -2464,3 +2464,146 @@ def b66_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("double"),
         )
     )
+
+
+@register(
+    "b67_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("layer_b", "composite"),
+)
+def b67_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where the
+    customer and the line's supplier share a nation, by nation within
+    one region and year — the same-dimension-equality join topology
+    (the supplier edge carries BOTH the key equi-condition and the
+    customer-nation equality).
+
+    Scale posture: region->nation prunes the nation dim before
+    broadcast; the date range pushes to the orders scan; customer and
+    supplier broadcast; the only shuffle edge is lineitem->orders.
+    Revenue is DECIMAL(18,2)-exact."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "b68_promo_revenue_share",
+    oracle="""
+SELECT CAST(round(
+         100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+       AS DOUBLE) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    tags=("layer_b", "composite"),
+)
+def b68_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the promo share of one
+    month's revenue — two conditional aggregates in ONE pass, their
+    ratio scaled to percent. Both sums are DECIMAL(18,2)-exact; the
+    single division happens on the two exact totals (rounded at 4).
+
+    Scale posture: the ship-month predicate pushes to the lineitem
+    scan; part broadcasts; one aggregate, no shuffle beyond the
+    broadcast probe — the canonical conditional-aggregate-ratio plan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            )
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "b69_forecast_revenue_change",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("layer_b", "aggregate", "pushdown"),
+)
+def b69_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue that
+    would have been kept by eliminating small discounts on small
+    quantities — THE scan-pushdown benchmark: every predicate (date
+    range, discount band, quantity cap) reaches the parquet scan as a
+    PushedFilter, the projection reads 4 columns, and the whole query
+    is one map-side-combinable aggregate with zero joins.
+
+    Discount values are 2-decimal, so the band bounds 0.05/0.07 compare
+    exactly; the product sums as DECIMAL for order-insensitivity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
