@@ -73,6 +73,7 @@ HEADLINE = (
     # round-5 (cont.): graph iteration + distributed sweep line
     "x82_pagerank_fixedpoint",  # checkpointed edges-join-ranks power iteration
     "x85_session_concurrency",  # two-level prefix-sum sweep line
+    "b69_forecast_revenue_change",  # TPC-H Q6: the pure scan-pushdown tracker
 )
 
 

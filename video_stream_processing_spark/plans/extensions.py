@@ -3628,3 +3628,62 @@ def x95_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "x102_event_overdispersion",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket,
+           count(*) AS c
+    FROM events GROUP BY event_type, epoch_ms(ts) // 3600000
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           sum(c) AS s1,
+           sum(c * c) AS s2
+    FROM hourly GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round(s1 * 1.0 / n, 6) AS mean_per_hour,
+       round(((s2 - s1 * s1 * 1.0 / n) / (n - 1)) / (s1 * 1.0 / n), 6)
+           AS fano_factor
+FROM s WHERE n > 1 AND s1 > 0
+""",
+    tags=("extension", "timeseries", "stats"),
+)
+def x102_event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of hourly counts) per event type —
+    the overdispersion diagnostic: ~1 means Poisson-like arrivals,
+    >> 1 means bursty/clumped traffic (sessions, incidents), << 1 means
+    regular/paced. Complements x90's gap histogram with a single
+    per-type burstiness number.
+
+    Float parity by construction (the x95 discipline): hourly counts
+    are integers, so per-type n/sum/sum-of-squares are EXACT BIGINTs;
+    mean, sample variance and the ratio derive from identical integers
+    through identical IEEE expressions, rounded at 6.
+
+    Scale posture: one scan -> (type, hour) aggregate (map-side
+    combine) -> |types|-sized integer rollup. Nothing corpus-sized
+    after the first aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") * 1.0 / F.col("n")) / (F.col("n") - 1)
+    return (
+        s.where((F.col("n") > 1) & (F.col("s1") > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.round(mean, 6).alias("mean_per_hour"),
+            F.round(var / mean, 6).alias("fano_factor"),
+        )
+    )
