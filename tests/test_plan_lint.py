@@ -64,6 +64,9 @@ NESTED_LOOP_ALLOWED = {
     # clustering coefficient: glues the ONE-ROW wedge total and the
     # ONE-ROW triangle count; graph joins are keyed
     "x99_clustering_coefficient",
+    # LSH quality report: glues three ONE-ROW counts (exact, candidate,
+    # hit); the pair pipelines themselves are keyed joins
+    "x103_lsh_quality_report",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -3687,3 +3687,112 @@ def x102_event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(var / mean, 6).alias("fano_factor"),
         )
     )
+
+
+_X103_THRESHOLD = 0.8
+
+
+def _x103_oracle() -> str:
+    # Reuses the exact shingle/signature/band arithmetic of
+    # minhash_lsh_oracle_sql (same constants, imported) plus the
+    # x03-style exact inverted-index pairs as ground truth.
+    feat = (
+        "list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)), "
+        "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
+        "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+        "regexp_split_to_array(trim(text), '\\s+')[i+2])"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_sort(list_distinct({feat})) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM toks),
+sizes AS (SELECT doc_id, len(toks) AS n FROM toks),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM tok a JOIN tok b ON a.m = b.m AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= {_X103_THRESHOLD}
+),
+halves AS (
+    SELECT doc_id,
+           ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+           (('0x' || substr(m, 17, 15))::BIGINT % {D._KM_PRIME}) AS h2
+    FROM tok
+),
+sig AS (
+    SELECT doc_id, ks.k, min(h1 + ks.k * h2) AS mh
+    FROM halves CROSS JOIN (SELECT unnest(range({D.NUM_HASHES})) AS k) ks
+    GROUP BY doc_id, ks.k
+),
+band AS (
+    SELECT doc_id, CAST(k // {D.BAND_ROWS} AS INT) AS band_id,
+           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS band_key
+    FROM sig GROUP BY doc_id, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+counts AS (
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM cand c JOIN exact e
+             ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS n_hits
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_cand, 6) AS precision_,
+       round(n_hits * 1.0 / n_exact, 6) AS recall_
+FROM counts
+"""
+
+
+@register(
+    "x103_lsh_quality_report",
+    oracle=_x103_oracle(),
+    tags=("extension", "dedup", "lsh", "eval"),
+)
+def x103_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report — candidate-set precision/recall of x02's
+    banding scheme against EXACT shingle-Jaccard ground truth at the
+    0.8 dedup threshold, as a first-class query (the number a platform
+    watches when retuning bands/rows for a new corpus; the pytest
+    recall gates sample planted cases — this measures the real corpus).
+
+    Scale posture: ground truth reuses x03's inverted-index exact join
+    (near-linear via shingle rarity); candidates are x02's per-bucket
+    self-join; the report is three counts and two ratios. On a corpus
+    where exact ground truth is infeasible, the same query runs on an
+    x23-style deterministic sample — the shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=_X103_THRESHOLD, k=3).select(
+        "doc_a", "doc_b"
+    )
+    cand = D._bucket_join(D._band_buckets(D._minhash_wide(docs)))
+    hits = cand.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(hits)
+        .select(
+            F.col("n_exact").cast("long"),
+            F.col("n_cand").cast("long"),
+            F.col("n_hits").cast("long"),
+            F.round(F.col("n_hits") / F.col("n_cand"), 6).alias("precision_"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_"),
+        )
+    )
