@@ -56,3 +56,30 @@ def test_histogram_quantiles_within_grid_error(spark):
     cell = 1000.0 / 128
     for q, ex in zip((0.5, 0.9, 0.99), exact):
         assert abs(est[q] - ex) <= cell, (q, est[q], ex)
+
+
+def test_cms_merge_equals_direct(spark):
+    """Mergeability of the CMS grid: sketches built on two disjoint
+    md5-split corpus shards, summed element-wise, must equal the grid
+    built on the full corpus — counts are additive, so sharded or
+    micro-batched sketching loses nothing."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.sketches import cms_grid
+    from video_stream_processing_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    half = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int") % 2
+    g1 = cms_grid(docs.where(half == 0))
+    g2 = cms_grid(docs.where(half == 1))
+    merged = (
+        g1.unionAll(g2)
+        .groupBy("seed", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_grid(docs)
+    m = {(r["seed"], r["b"]): r["cnt"] for r in merged.collect()}
+    d = {(r["seed"], r["b"]): r["cnt"] for r in direct.collect()}
+    assert m == d and len(d) > 0

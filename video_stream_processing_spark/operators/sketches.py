@@ -37,6 +37,32 @@ def _cms_bucket(tok: Column, seed: int, width: int = CMS_WIDTH) -> Column:
     return (h.cast("long") % width).cast("int")
 
 
+def cms_grid(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The d x w Count-Min counter grid as (seed, b, cnt) rows — the
+    MERGEABLE representation: grids built on disjoint corpus shards sum
+    element-wise to the full-corpus grid (counts are additive), which
+    is what lets shards/micro-batches sketch independently and merge
+    (pinned by tests/test_sketches.py::test_cms_merge_equals_direct).
+
+    posexplode of the bucket ARRAY (seed = position): each md5 computes
+    exactly once per (token, seed) — the explode-then-reselect shape
+    re-evaluated all d hashes per exploded row (measured ~2x slower)."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    buckets = F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)])
+    return (
+        toks.select(F.posexplode(buckets).alias("seed", "b"))
+        .groupBy("seed", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_heavy_hitter_estimates(
     docs: DataFrame,
     text_col: str = "text",
@@ -61,15 +87,8 @@ def cms_heavy_hitter_estimates(
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     top = true_counts.orderBy(F.desc("true_count"), "tok").limit(top_k)
 
-    # posexplode the bucket ARRAY (seed = position): each md5 computes
-    # exactly once per (token, seed) — the explode-then-reselect shape
-    # re-evaluated all d hashes per exploded row (measured ~2x slower)
     buckets = F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)])
-    cms = (
-        toks.select(F.posexplode(buckets).alias("seed", "b"))
-        .groupBy("seed", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cms = cms_grid(docs, text_col=text_col, depth=depth, width=width)
     probes = top.select(
         "tok", "true_count", F.posexplode(buckets).alias("seed", "b")
     )
