@@ -67,6 +67,8 @@ NESTED_LOOP_ALLOWED = {
     # LSH quality report: glues three ONE-ROW counts (exact, candidate,
     # hit); the pair pipelines themselves are keyed joins
     "x103_lsh_quality_report",
+    # band sweep: same ONE-ROW-count glue per configuration
+    "x104_lsh_band_sweep",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -3796,3 +3796,129 @@ def x103_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_"),
         )
     )
+
+
+_X104_CONFIGS = ((2, 6), (4, 3), (6, 2))  # (n_bands, rows_per_band), 12 hashes
+
+
+def _x104_oracle() -> str:
+    feat = (
+        "list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)), "
+        "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
+        "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+        "regexp_split_to_array(trim(text), '\\s+')[i+2])"
+    )
+    per_config = []
+    for n_bands, rows in _X104_CONFIGS:
+        per_config.append(
+            f"""SELECT {n_bands} AS n_bands, {rows} AS rows_per_band,
+       (SELECT count(*) FROM cand_{n_bands}) AS n_cand,
+       (SELECT count(*) FROM cand_{n_bands} c JOIN exact e
+         ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS n_hits"""
+        )
+    band_ctes = ",\n".join(
+        f"""band_{nb} AS (
+    SELECT doc_id, CAST(k // {rows} AS INT) AS band_id,
+           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS band_key
+    FROM sig GROUP BY doc_id, 2
+),
+cand_{nb} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band_{nb} a
+    JOIN band_{nb} b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+)"""
+        for nb, rows in _X104_CONFIGS
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_sort(list_distinct({feat})) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM toks),
+sizes AS (SELECT doc_id, len(toks) AS n FROM toks),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM tok a JOIN tok b ON a.m = b.m AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= {_X103_THRESHOLD}
+),
+halves AS (
+    SELECT doc_id,
+           ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+           (('0x' || substr(m, 17, 15))::BIGINT % {D._KM_PRIME}) AS h2
+    FROM tok
+),
+sig AS (
+    SELECT doc_id, ks.k, min(h1 + ks.k * h2) AS mh
+    FROM halves CROSS JOIN (SELECT unnest(range({D.NUM_HASHES})) AS k) ks
+    GROUP BY doc_id, ks.k
+),
+{band_ctes},
+n_exact_t AS (SELECT count(*) AS n_exact FROM exact)
+SELECT u.n_bands, u.rows_per_band,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(u.n_cand AS BIGINT) AS n_cand,
+       CAST(u.n_hits AS BIGINT) AS n_hits,
+       round(u.n_hits * 1.0 / u.n_cand, 6) AS precision_,
+       round(u.n_hits * 1.0 / x.n_exact, 6) AS recall_
+FROM ({" UNION ALL ".join(per_config)}) u CROSS JOIN n_exact_t x
+"""
+
+
+@register(
+    "x104_lsh_band_sweep",
+    oracle=_x104_oracle(),
+    tags=("extension", "dedup", "lsh", "eval", "tuning"),
+)
+def x104_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-parameter sweep — the S-curve tuning table behind
+    x103's single report: ONE set of 12 MinHash signatures evaluated
+    under three band layouts (2x6, 4x3, 6x2), each scored for candidate
+    volume, precision and recall against the same exact ground truth.
+    More bands with fewer rows = higher recall, more candidates (the
+    LSH collision-probability S-curve 1-(1-s^r)^b made empirical) —
+    this is the table an operator reads to PICK the x02 configuration.
+
+    Scale posture: signatures compute ONCE (the checkpointed wide
+    frame); each layout is a pure projection of that frame plus one
+    per-bucket self-join; ground truth is x03's inverted-index exact
+    join, also computed once."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        D.ngram_jaccard_pairs(docs, threshold=_X103_THRESHOLD, k=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    # no driver-side count: the ground-truth total rides along as a
+    # one-row aggregate crossJoined onto each config's stats row
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    wide = D._minhash_wide(docs).localCheckpoint(eager=True)
+    parts = []
+    for n_bands, rows in _X104_CONFIGS:
+        cand = D._bucket_join(D._band_buckets(wide, band_rows=rows))
+        stats = (
+            cand.join(exact, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+            .crossJoin(n_exact)
+            .select(
+                F.lit(n_bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.col("n_exact").cast("long"),
+                F.col("n_cand").cast("long"),
+                F.col("n_hits").cast("long"),
+                F.round(F.col("n_hits") / F.col("n_cand"), 6).alias("precision_"),
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_"),
+            )
+        )
+        parts.append(stats)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out
