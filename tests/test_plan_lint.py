@@ -69,6 +69,9 @@ NESTED_LOOP_ALLOWED = {
     "x103_lsh_quality_report",
     # band sweep: same ONE-ROW-count glue per configuration
     "x104_lsh_band_sweep",
+    # session PMI: the session TOTAL is a ONE-ROW scalar broadcast onto
+    # the |types|^2-bounded pair frame; marginal joins are keyed
+    "x105_session_type_pmi",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -3922,3 +3922,107 @@ def x104_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out
+
+
+@register(
+    "x105_session_type_pmi",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+),
+membership AS (
+    SELECT DISTINCT user_id, session_id, event_type FROM sessions
+),
+n_sess AS (SELECT count(DISTINCT (user_id, session_id)) AS n FROM membership),
+marg AS (SELECT event_type, count(*) AS c FROM membership GROUP BY event_type),
+joint AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS cj
+    FROM membership a
+    JOIN membership b
+      ON a.user_id = b.user_id AND a.session_id = b.session_id
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT j.type_a, j.type_b,
+       CAST(j.cj AS BIGINT) AS n_joint,
+       round(ln((j.cj * 1.0 / n.n) / ((ma.c * 1.0 / n.n) * (mb.c * 1.0 / n.n))), 6)
+           AS pmi
+FROM joint j
+JOIN marg ma ON j.type_a = ma.event_type
+JOIN marg mb ON j.type_b = mb.event_type
+CROSS JOIN n_sess n
+WHERE j.cj >= 5
+""",
+    tags=("extension", "sessionization", "stats"),
+)
+def x105_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at SESSION
+    granularity — 'which behaviors co-occur in a session beyond
+    chance': b22's gap sessions, distinct (session, type) membership,
+    within-session type pairs vs the independence baseline. Positive
+    PMI = the types travel together (a funnel candidate for b55);
+    negative = they repel (distinct user intents). Complements x94
+    (corpus-level MI over given labels) with behavior-derived pairs.
+
+    Scale posture: ONE user_id shuffle covers both window specs and the
+    membership distinct; the pair self-join is per-session (bounded by
+    |event_types|, here 5 — never corpus x corpus); marginals and the
+    session total are tiny aggregates broadcast back. PMI is a per-row
+    expression on exact integer counts (no float sums), rounded at 6."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts) > 1_800_000),
+        1,
+    ).otherwise(0)
+    membership = (
+        e.select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_sess = membership.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = membership.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = membership.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = membership.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    joint = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .where(F.col("cj") >= 5)
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    pj = F.col("cj") * 1.0 / F.col("n")
+    pa = F.col("ca") * 1.0 / F.col("n")
+    pb = F.col("cb") * 1.0 / F.col("n")
+    return (
+        joint.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("cj").cast("long").alias("n_joint"),
+            F.round(F.log(pj / (pa * pb)), 6).alias("pmi"),
+        )
+    )
