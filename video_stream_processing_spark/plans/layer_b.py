@@ -2607,3 +2607,99 @@ def b69_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "b70_fulfillment_latency",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(datediff('day', o.o_orderdate, l.l_shipdate) // 7 AS INT) AS weeks_band,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority, datediff('day', o.o_orderdate, l.l_shipdate) // 7
+""",
+    tags=("layer_b", "aggregate", "operational"),
+)
+def b70_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency histogram — the operations dashboard
+    ('how long from order to ship, by priority?'): integer day
+    difference bucketed into weeks, counted per priority band. All
+    integer arithmetic; output is |priorities| x |weeks|-sized.
+
+    Scale posture: one keyed join (lineitem->orders) and one
+    map-side-combinable aggregate on a small composite key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderpriority",
+            F.expr("datediff(l_shipdate, o_orderdate) div 7").cast("int").alias("weeks_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+@register(
+    "b71_abc_analysis",
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, revenue,
+           sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+           sum(revenue) OVER () AS total_rev
+    FROM rev
+)
+SELECT l_partkey, revenue,
+       round(cum_rev / total_rev, 6) AS cum_share,
+       CASE WHEN round(cum_rev / total_rev, 6) <= 0.8 THEN 'A'
+            WHEN round(cum_rev / total_rev, 6) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+    tags=("layer_b", "window", "pareto"),
+)
+def b71_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis — the inventory-management classic: parts
+    ranked by revenue, classified A (top 80% of cumulative revenue),
+    B (next 15%), C (tail). The running share is a window cumulative
+    sum over the DETERMINISTIC (revenue desc, partkey) order — both
+    engines accumulate the identical float sequence, so even the
+    running doubles are bit-identical; classification compares the
+    ROUNDED share (round-before-compare, the x73 flag discipline).
+    Revenue is emitted UNrounded: the decimal-sum-cast-double is
+    bit-identical, but round(x, 2) over a 4-decimal double diverges
+    between engines on .xx5 boundaries (caught by the strict harness
+    here — display rounding belongs to the presentation layer).
+
+    Scale posture: per-part revenue is one map-side-combinable
+    aggregate; the ranking window runs over the |parts|-sized result,
+    not the fact table. A global window over parts is
+    dimension-bounded — the same argument as x85's hour table; for an
+    unbounded key, range-partition the window by revenue bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    share = F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6)
+    return rev.select(
+        "l_partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
