@@ -186,7 +186,7 @@ def _driver_order(name: str) -> tuple[int, str]:
     # local harness); 2 = verified against the current parquet with the
     # current oracle (free green, enumerate last).
     #
-    # Round-5 note: the session added b54-b69 and x54-x104, growing the
+    # Round-5 note: the session added b54-b71 and x54-x105, growing the
     # never-verified tier past one capped (~50-row) driver pass; the 2-3
     # alphabetically-last tier-1 names may only gain driver rows in the
     # NEXT round's rotation. Every one of them passes the local strict
