@@ -81,6 +81,21 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     return pairs, edges, deg
 
 
+def _materialized_graph(spark: SparkSession, sf_dir: str):
+    """(pairs, edges, deg) with the pair base eagerly checkpointed —
+    the shared setup for every query that probes the graph through
+    more than one reference (edge union, degree table, final counts):
+    without the checkpoint each reference re-runs the whole basket
+    pipeline (caught repeatedly in plan audits)."""
+    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return pairs, edges, deg
+
+
 # --------------------------------------------------------------------------
 # x82 — fixed-point PageRank
 # --------------------------------------------------------------------------
@@ -397,14 +412,7 @@ def x86_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     no wedges). Wedge generation is a self-equi-join on src; closure is
     an equi-join on (b, c). Both shuffle on small fixed-width keys;
     total work is the optimal O(m^1.5) bound, never degree-squared."""
-    pairs, _, _ = _copurchase_edges(spark, sf_dir)
-    # pairs feeds both the edge list and the final edge count; one
-    # eager checkpoint keeps the basket pipeline from re-deriving, and
-    # the operator checkpoints its own deg/oriented tables.
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    pairs, edges, _ = _materialized_graph(spark, sf_dir)
     tri = G.oriented_triangle_count(edges)
     n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)
@@ -838,8 +846,7 @@ def x97_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins over the pair list; the brand aggregate is |brands|-sized.
     No quadratic step anywhere — modularity of ANY labeling costs one
     pass over edges plus a label-sized aggregate."""
-    pairs, _, deg = _copurchase_edges(spark, sf_dir)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs, _, deg = _materialized_graph(spark, sf_dir)
     deg = deg.localCheckpoint(eager=True)
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
@@ -917,16 +924,8 @@ def x98_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge list (pairs checkpoint; edges/deg derive from
     it — the d1/d2/edges references would otherwise re-run the basket
     pipeline each)."""
-    pairs, _, _ = _copurchase_edges(spark, sf_dir)
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    _, edges, deg = _materialized_graph(spark, sf_dir)
+    deg = deg.localCheckpoint(eager=True)
     d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
     d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
     s = (
@@ -995,16 +994,8 @@ def x99_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: wedge total is a |V|-sized aggregate over the degree
     table; the triangle count reuses x86's O(m^1.5) oriented closure —
     nothing here exceeds the triangle bound."""
-    pairs, _, _ = _copurchase_edges(spark, sf_dir)
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    _, edges, deg = _materialized_graph(spark, sf_dir)
+    deg = deg.localCheckpoint(eager=True)
     tri = G.oriented_triangle_count(edges)
     wedges = deg.agg(
         F.sum((F.col("deg").cast("long") * (F.col("deg") - 1) / 2).cast("long")).alias(
@@ -1142,12 +1133,7 @@ def x101_degree_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~40 rows max); the degree table itself is the one |V| aggregate
     (pairs checkpointed so the symmetric-union edge list does not run
     the basket pipeline twice)."""
-    pairs, _, _ = _copurchase_edges(spark, sf_dir)
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    _, _, deg = _materialized_graph(spark, sf_dir)
     bins = deg.groupBy(
         (F.length(F.bin(F.col("deg"))) - 1).alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
