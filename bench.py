@@ -125,8 +125,13 @@ def main() -> int:
     spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Per-query numbers and spread go to a side file: the driver captures
+    # only a small stdout tail, and r05's 34-query single-line payload
+    # overflowed it (BENCH_r05 "parsed": null).  The FINAL stdout line is
+    # a compact summary guaranteed to fit the tail window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
@@ -135,9 +140,27 @@ def main() -> int:
                 "spread": spread,
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+        fh.write("\n")
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:
+        # Tail-window safety: the driver keeps only ~2 KB of stdout.  If
+        # the headline set grows past what fits, drop per-query detail
+        # from the line (it is always in BENCH_DETAIL.json).
+        del summary["queries"]
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     return 0
 
 

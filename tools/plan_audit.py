@@ -59,6 +59,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = query_map()
 
+    def render_row(n: str, a: dict) -> str:
+        if "error" in a:
+            return f"| {n} | ERROR: {a['error']} | | | | | | | |"
+        return (
+            f"| {n} | {a['scans']} | {a['pushed_filters']} | {a['broadcast_joins']} "
+            f"| {a['shuffle_joins']} | {a['exchanges']} | {a['python_udf']} "
+            f"| {a['codegen_spans']} | {'Y' if a['aqe'] else '-'} |"
+        )
+
     rows = []
     for n in names:
         try:
@@ -76,20 +85,14 @@ def main() -> int:
         "| query | scans | pushed | bcast joins | shuffle joins | exchanges | py-UDF | codegen | AQE |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
-    for n, a in rows:
-        if "error" in a:
-            lines.append(f"| {n} | ERROR: {a['error']} | | | | | | | |")
-            continue
-        lines.append(
-            f"| {n} | {a['scans']} | {a['pushed_filters']} | {a['broadcast_joins']} "
-            f"| {a['shuffle_joins']} | {a['exchanges']} | {a['python_udf']} "
-            f"| {a['codegen_spans']} | {'Y' if a['aqe'] else '-'} |"
-        )
+    lines.extend(render_row(n, a) for n, a in rows)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     if explicit and os.path.exists(out):
         # Merge mode: update/append ONLY the named rows, preserving the
-        # full-registry audit (a names run must not clobber it).
-        audited = {n: line for n, line in zip([r[0] for r in rows], lines[8:])}
+        # full-registry audit (a names run must not clobber it). Rows are
+        # re-rendered directly from the audit dicts — no dependence on the
+        # header length above.
+        audited = {n: render_row(n, a) for n, a in rows}
         merged, seen = [], set()
         for line in open(out).read().splitlines():
             qname = line.split("|")[1].strip() if line.startswith("| ") else None

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixedpoint", "oriented_triangle_count", "kcore_peel"]
+__all__ = [
+    "pagerank_fixedpoint",
+    "oriented_triangle_count",
+    "kcore_peel",
+    "connected_components",
+]
 
 
 def pagerank_fixedpoint(

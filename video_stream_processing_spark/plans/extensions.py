@@ -3776,10 +3776,17 @@ def x103_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact ground truth is infeasible, the same query runs on an
     x23-style deterministic sample — the shape is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=_X103_THRESHOLD, k=3).select(
-        "doc_a", "doc_b"
+    # Both frames feed two aggregates each; checkpoint so the exact
+    # ground truth and the full MinHash/banding pipeline run once
+    # (the x104 pattern).
+    exact = (
+        D.ngram_jaccard_pairs(docs, threshold=_X103_THRESHOLD, k=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    cand = D._bucket_join(D._band_buckets(D._minhash_wide(docs)))
+    cand = D._bucket_join(D._band_buckets(D._minhash_wide(docs))).localCheckpoint(
+        eager=True
+    )
     hits = cand.join(exact, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )

@@ -788,8 +788,11 @@ def x96_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: identical per-iteration shape to x82 (edges JOIN
     ranks -> groupBy dst) plus one broadcast seed join at setup; the
-    restart table is |V|-sized and checkpointed once."""
-    _, edges, deg = _copurchase_edges(spark, sf_dir)
+    restart table is |V|-sized and checkpointed once. Edges and deg
+    come from _materialized_graph so the basket pipeline runs once —
+    the seed/degree reference and pagerank's edge base share the one
+    checkpointed pair table."""
+    _, edges, deg = _materialized_graph(spark, sf_dir)
     seeds = (
         deg.withColumn(
             "rn", F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("node")))

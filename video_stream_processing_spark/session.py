@@ -79,6 +79,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean: the bench/verify drivers parse the process's
+        # stdout tail, and the console progress bar can interleave with
+        # the final JSON line.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

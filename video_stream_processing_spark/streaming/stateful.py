@@ -527,7 +527,18 @@ def gap_stateful_fn():
         for ts, event_id, etype in zip(rows["ts"], rows["event_id"], rows["event_type"]):
             ms = int(pd.Timestamp(ts).value // 1_000_000)
             if last_ms is not None:
-                bucket = (ms - last_ms + 1).bit_length() - 1
+                gap = ms - last_ms
+                if gap < 0:
+                    # Cross-batch late arrival (ms earlier than the carried
+                    # last_ms despite the watermark): Python bit_length on a
+                    # negative int uses |x|, which would emit a nonsense
+                    # bucket the batch lag-window twin can never produce.
+                    # Drop the row instead — the batch query, which sorts
+                    # globally per key, never sees a negative gap; dropping
+                    # keeps the streaming output a subset of batch output
+                    # rather than a divergent superset.
+                    continue
+                bucket = (gap + 1).bit_length() - 1
                 out.append((user_id, int(event_id), etype, bucket))
             last_ms = ms
         state.update((last_ms,))
