@@ -72,6 +72,30 @@ NESTED_LOOP_ALLOWED = {
     # session PMI: the session TOTAL is a ONE-ROW scalar broadcast onto
     # the |types|^2-bounded pair frame; marginal joins are keyed
     "x105_session_type_pmi",
+    # unigram LM: the corpus-total token count is a ONE-ROW scalar
+    # broadcast onto the vocab frame (replaced the former global
+    # window); the score join is a keyed broadcast hash join
+    "x51_unigram_logprob",
+    # ABC analysis: the total-revenue scalar is a ONE-ROW broadcast
+    # onto the bucketed prefix-sum frame; the carry join is keyed
+    "b71_abc_analysis",
+}
+
+# Queries whose plans contain a GLOBAL (partition-less) WindowExec — each
+# one runs over a frame bounded by a DIMENSION, not by the corpus or fact
+# table, so the single partition holds a small constant-ish row count at
+# any data scale. Global windows over corpus-growing frames (the old x51
+# vocab total, the pre-r6 b71 cumulative share) are banned: use scalar
+# agg + broadcast crossJoin, or the x85/b71 range-partitioned prefix-sum
+# carry (whose carry window is |buckets|-sized and lands here).
+GLOBAL_WINDOW_ALLOWED = {
+    "b71_abc_analysis",  # carry over |shuffle-partition| buckets
+    "x31_url_domain_stats",  # over |domains|
+    "x36_source_mixing",  # over |sources|
+    "x52_temperature_mixing",  # over |sources|
+    "x68_histogram_quantiles",  # over |bins|
+    "x85_session_concurrency",  # carry over |hour buckets|
+    "x91_psi_drift",  # over |bins|
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -85,9 +109,50 @@ def _formatted_plan(df) -> str:
     )
 
 
+def _window_arg_groups(argline: str) -> list[str]:
+    """Top-level [...] groups of a formatted-plan Arguments line."""
+    s = argline[len("Arguments: "):]
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start + 1 : i])
+    return out
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any WindowExec in the formatted plan has an EMPTY
+    partition spec. Formatted Window arguments are
+    [exprs], [partitionSpec], [orderSpec] with empty specs omitted:
+    3 groups = partitioned+ordered; 2 groups is partitioned-unordered
+    UNLESS the last group is an order spec (ASC/DESC markers), in
+    which case the partition spec was the empty one; 1 group = both
+    empty (global)."""
+    import re as _re
+
+    for block in plan.split("\n\n"):
+        first = block.strip().split("\n")[0].strip()
+        if not _re.match(r"\(\d+\) Window$", first):
+            continue
+        for line in block.split("\n"):
+            if not line.startswith("Arguments:"):
+                continue
+            groups = _window_arg_groups(line)
+            if len(groups) >= 3:
+                continue
+            if len(groups) == 1 or _re.search(r"\b(ASC|DESC) NULLS", groups[-1]):
+                return True
+    return False
+
+
 @pytest.mark.slow
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
-    cartesian, nested_loop, errors = [], [], []
+    cartesian, nested_loop, global_win, errors = [], [], [], []
     for name, spec in all_queries().items():
         try:
             plan = _formatted_plan(spec.fn(spark, SF_DIR))
@@ -98,8 +163,14 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
             nested_loop.append(name)
+        if name not in GLOBAL_WINDOW_ALLOWED and _has_global_window(plan):
+            global_win.append(name)
     assert not errors, errors
     assert not cartesian, f"cartesian products crept in: {cartesian}"
     assert not nested_loop, (
         f"nested-loop joins outside the documented baselines: {nested_loop}"
+    )
+    assert not global_win, (
+        "global (partition-less) windows outside the documented "
+        f"dimension-bounded set: {global_win}"
     )

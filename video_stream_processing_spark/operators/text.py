@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword list used by quality scoring and lang-id.
@@ -266,9 +266,13 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
     corpus' own unigram distribution are boilerplate/noise candidates).
 
     Two-phase plan, both phases one shuffle:
-    - train: explode tokens once, groupBy(token) count; the corpus-total
-      divisor rides on the (small) vocab via a global window, so no
-      driver-side scalar collect;
+    - train: explode tokens once, groupBy(token) count (checkpointed —
+      vocab-sized, bounded); the corpus-total divisor is a scalar
+      re-aggregate of THAT frame broadcast back onto it. NOT a global
+      window: the vocab grows with the corpus (Heaps' law), so a
+      single-partition WindowExec over it is a needless chokepoint at
+      100 TB — scalar agg + broadcast crossJoin is shape-equivalent and
+      partition-parallel (the x103 pattern);
     - score: the exploded tokens re-join their logprob via a BROADCAST
       hash join (a natural-text vocab is heavy-tailed and bounded —
       ~millions of rows at 100 TB; cap to top-V with a smoothed floor if
@@ -280,12 +284,14 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
     order; rounding to 4 decimals absorbs it (same argument as every
     score column in this module)."""
     toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
-    w_all = Window.partitionBy()
-    vocab = (
+    counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("total", F.sum("cnt").over(w_all))
-        .select("tok", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("logp")
     )
     return (
         toks.join(F.broadcast(vocab), "tok")

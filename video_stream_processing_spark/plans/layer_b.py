@@ -2645,22 +2645,22 @@ def b70_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
     SELECT l_partkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev_dec
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
-    SELECT l_partkey, revenue,
-           sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+    SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+           sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_rev,
-           sum(revenue) OVER () AS total_rev
+               AS cum_dec,
+           sum(rev_dec) OVER () AS total_dec
     FROM rev
 )
 SELECT l_partkey, revenue,
-       round(cum_rev / total_rev, 6) AS cum_share,
-       CASE WHEN round(cum_rev / total_rev, 6) <= 0.8 THEN 'A'
-            WHEN round(cum_rev / total_rev, 6) <= 0.95 THEN 'B'
+       round(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS cum_share,
+       CASE WHEN round(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) <= 0.8 THEN 'A'
+            WHEN round(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) <= 0.95 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked
 """,
@@ -2669,37 +2669,74 @@ FROM ranked
 def b71_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto analysis — the inventory-management classic: parts
     ranked by revenue, classified A (top 80% of cumulative revenue),
-    B (next 15%), C (tail). The running share is a window cumulative
-    sum over the DETERMINISTIC (revenue desc, partkey) order — both
-    engines accumulate the identical float sequence, so even the
-    running doubles are bit-identical; classification compares the
-    ROUNDED share (round-before-compare, the x73 flag discipline).
-    Revenue is emitted UNrounded: the decimal-sum-cast-double is
-    bit-identical, but round(x, 2) over a 4-decimal double diverges
-    between engines on .xx5 boundaries (caught by the strict harness
-    here — display rounding belongs to the presentation layer).
+    B (next 15%), C (tail). Classification compares the ROUNDED share
+    (round-before-compare, the x73 flag discipline). Revenue is
+    emitted UNrounded: the decimal-sum-cast-double is bit-identical,
+    but round(x, 2) over a 4-decimal double diverges between engines
+    on .xx5 boundaries (display rounding belongs to presentation).
 
-    Scale posture: per-part revenue is one map-side-combinable
-    aggregate; the ranking window runs over the |parts|-sized result,
-    not the fact table. A global window over parts is
-    dimension-bounded — the same argument as x85's hour table; for an
-    unbounded key, range-partition the window by revenue bands."""
+    Scale posture — DISTRIBUTED prefix sum (the x85 carry pattern):
+    at TPC-H-at-100TB `part` is ~20B rows, so a single global
+    cumulative window over parts is a real chokepoint. Instead,
+    repartitionByRange on the rank order (sampled range boundaries —
+    Spark's native distributed sort partitioner) splits parts into
+    order-respecting buckets; the cumulative sum runs WITHIN each
+    bucket in parallel, and each bucket adds a carry = sum of all
+    earlier buckets' totals (one |buckets|-sized window). Float
+    caveat: two-level summation changes accumulation grouping, so the
+    running sum stays in EXACT DECIMAL (associative — grouping-
+    independent), matching the oracle's exact HUGEINT-backed decimal
+    window; doubles appear only in the single final division."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("rev_dec")
         )
-        .cast("double")
-        .alias("revenue")
     )
-    w_cum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Range-partition in rank order, then freeze bucket ids (checkpoint:
+    # three references probe the bucketed frame; spark_partition_id is
+    # only meaningful on the materialized partitioning).
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = (
+        rev.repartitionByRange(n_buckets, F.desc("rev_dec"), F.asc("l_partkey"))
+        .withColumn("bucket", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    w_all = Window.partitionBy()
-    share = F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6)
-    return rev.select(
-        "l_partkey",
-        "revenue",
-        share.alias("cum_share"),
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("run", F.sum("rev_dec").over(w_in))
+    btot = bucketed.groupBy("bucket").agg(F.sum("rev_dec").alias("btot"))
+    carry = btot.withColumn(
+        "carry",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,4)"),
+        ),
+    ).select("bucket", "carry")
+    total = btot.agg(F.sum("btot").alias("total_dec"))
+    share = F.round(
+        (F.col("run") + F.col("carry")).cast("double") / F.col("total_dec").cast("double"),
+        6,
+    )
+    return (
+        within.join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
     )
