@@ -40,31 +40,55 @@ from pyspark.sql.types import ArrayType, DoubleType
 N_BINS = 256
 
 
+def _batch_byte_histograms(payloads: list) -> list:
+    """list of BINARY payloads -> list of 256-bin normalized numpy
+    histograms; null/empty payload -> None (decode failure marker).
+
+    One flattened bincount for the WHOLE batch instead of a per-row
+    loop: concatenate valid payloads, key each byte by
+    row_index * 256 + value, and reshape — ~6x faster on the
+    short-payload batches this path sees, with bit-identical results
+    (same int counts / float length division per row)."""
+    vals = [None if b is None else bytes(b) for b in payloads]
+    valid = [(i, b) for i, b in enumerate(vals) if b]
+    out = [None] * len(vals)
+    if valid:
+        lens = np.array([len(b) for _, b in valid], dtype=np.int64)
+        buf = np.frombuffer(b"".join(b for _, b in valid), dtype=np.uint8)
+        row_idx = np.repeat(np.arange(len(valid), dtype=np.int64), lens)
+        counts = np.bincount(
+            row_idx * N_BINS + buf, minlength=len(valid) * N_BINS
+        ).reshape(len(valid), N_BINS)
+        hists = counts / lens.astype(np.float64)[:, None]
+        for (i, _), h in zip(valid, hists):
+            out[i] = h
+    return out
+
+
+def _decoded_luminance_histogram(b) -> np.ndarray | None:
+    """One BINARY payload -> 256-bin normalized luminance histogram of
+    the DECODED image; undecodable/null -> None. Integer-weight BT.601
+    (x256) keeps binning exact."""
+    from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+
+    img = decode_image_bgr(bytes(b)) if b is not None and len(b) else None
+    if img is None:
+        return None
+    lum = (
+        77 * img[:, :, 2].astype(np.uint32)
+        + 150 * img[:, :, 1].astype(np.uint32)
+        + 29 * img[:, :, 0].astype(np.uint32)
+    ) >> 8
+    return np.bincount(lum.ravel(), minlength=N_BINS) / float(lum.size)
+
+
 def byte_histogram_udf():
     """payload BINARY -> ARRAY<DOUBLE> (256 normalized bins); null/empty
     payload -> NULL (decode failure marker)."""
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def hist(payload: pd.Series) -> pd.Series:
-        # One flattened bincount for the WHOLE Arrow batch instead of a
-        # per-row loop: concatenate valid payloads, key each byte by
-        # row_index * 256 + value, and reshape — ~6x faster on the
-        # short-payload batches this path sees, with bit-identical
-        # results (same int counts / float length division per row).
-        vals = [None if b is None else bytes(b) for b in payload]
-        valid = [(i, b) for i, b in enumerate(vals) if b]
-        out = [None] * len(vals)
-        if valid:
-            lens = np.array([len(b) for _, b in valid], dtype=np.int64)
-            buf = np.frombuffer(b"".join(b for _, b in valid), dtype=np.uint8)
-            row_idx = np.repeat(np.arange(len(valid), dtype=np.int64), lens)
-            counts = np.bincount(
-                row_idx * N_BINS + buf, minlength=len(valid) * N_BINS
-            ).reshape(len(valid), N_BINS)
-            hists = counts / lens.astype(np.float64)[:, None]
-            for (i, _), h in zip(valid, hists):
-                out[i] = h
-        return pd.Series(out, dtype=object)
+        return pd.Series(_batch_byte_histograms(list(payload)), dtype=object)
 
     return hist
 
@@ -84,22 +108,9 @@ def decoded_histogram_udf():
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def hist(payload: pd.Series) -> pd.Series:
-        from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
-
-        out = []
-        for b in payload:
-            img = decode_image_bgr(bytes(b)) if b is not None and len(b) else None
-            if img is None:
-                out.append(None)
-            else:
-                # integer-weight luminance (BT.601 x256) keeps binning exact
-                lum = (
-                    77 * img[:, :, 2].astype(np.uint32)
-                    + 150 * img[:, :, 1].astype(np.uint32)
-                    + 29 * img[:, :, 0].astype(np.uint32)
-                ) >> 8
-                out.append(np.bincount(lum.ravel(), minlength=N_BINS) / float(lum.size))
-        return pd.Series(out, dtype=object)
+        return pd.Series(
+            [_decoded_luminance_histogram(b) for b in payload], dtype=object
+        )
 
     return hist
 
@@ -272,6 +283,23 @@ def keyframe_gate_from_similarity(
     return keyed_sorted_scan(frames, key_col, (ts_col,), gate_scan, frames.schema)
 
 
+def _np_hist_correlation(a: np.ndarray, b: np.ndarray) -> float:
+    """numpy twin of ``hist_correlation`` (OpenCV HISTCMP_CORREL):
+    sum((a-ma)(b-mb)) / sqrt(sum((a-ma)^2) * sum((b-mb)^2)); zero
+    variance on either side -> 1.0 iff identical else 0.0. Summation
+    order differs from the JVM fold only at sub-ulp level — the gate's
+    thresholds carry wide margins by construction (a10's oracle
+    docstring), so a keep decision never flips."""
+    ma = a.sum() / a.size
+    mb = b.sum() / b.size
+    da = a - ma
+    db = b - mb
+    den = float(np.sqrt((da * da).sum() * (db * db).sum()))
+    if den > 0:
+        return float((da * db).sum() / den)
+    return 1.0 if np.array_equal(a, b) else 0.0
+
+
 def keyframe_gate_from_bytes(
     frames: DataFrame,
     payload_col: str = "frame_data",
@@ -281,17 +309,77 @@ def keyframe_gate_from_bytes(
     scene_threshold: float = 0.3,
     histogram: str = "bytes",
 ) -> DataFrame:
-    """End-to-end binary-driven gate: payload bytes -> histogram (raw or
-    decoded, see with_scene_similarity) -> consecutive-frame correlation
-    -> exact keyframe recurrence."""
-    sims = with_scene_similarity(
-        frames, payload_col=payload_col, key_col=key_col, ts_col=ts_col,
-        histogram=histogram,
-    )
-    return keyframe_gate_from_similarity(
-        sims,
-        key_col=key_col,
-        ts_col=ts_col,
-        min_interval_ms=min_interval_ms,
-        scene_threshold=scene_threshold,
-    )
+    """End-to-end binary-driven gate, FUSED into one Arrow pass: payload
+    bytes -> histogram (raw or decoded) -> consecutive-frame correlation
+    -> exact keyframe recurrence, all inside a single bounded keyed scan.
+
+    Physical shape: ONE hash shuffle on the stream key (the same
+    keyBy(streamId) ship the reference pays,
+    VideoStreamProcessingJob.java:151), one external sort, one
+    mapInPandas. The pre-r6 chain (pre-shuffle histogram UDF -> lag
+    window -> separate gate scan) paid TWO Python boundary crossings and
+    two hash exchanges for the same answer; fusing halves both — the
+    histogram is per-row, so it computes equally well after the sort,
+    and the previous-frame histogram rides in the scan's O(keys-in-
+    flight) state instead of a window lag. The payload column never
+    appears in the OUTPUT schema (dropped inside the scan), so binary
+    leaves the plan at the Python boundary.
+
+    Semantics identical to with_scene_similarity +
+    keyframe_gate_from_similarity (KeyFrameExtractor.java:53-82):
+    interval rule first; scene rule only with a predecessor; decode
+    failure on either side -> similarity 1.0; the previous-frame
+    pointer advances EVERY row, kept or not."""
+    from pyspark.sql.types import StructType
+
+    from video_stream_processing_spark.operators.keyed_scan import keyed_sorted_scan
+
+    cut = 1.0 - scene_threshold
+    decoded = histogram == "decoded"
+    out_schema = StructType([f for f in frames.schema.fields if f.name != payload_col])
+
+    def fused_scan(chunks):
+        # key -> (prev_hist | None, last_kept_ms); keys are contiguous
+        # after the sort, so state drops as soon as the key changes.
+        state: dict = {}
+        current_key = None
+        for pdf in chunks:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].tolist()
+            ts_ms_arr = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            payloads = pdf[payload_col].tolist()
+            if decoded:
+                hists = [_decoded_luminance_histogram(b) for b in payloads]
+            else:
+                hists = _batch_byte_histograms(payloads)
+            keep_mask = []
+            for k, ts_ms, h in zip(keys, ts_ms_arr, hists):
+                if k != current_key:
+                    state.pop(current_key, None)
+                    current_key = k
+                st = state.get(k)
+                if st is None:
+                    prev_h, last_kept_ms, has_prev = None, None, False
+                else:
+                    prev_h, last_kept_ms = st
+                    has_prev = True
+                if not has_prev:
+                    sim = None
+                elif h is None or prev_h is None:
+                    sim = 1.0  # decode failure: assume similar (:94,107)
+                else:
+                    sim = _np_hist_correlation(h, prev_h)
+                keep = False
+                if last_kept_ms is None or ts_ms - last_kept_ms >= min_interval_ms:
+                    keep = True
+                elif sim is not None and sim < cut:
+                    keep = True
+                state[k] = (h, ts_ms if keep else last_kept_ms)
+                keep_mask.append(keep)
+            out = pdf[pd.Series(keep_mask, index=pdf.index)].drop(columns=[payload_col])
+            if len(out):
+                yield out
+        return
+
+    return keyed_sorted_scan(frames, key_col, (ts_col,), fused_scan, out_schema)
