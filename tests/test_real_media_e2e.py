@@ -114,9 +114,9 @@ def test_full_job_on_real_frames(spark, tmp_path, codec):
         det = OnnxDetector(session=FakeSession())
         return det.detect_batch(blobs)
 
-    # The gate drops the binary payload before its window shuffle (bytes
-    # never cross a shuffle — scene.py UDF discipline); re-attach payloads
-    # for the ~keyframes-only detect stage by key, the same pattern a
+    # The fused gate drops the binary payload inside its single Arrow
+    # pass (the output schema is binary-free); re-attach payloads for
+    # the ~keyframes-only detect stage by key, the same pattern a
     # production job uses to pull frames from object storage.
     keyframes = gated.select("stream_id", "frame_id", "ts").join(
         frames.select("stream_id", "frame_id", "frame_data"),

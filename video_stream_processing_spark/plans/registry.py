@@ -175,23 +175,48 @@ _ORACLE_UPGRADED_POST_R03 = frozenset(
     ["a08_segment_windows_exact", "a09_keyframe_gate_exact", "a10_keyframes_from_bytes"]
 )
 
-_CURRENT_VERIFIED = (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
+# Queries with a green row in the driver's CORRECTNESS_r05.json (50/50
+# green: the rotation certified a08-a10's oracle upgrades, the stale
+# x31-x34 rows, and the first 43 round-5 additions). The remaining 42
+# round-5 additions (x58-x99 alphabetically) have no driver row ever and
+# stay tier 1 so round 6's capped pass drains them completely.
+_DRIVER_VERIFIED_R05 = frozenset(
+    [
+        "a08_segment_windows_exact", "a09_keyframe_gate_exact", "a10_keyframes_from_bytes",
+        "b54_scd2_intervals", "b55_funnel_steps", "b56_retention_cohorts", "b57_market_share",
+        "b58_idle_high_balance_customers", "b59_small_quantity_revenue",
+        "b60_disjunctive_predicate_revenue", "b61_nation_volume_shipping",
+        "b62_product_type_profit", "b63_recursive_bfs_reach", "b64_priority_late_orders",
+        "b65_returned_item_revenue", "b66_large_volume_customers", "b67_local_supplier_volume",
+        "b68_promo_revenue_share", "b69_forecast_revenue_change", "b70_fulfillment_latency",
+        "b71_abc_analysis", "x100_decayed_affinity", "x101_degree_powerlaw_slope",
+        "x102_event_overdispersion", "x103_lsh_quality_report", "x104_lsh_band_sweep",
+        "x105_session_type_pmi", "x31_url_domain_stats", "x32_corpus_split",
+        "x33_global_trigram_topk", "x34_filter_chain", "x39_minhash_lsh_bounded",
+        "x40_multimodal_real_roundtrip", "x41_ivf_multiprobe_topk", "x42_incremental_dedup",
+        "x43_jpeg_real_roundtrip", "x44_ivf_trained_topk", "x45_lsh_multitable_capped",
+        "x46_kmeans_cluster_profile", "x47_semantic_dedup_trained", "x48_ivfpq_topk",
+        "x49_decontaminate_bloom", "x50_rp_ann_topk", "x51_unigram_logprob",
+        "x52_temperature_mixing", "x53_mjpeg_frame_split", "x54_wav_clip_features",
+        "x55_wav_frame_energy", "x56_bpe_merges", "x57_bpe_piece_counts",
+    ]
+)
+
+_CURRENT_VERIFIED = (
+    (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
+) | _DRIVER_VERIFIED_R05
 
 
 def _driver_order(name: str) -> tuple[int, str]:
-    # 0 = driver row exists but is STALE (pre-regeneration parquet: x31-x34,
-    # or recorded before the query's oracle existed: a08-a10) — these need
-    # re-certification most urgently and enumerate first (VERDICT r4 item 1);
-    # 1 = never driver-verified (x39-x42 + round-5 additions; all pass the
-    # local harness); 2 = verified against the current parquet with the
-    # current oracle (free green, enumerate last).
-    #
-    # Round-5 note: the session added b54-b71 and x54-x105, growing the
-    # never-verified tier past one capped (~50-row) driver pass; the 2-3
-    # alphabetically-last tier-1 names may only gain driver rows in the
-    # NEXT round's rotation. Every one of them passes the local strict
-    # harness (tools/check_correctness.py + the driver-sim in
-    # .claude/skills/verify) against the current parquet.
+    # 0 = driver row exists but is STALE (recorded against older parquet or
+    # before the query's current oracle) — none at present;
+    # 1 = never driver-verified (the 42 round-5 additions x58-x99; all pass
+    # the local harness) — these enumerate first so round 6's capped
+    # (~50-row) driver pass certifies every one of them;
+    # 2 = verified against the current parquet with the current oracle
+    # (free green, enumerate last). Round-6 discipline (VERDICT r5 item 2):
+    # new registrations are capped at ~8 this round so the backlog drains
+    # instead of growing past the rotation again.
     if name in _CURRENT_VERIFIED:
         tier = 2
     elif name in _DRIVER_VERIFIED:
