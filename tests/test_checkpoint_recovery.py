@@ -53,6 +53,7 @@ def _run_to_parquet(spark, frames_dir, ck, out_dir):
     q.stop()
 
 
+@pytest.mark.slow
 def test_segments_survive_restart(spark, tmp_path, batches):
     first, second = batches
     d = str(tmp_path / "frames")
@@ -99,6 +100,7 @@ def test_segments_survive_restart(spark, tmp_path, batches):
     assert got[0][2] == 4
 
 
+@pytest.mark.slow
 def test_bytes_keyframe_gate_survives_restart(spark, tmp_path):
     """The binary-driven gate's state (last-kept time + previous frame's
     byte histogram) must restore across a restart: a scene cut whose

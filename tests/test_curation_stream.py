@@ -8,6 +8,8 @@ watermark passes is re-emitted, which is the bounded-state contract).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 BASE = 1_700_000_000_000  # ms
@@ -26,6 +28,7 @@ def _write(spark, d, rows, mode):
     )
 
 
+@pytest.mark.slow
 def test_curation_stream_filters_dedups_and_expires_state(spark, tmp_path):
     from video_stream_processing_spark.streaming.pipeline import curation_stream
 
@@ -73,6 +76,7 @@ def test_curation_stream_filters_dedups_and_expires_state(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_incremental_dedup_stream_replay_emits_once(spark, tmp_path):
     """Streaming twin of x42 (VERDICT r4 item 6): an arriving shard is
     anti-joined against the existing corpus's hash set, deduped within

@@ -30,6 +30,7 @@ def test_engine_table(engine):
     assert engine.table("region").count() == 5
 
 
+@pytest.mark.slow
 def test_engine_start_pipeline(engine, tmp_path):
     from pyspark.sql import functions as F
 
@@ -72,6 +73,7 @@ def test_cli_list(capsys):
     assert "b01_pricing_summary" in out and "x02_minhash_lsh_neardup" in out
 
 
+@pytest.mark.slow
 def test_engine_config_drives_pipeline(spark, sf_dir, tmp_path):
     """EngineConfig (the application.properties analog) supplies pipeline
     parameters when call-site arguments are omitted."""

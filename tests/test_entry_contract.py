@@ -3,6 +3,8 @@ are consistent; every oracle SQL parses and runs in DuckDB."""
 
 import importlib
 
+import pytest
+
 
 def _entry_module():
     import __spark_entry__
@@ -25,6 +27,7 @@ def test_queries_and_oracles_consistent(sf_dir):
     assert len(qs) > 0
 
 
+@pytest.mark.slow
 def test_oracles_run_in_duckdb(sf_dir):
     from video_stream_processing_spark.oracle import duckdb_connection
 

@@ -101,3 +101,59 @@ def test_filler_docs_produce_no_cross_pairs(spark):
     docs = _skewed_corpus(spark, n_clique=0, n_filler=200)
     assert minhash_lsh_neardups(docs, neighbor_window=4).count() == 0
     assert minhash_lsh_neardups(docs).count() == 0
+
+
+def test_incremental_lsh_equals_full_recompute_restriction(spark):
+    """incremental_lsh_neardups(base, shard) must equal the full-corpus
+    near-dup pair set RESTRICTED to pairs touching the shard, with
+    vs_existing flagging the cross-membership pairs — the property that
+    makes the stored-band-index ingest path safe to trust (a base-only
+    dup pair must never appear; no shard-touching pair may be lost)."""
+    from video_stream_processing_spark.operators.dedup import (
+        incremental_lsh_neardups,
+    )
+
+    # Planted structure: dup cluster A spans base+shard, cluster B is
+    # shard-only, cluster C is base-only (must NOT appear), plus filler.
+    text_a = CLIQUE_TEXT
+    text_b = (
+        "pack my box with five dozen liquor jugs while the quick onyx "
+        "goblin jumps over the lazy dwarf at midnight every day"
+    )
+    text_c = (
+        "sphinx of black quartz judge my vow as the five boxing wizards "
+        "jump quickly over the frozen river each winter morning"
+    )
+    rows = []
+    rows += [(i, text_a) for i in (1, 2, 17)]        # A: base 1,2 / shard 17
+    rows += [(i, text_b) for i in (27, 37)]          # B: shard-only
+    rows += [(i, text_c) for i in (3, 4)]            # C: base-only
+    for i in range(50):
+        d = 100 + i * 10 + (i % 3)  # mix of shard (…7) and base ids
+        rows.append(
+            (
+                d,
+                f"filler document number {i} carries unique content "
+                f"alpha{i} beta{(i * 7) % 997} gamma{(i * 13) % 991}",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shard = docs.where(F.col("doc_id") % 10 == 7)
+    base = docs.where(F.col("doc_id") % 10 != 7)
+
+    inc = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["vs_existing"])
+        for r in incremental_lsh_neardups(base, shard).collect()
+    }
+    shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_neardups(docs).collect()
+        if r["doc_a"] in shard_ids or r["doc_b"] in shard_ids
+    }
+    assert {k: v[0] for k, v in inc.items()} == full
+    assert full  # the planted clusters actually produced shard pairs
+    for (a, b), (_, vs_existing) in inc.items():
+        assert vs_existing == ((a in shard_ids) != (b in shard_ids))
+    # base-only cluster C never surfaces
+    assert (3, 4) not in inc

@@ -5,6 +5,8 @@ metric counters and the NDJSON sink wire format."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -28,6 +30,7 @@ def _frames_dir(spark, tmp_path, n=120):
     return d
 
 
+@pytest.mark.slow
 def test_detection_query_end_to_end(spark, tmp_path):
     from video_stream_processing_spark.streaming.pipeline import detection_query
 
@@ -56,6 +59,7 @@ def test_detection_query_end_to_end(spark, tmp_path):
     assert any(p.startswith("stream_id=") for p in os.listdir(fact_dir))
 
 
+@pytest.mark.slow
 def test_segment_query_end_to_end(spark, tmp_path):
     from video_stream_processing_spark.streaming.pipeline import segment_query
 
@@ -78,6 +82,7 @@ def test_segment_query_end_to_end(spark, tmp_path):
         assert r["file_size"] == r["frame_count"] * 1024  # NoopEncoder
 
 
+@pytest.mark.slow
 def test_segment_hook_applied_before_sink(spark, tmp_path):
     """SURVEY §2.2 #13 analog: the pass-through VideoSegmentFunction is a
     declarative hook on the segment stream; a non-identity hook (quality

@@ -59,6 +59,7 @@ def _frames_df(spark, codec: str = "bmp"):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("codec", ["bmp", "jpeg"])
 def test_full_job_on_real_frames(spark, tmp_path, codec):
     from video_stream_processing_spark.operators.detection import (
@@ -180,6 +181,7 @@ def test_full_job_on_real_frames(spark, tmp_path, codec):
             assert r["file_size"] == r["frame_count"] * 1024
 
 
+@pytest.mark.slow
 def test_streaming_job_on_real_jpeg_frames(spark, tmp_path):
     """Streaming form of the same job on the reference's actual wire
     format (JPEG): frames replayed via readStream -> stateful bytes gate

@@ -4,6 +4,8 @@ timestamps; state must survive micro-batch splits."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -19,6 +21,7 @@ def _batch_converted(spark):
     }
 
 
+@pytest.mark.slow
 def test_funnel_stream_matches_batch(spark, tmp_path):
     from video_stream_processing_spark.streaming.stateful import funnel_stream
     from video_stream_processing_spark.tables import load_table
@@ -58,6 +61,7 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert len(streamed) > 0  # the fixture actually converts someone
 
 
+@pytest.mark.slow
 def test_funnel_state_survives_restart(spark, tmp_path):
     """Kill the query between micro-batches; the restarted query must
     resume the per-user state machines from the checkpoint and produce

@@ -1365,6 +1365,27 @@ def x42_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x106_incremental_lsh_refresh",
+    oracle=D.incremental_lsh_oracle_sql(),
+    tags=("extension", "dedup", "lsh", "incremental"),
+)
+def x106_incremental_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index refresh — x42's arriving-shard discipline
+    composed with x02's banding (VERDICT r5 item 9): the new shard
+    (doc_id%10==7) is minhashed ONCE and near-dup-checked against the
+    existing corpus's band-bucket index via an equi-join, plus within
+    itself; exact-Jaccard verification on candidates only. At 100 TB the
+    base band table is a STORED index appended per ingest, so each
+    arriving shard costs O(|shard|) hashing + two bucket equi-joins —
+    the full corpus is never re-hashed or re-paired
+    (operators/dedup.py:incremental_lsh_neardups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = docs.where(F.col("doc_id") % 10 == 7)
+    base = docs.where(F.col("doc_id") % 10 != 7)
+    return D.incremental_lsh_neardups(base, shard)
+
+
+@register(
     "x46_kmeans_cluster_profile",
     oracle=S.kmeans_profile_oracle_sql(n_clusters=8, n_iters=2),
     tags=("extension", "similarity", "kmeans"),
