@@ -600,17 +600,19 @@ SELECT stream_id, ts, n_bytes FROM walk WHERE keep
 
 @register("a10_keyframes_from_bytes", oracle=_A10_ORACLE, tags=("layer_a", "stateful"))
 def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary gate (operators/scene.py): payload bytes ->
-    256-bin byte histogram (Arrow UDF; binary never shuffles) ->
-    consecutive-frame histogram correlation (JVM-side aggregate/zip_with,
-    the documented HISTCMP_CORREL intent of README.md:241-245) -> exact
-    isKeyFrame recurrence (KeyFrameExtractor.java:53-82) as a bounded
-    keyed scan. Payload here: each event's type string repeated — frames
-    change "scene" when the event type flips. Oracle: the WHOLE chain in
-    DuckDB — per-byte histogram, lag correlation, linear RECURSIVE CTE
-    (round-4 upgrade from rows-only); the kept rows project
-    (stream_id, ts, n_bytes) so the value hash is binary-free.
-    Planted-cut + streaming-twin tests in tests/test_scene.py."""
+    """End-to-end binary gate (operators/scene.py), FUSED round 6 into
+    one Arrow pass: payload bytes -> 256-bin byte histogram ->
+    consecutive-frame histogram correlation (the documented
+    HISTCMP_CORREL intent of README.md:241-245) -> exact isKeyFrame
+    recurrence (KeyFrameExtractor.java:53-82), all inside a single
+    bounded keyed scan — ONE hash shuffle + ONE Python crossing
+    (8.25s -> ~2s at sf0.1). Payload here: each event's type string
+    repeated — frames change "scene" when the event type flips. Oracle:
+    the WHOLE chain in DuckDB — per-byte histogram, lag correlation,
+    linear RECURSIVE CTE (round-4 upgrade from rows-only); the kept
+    rows project (stream_id, ts, n_bytes) so the value hash is
+    binary-free. Planted-cut + streaming-twin tests in
+    tests/test_scene.py."""
     from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
 
     events = load_table(spark, sf_dir, "events")
@@ -620,7 +622,7 @@ def a10_keyframes_from_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.repeat(F.col("event_type"), 40), "UTF-8").alias("frame_data"),
     ).withColumn("n_bytes", F.octet_length("frame_data").cast("long"))
     # n_bytes rides through the gate (the payload itself is dropped
-    # before the window shuffle — scene.py UDF discipline)
+    # inside the fused scan — the output schema is binary-free)
     return keyframe_gate_from_bytes(
         frames,
         payload_col="frame_data",
