@@ -182,3 +182,98 @@ def test_decontaminate_stream_flags_overlap(spark, tmp_path):
         assert [(r["doc_id"], r["bench_id"], r["shared"]) for r in rows] == [(1, 100, 6)]
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_lsh_index_refresh_stream(spark, tmp_path):
+    """Streaming twin of x106: the foreachBatch LSH-index sink, fed the
+    corpus across TWO micro-batches, must emit exactly the full-corpus
+    minhash near-dup pair set (each pair surfacing when its later
+    member arrives, with vs_existing marking cross-batch pairs), and a
+    replayed batch must land idempotently."""
+    from video_stream_processing_spark.operators.dedup import minhash_lsh_neardups
+    from video_stream_processing_spark.streaming.sinks import lsh_index_refresh_sink
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon"
+    )
+    text_b = (
+        "pack my box with five dozen liquor jugs while the quick onyx "
+        "goblin jumps over the lazy dwarf at midnight every day"
+    )
+    text_c = (
+        "sphinx of black quartz judge my vow as the five boxing wizards "
+        "jump quickly over the frozen river each winter morning"
+    )
+
+    def filler(i):
+        return (
+            f"filler document number {i} carries unique content "
+            f"alpha{i} beta{(i * 7) % 997} gamma{(i * 13) % 991}"
+        )
+
+    batch0 = [(1, BASE, text_a), (2, BASE + 1_000, text_a), (3, BASE + 2_000, text_c)]
+    batch0 += [(100 + i, BASE + 3_000 + i, filler(i)) for i in range(10)]
+    batch1 = [
+        (17, BASE + 60_000, text_a),
+        (27, BASE + 61_000, text_b),
+        (37, BASE + 62_000, text_b),
+        (4, BASE + 63_000, text_c),
+    ]
+    batch1 += [(200 + i, BASE + 64_000 + i, filler(10 + i)) for i in range(10)]
+
+    d = str(tmp_path / "docs-src")
+    index_dir = str(tmp_path / "band-index")
+    docs_dir = str(tmp_path / "docs-landed")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = lsh_index_refresh_sink(index_dir, docs_dir, pairs_dir)
+
+    _write(spark, d, batch0, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        stream.select("doc_id", "text")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, d, batch1, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["vs_existing"], r["__batch_id"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    all_rows = [(i, t) for i, _, t in batch0 + batch1]
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_neardups(
+            spark.createDataFrame(all_rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == full
+    assert (1, 2) in got and not got[(1, 2)][1]  # within batch 0
+    assert (27, 37) in got and not got[(27, 37)][1]  # within batch 1
+    assert got[(3, 4)][1] and got[(1, 17)][1]  # cross-batch pairs
+    batch_of = {k: v[2] for k, v in got.items()}
+    assert batch_of[(1, 2)] == 0 and batch_of[(3, 4)] == 1
+
+    # replay of the LAST batch (failure between sink-write and checkpoint
+    # commit): identical pair set, no duplicates, no self-cross pairs
+    last_bid = max(v[2] for v in got.values())
+    replay_df = (
+        spark.read.parquet(docs_dir)
+        .where(F.col("__batch_id") == last_bid)
+        .select("doc_id", "text")
+    )
+    sink(replay_df, last_bid)
+    again = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert again == full

@@ -87,6 +87,112 @@ def write_docs_idempotent(out_dir: str):
     return sink
 
 
+def lsh_index_refresh_sink(
+    index_dir: str,
+    docs_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    threshold: float | None = None,
+):
+    """foreachBatch sink — the STREAMING twin of x106
+    (operators/dedup.py:incremental_lsh_neardups): maintains a stored
+    LSH band index across micro-batches and emits, per batch, the
+    near-dup pairs that batch INTRODUCES (vs all earlier batches, and
+    within itself).
+
+    Per micro-batch (docs with (doc_id, ``text_col``)):
+    1. land the batch's docs at ``docs_dir`` (batch-id partition,
+       dynamic overwrite — replay lands in place);
+    2. minhash+band ONLY the batch's docs; candidates = batch bands
+       equi-joined against the STORED index's earlier-batch partitions
+       (``__batch_id < batch_id`` — partition-pruned, and the guard that
+       makes a replayed batch skip its own already-written bands), plus
+       the in-batch bucket self-join;
+    3. exact-Jaccard verification joins candidate doc ids back to the
+       landed docs table (bodies re-read for CANDIDATES only — keyed
+       join, never a corpus re-hash);
+    4. append the batch's bands to the index and the verified pairs to
+       ``pairs_dir``, both batch-id-keyed dynamic overwrite, so
+       replay after a failure between sink-write and checkpoint commit
+       is idempotent end-to-end.
+
+    The union of all batches' emitted pairs equals the FULL-corpus
+    ``minhash_lsh_neardups`` pair set over the streamed docs (each pair
+    surfaces exactly when its later member arrives) — pinned by
+    tests/test_curation_stream.py::test_lsh_index_refresh_stream."""
+    from video_stream_processing_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_buckets,
+        _bucket_join,
+        _doc_tokens,
+        _minhash_wide,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(docs_dir)
+        )
+        bands = _band_buckets(_minhash_wide(batch_df, text_col)).localCheckpoint(
+            eager=True
+        )
+        in_batch = _bucket_join(bands).withColumn("vs_existing", F.lit(False))
+        try:
+            prior = spark.read.parquet(index_dir).where(F.col("__batch_id") < batch_id)
+        except Exception:  # first batch: no index yet
+            prior = None
+        if prior is not None:
+            cross = (
+                bands.alias("s")
+                .join(prior.alias("b"), ["band_id", "band_key"])
+                .select(
+                    F.least(F.col("s.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("s.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                )
+                .distinct()
+                .withColumn("vs_existing", F.lit(True))
+            )
+            cand = cross.unionByName(in_batch)
+        else:
+            cand = in_batch
+        (
+            bands.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(index_dir)
+        )
+        all_docs = spark.read.parquet(docs_dir).where(F.col("__batch_id") <= batch_id)
+        toks = _doc_tokens(all_docs, text_col)
+        ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+        tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        union = F.size("toks_a") + F.size("toks_b") - inter
+        pairs = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 4).cast("double"))
+            .where(F.col("jaccard") >= thr)
+            .select("doc_a", "doc_b", "jaccard", "vs_existing")
+        )
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(pairs_dir)
+        )
+
+    return sink
+
+
 def write_detections_ndjson(out_dir: str):
     """foreachBatch sink emitting the reference's LITERAL wire format:
     one JSON object per line (`format=json` + `read_json_by_line=true`
