@@ -1378,7 +1378,7 @@ def x106_incremental_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base band table is a STORED index appended per ingest, so each
     arriving shard costs O(|shard|) hashing + two bucket equi-joins —
     the full corpus is never re-hashed or re-paired
-    (operators/dedup.py:incremental_lsh_neardups)."""
+    (operators/dedup.py:incremental_lsh_neardups). bench:headline"""
     docs = load_table(spark, sf_dir, "documents")
     shard = docs.where(F.col("doc_id") % 10 == 7)
     base = docs.where(F.col("doc_id") % 10 != 7)
