@@ -210,15 +210,19 @@ _CURRENT_VERIFIED = (
 def _driver_order(name: str) -> tuple[int, str]:
     # 0 = driver row exists but is STALE (recorded against older parquet or
     # before the query's current oracle) — none at present;
-    # 1 = never driver-verified (the 42 round-5 additions x58-x99; all pass
-    # the local harness) — these enumerate first so round 6's capped
-    # (~50-row) driver pass certifies every one of them;
-    # 2 = verified against the current parquet with the current oracle
-    # (free green, enumerate last). Round-6 discipline (VERDICT r5 item 2):
-    # new registrations are capped at ~8 this round so the backlog drains
-    # instead of growing past the rotation again.
+    # 1 = never driver-verified (the 42 round-5 additions x58-x99 + x106;
+    # all pass the local harness) — these enumerate first so round 6's
+    # capped (~50-row) driver pass certifies every one of them;
+    # 1.5 (tier value 2) = rows-only-by-design queries (b08/b44/x22, no
+    # oracle) — their weaker driver rows refresh right after the backlog
+    # drains (VERDICT r5 item 2's parenthetical);
+    # 2 (tier value 3) = oracle-verified against the current parquet
+    # (free green, enumerate last). Round-6 discipline: new registrations
+    # capped at ~8 so the backlog drains instead of growing past the
+    # rotation again.
     if name in _CURRENT_VERIFIED:
-        tier = 2
+        spec = _REGISTRY.get(name)
+        tier = 2 if (spec is not None and spec.oracle is None) else 3
     elif name in _DRIVER_VERIFIED:
         tier = 0
     else:
