@@ -103,3 +103,36 @@ def test_keyed_scans_multiple_keys_cross_chunk(spark):
         spark.conf.set(BATCH, old)
     assert chunked == single
     assert {r[0] for r in chunked} == {"cam_0", "cam_1", "cam_2"}
+
+
+def test_fused_bytes_gate_hot_key_chunk_invariance(spark):
+    """The round-6 FUSED gate (histogram + correlation + recurrence in
+    one mapInPandas) carries (prev_hist, last_kept_ms) across Arrow
+    chunk boundaries: a hot key spanning many chunks must produce
+    byte-identical keeps to single-chunk processing, including scene
+    cuts planted exactly at chunk edges."""
+    from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
+
+    n = 20_000
+    # payload flips content every 97 rows (coprime with the 611-row chunk
+    # size -> cuts land at every offset relative to chunk bounds)
+    frames = spark.range(n).select(
+        F.lit("hot").alias("stream_id"),
+        F.timestamp_millis(F.col("id") * 1000).alias("ts"),
+        F.encode(
+            F.repeat(F.concat(F.lit("s"), ((F.col("id") / 97).cast("long") % 7).cast("string")), 40),
+            "UTF-8",
+        ).alias("frame_data"),
+    )
+    old = spark.conf.get(BATCH, "10000")
+    try:
+        _with_batch_size(spark, 611)
+        chunked = sorted(map(tuple, keyframe_gate_from_bytes(frames).collect()))
+        _with_batch_size(spark, n + 1)
+        single = sorted(map(tuple, keyframe_gate_from_bytes(frames).collect()))
+    finally:
+        spark.conf.set(BATCH, old)
+    assert chunked == single
+    # interval rule keeps every 5th second at minimum; content flips add
+    # scene keeps between interval picks
+    assert len(chunked) >= n // 5
