@@ -156,3 +156,34 @@ def test_byte_histogram_normalized(spark):
     assert arr.shape == (256,)
     assert arr[0] == pytest.approx(0.5) and arr[1] == pytest.approx(0.25)
     assert arr[255] == pytest.approx(0.25) and arr.sum() == pytest.approx(1.0)
+
+
+def test_np_correlation_matches_jvm_hist_correlation(spark):
+    """The fused gate's numpy correlation twin must agree with the JVM
+    hist_correlation on random normalized histograms to well inside the
+    gate's threshold margins (sub-ulp summation-order differences are
+    the only permitted divergence), and on both zero-variance edge
+    cases."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.scene import (
+        _np_hist_correlation,
+        hist_correlation,
+    )
+
+    rng = np.random.RandomState(42)
+    pairs = []
+    for _ in range(50):
+        a = rng.rand(256)
+        b = rng.rand(256)
+        a, b = a / a.sum(), b / b.sum()
+        pairs.append((list(map(float, a)), list(map(float, b))))
+    flat = [0.00390625] * 256  # 1/256: zero variance
+    pairs.append((flat, flat))  # equal -> 1.0
+    pairs.append((flat, list(map(float, np.arange(256) / np.arange(256).sum()))))
+
+    df = spark.createDataFrame(pairs, "a array<double>, b array<double>")
+    jvm = [r[0] for r in df.select(hist_correlation(F.col("a"), F.col("b"))).collect()]
+    for (a, b), expect in zip(pairs, jvm):
+        got = _np_hist_correlation(np.array(a), np.array(b))
+        assert got == pytest.approx(expect, abs=1e-9)
