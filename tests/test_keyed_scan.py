@@ -85,6 +85,80 @@ def test_keyframe_gate_stateful_hot_key_chunk_invariance(spark, hot_key_frames):
     assert len(chunked) >= N_HOT // 5
 
 
+def test_keyframe_gate_arrow_twin_equivalence(spark, hot_key_frames):
+    """The Arrow-native gate (mapInArrow, no pandas conversion) must be
+    row-identical to the pandas twin, including state carried across
+    Arrow batch boundaries on a hot key."""
+    from video_stream_processing_spark.operators.keyframe import (
+        keyframe_gate_stateful,
+        keyframe_gate_stateful_arrow,
+    )
+
+    frames = hot_key_frames.limit(50_000)
+    old = spark.conf.get(BATCH, "10000")
+    try:
+        _with_batch_size(spark, 7_777)
+        pandas_rows = sorted(
+            map(
+                tuple,
+                keyframe_gate_stateful(frames, signal_col="scene_signal").collect(),
+            )
+        )
+        arrow_rows = sorted(
+            map(
+                tuple,
+                keyframe_gate_stateful_arrow(
+                    frames, signal_col="scene_signal"
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.set(BATCH, old)
+    assert pandas_rows == arrow_rows
+    assert len(arrow_rows) >= 50_000 // 5
+
+
+def test_fused_bytes_gate_arrow_twin_equivalence(spark):
+    """The Arrow-native fused gate (offsets-buffer histograms, no
+    per-row bytes objects) must match the pandas fused gate exactly —
+    including NULL payloads (decode-failure semantics) and state carry
+    across batch boundaries."""
+    from video_stream_processing_spark.operators.scene import (
+        keyframe_gate_from_bytes,
+        keyframe_gate_from_bytes_arrow,
+    )
+
+    n = 20_000
+    frames = spark.range(n).select(
+        F.concat(F.lit("cam_"), (F.col("id") % 3).cast("string")).alias("stream_id"),
+        F.timestamp_millis((F.col("id") / 3).cast("long") * 1000).alias("ts"),
+        F.when(F.col("id") % 50 == 13, F.lit(None).cast("binary"))
+        .otherwise(
+            F.encode(
+                F.repeat(
+                    F.concat(
+                        F.lit("s"), ((F.col("id") / 97).cast("long") % 7).cast("string")
+                    ),
+                    40,
+                ),
+                "UTF-8",
+            )
+        )
+        .alias("frame_data"),
+    )
+    old = spark.conf.get(BATCH, "10000")
+    try:
+        _with_batch_size(spark, 611)
+        pandas_rows = sorted(map(tuple, keyframe_gate_from_bytes(frames).collect()))
+        arrow_rows = sorted(
+            map(tuple, keyframe_gate_from_bytes_arrow(frames).collect())
+        )
+    finally:
+        spark.conf.set(BATCH, old)
+    assert pandas_rows == arrow_rows
+    assert len(arrow_rows) >= n // 5
+
+
 def test_keyed_scans_multiple_keys_cross_chunk(spark):
     """Key changes inside a chunk AND chunk boundaries inside a key."""
     from video_stream_processing_spark.operators.segments import segment_windows_exact

@@ -23,9 +23,11 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 ScanFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+ArrowScanFn = Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]
 
 
 def keyed_sorted_scan(
@@ -45,4 +47,29 @@ def keyed_sorted_scan(
         frames.repartition(key_col)
         .sortWithinPartitions(key_col, *order_cols)
         .mapInPandas(scan_fn, schema=out_schema)
+    )
+
+
+def keyed_sorted_scan_arrow(
+    frames: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    scan_fn: ArrowScanFn,
+    out_schema,
+) -> DataFrame:
+    """Arrow-native twin of :func:`keyed_sorted_scan` (Spark 4's
+    ``mapInArrow``): identical shuffle + external-sort shape, but
+    ``scan_fn`` consumes and produces ``pyarrow.RecordBatch`` directly —
+    the pandas Block-manager conversion on BOTH worker boundaries is
+    skipped, which is pure overhead for scan bodies that only read a few
+    primitive columns and emit a row filter/projection of the input.
+
+    Same chunking contract as the pandas form: keys arrive contiguously
+    in sorted order, a key may span consecutive batches (carry state),
+    and multiple keys may share one batch. Measured vs the pandas twin
+    in SCALE.md (keyed-scan section)."""
+    return (
+        frames.repartition(key_col)
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInArrow(scan_fn, schema=out_schema)
     )

@@ -65,6 +65,44 @@ def _batch_byte_histograms(payloads: list) -> list:
     return out
 
 
+def _arrow_byte_histograms(col) -> list:
+    """pyarrow Binary/LargeBinary array -> list of 256-bin normalized
+    numpy histograms; null/EMPTY payload -> None (decode-failure marker,
+    same contract as ``_batch_byte_histograms``).
+
+    Zero-copy twin of ``_batch_byte_histograms``: reads the Arrow value
+    buffer THROUGH the offsets buffer directly — no per-row Python
+    ``bytes`` objects exist at any point (the pandas path materializes
+    one per row just to re-concatenate them). Null slots carry equal
+    offsets (length 0) per the Arrow spec, so they fall out of the
+    valid set with no bitmap walk."""
+    import pyarrow as pa
+
+    n = len(col)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    lens = np.diff(offs)
+    out = [None] * n
+    valid = np.nonzero(lens > 0)[0]
+    if valid.size:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        v_lens = lens[valid]
+        # null/empty rows occupy ZERO bytes of the value buffer, so the
+        # whole span IS the concatenation of the valid rows — one
+        # zero-copy slice, no per-row gather
+        buf = data[offs[0] : offs[-1]]
+        row_idx = np.repeat(np.arange(valid.size, dtype=np.int64), v_lens)
+        counts = np.bincount(
+            row_idx * N_BINS + buf, minlength=valid.size * N_BINS
+        ).reshape(valid.size, N_BINS)
+        hists = counts / v_lens.astype(np.float64)[:, None]
+        for i, h in zip(valid, hists):
+            out[int(i)] = h
+    return out
+
+
 def _decoded_luminance_histogram(b) -> np.ndarray | None:
     """One BINARY payload -> 256-bin normalized luminance histogram of
     the DECODED image; undecodable/null -> None. Integer-weight BT.601
@@ -383,3 +421,76 @@ def keyframe_gate_from_bytes(
         return
 
     return keyed_sorted_scan(frames, key_col, (ts_col,), fused_scan, out_schema)
+
+
+def keyframe_gate_from_bytes_arrow(
+    frames: DataFrame,
+    payload_col: str = "frame_data",
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+) -> DataFrame:
+    """Arrow-native twin of :func:`keyframe_gate_from_bytes` (raw byte
+    histogram mode): same ONE-shuffle fused plan, but the scan body is
+    ``mapInArrow`` and the histogram pass reads the Arrow binary column
+    THROUGH its offsets buffer (``_arrow_byte_histograms``) — per-row
+    Python ``bytes`` objects never exist, and the pandas Block-manager
+    conversion is skipped on both worker boundaries. Recurrence
+    semantics identical (KeyFrameExtractor.java:53-82); equivalence +
+    chunk-boundary carry pinned in tests/test_keyed_scan.py; measured
+    delta in SCALE.md."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import StructType
+
+    from video_stream_processing_spark.operators.keyed_scan import (
+        keyed_sorted_scan_arrow,
+    )
+
+    cut = 1.0 - scene_threshold
+    out_schema = StructType([f for f in frames.schema.fields if f.name != payload_col])
+
+    def fused_scan(batches):
+        state: dict = {}  # key -> (prev_hist | None, last_kept_ms)
+        current_key = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = {name: i for i, name in enumerate(b.schema.names)}
+            keys = b.column(cols[key_col]).to_pylist()
+            ts_ms_arr = (
+                b.column(cols[ts_col]).cast(pa.int64()).to_numpy() // 1000
+            ).tolist()
+            hists = _arrow_byte_histograms(b.column(cols[payload_col]))
+            keep_mask = []
+            for k, ts_ms, h in zip(keys, ts_ms_arr, hists):
+                if k != current_key:
+                    state.pop(current_key, None)
+                    current_key = k
+                st = state.get(k)
+                if st is None:
+                    prev_h, last_kept_ms, has_prev = None, None, False
+                else:
+                    prev_h, last_kept_ms = st
+                    has_prev = True
+                if not has_prev:
+                    sim = None
+                elif h is None or prev_h is None:
+                    sim = 1.0  # decode failure: assume similar
+                else:
+                    sim = _np_hist_correlation(h, prev_h)
+                keep = False
+                if last_kept_ms is None or ts_ms - last_kept_ms >= min_interval_ms:
+                    keep = True
+                elif sim is not None and sim < cut:
+                    keep = True
+                state[k] = (h, ts_ms if keep else last_kept_ms)
+                keep_mask.append(keep)
+            out = b.select([n for n in b.schema.names if n != payload_col]).filter(
+                pa.array(keep_mask, type=pa.bool_())
+            )
+            if out.num_rows:
+                yield out
+
+    return keyed_sorted_scan_arrow(frames, key_col, (ts_col,), fused_scan, out_schema)
