@@ -44,7 +44,11 @@ def audit_plan(df) -> dict:
         "python_udf": plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas")
-        + plan.count("PythonMapInArrow"),
+        # Spark 4 formatted plans name the mapInArrow node "MapInArrow"
+        # (tree + detail line = 2 per surface, same convention as the
+        # MapInPandas count; a "PythonMapInArrow" spelling would also
+        # contain this substring, so no second term)
+        + plan.count("MapInArrow"),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "aqe": "AdaptiveSparkPlan" in plan,
     }
