@@ -559,6 +559,40 @@ def _planted_cluster_corpus(spark, with_labels=False):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), n_clusters
 
 
+def test_lit_double_array_bit_exact(spark):
+    """_lit_double_array (ONE parsed SQL literal, round-6 speedup for
+    k-means/PQ training) must reproduce the exact bits of the unrolled
+    F.array(F.lit(...)) form for adversarial doubles — shortest-repr
+    round-trip through Spark's parser is lossless."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.similarity import _lit_double_array
+
+    vals = [
+        0.1,
+        -0.30000000000000004,
+        1e-300,
+        -1e300,
+        5e-324,  # smallest subnormal
+        1.7976931348623157e308,  # largest finite
+        0.0,
+        -0.0,
+        math.pi,
+        2 / 3,
+    ]
+    df = spark.range(1)
+    got = df.select(_lit_double_array(vals).alias("x")).first()["x"]
+    ref = df.select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("x")
+    ).first()["x"]
+    bits = lambda xs: [struct.pack("<d", v) for v in xs]
+    assert bits(got) == bits(vals) == bits(ref)
+    assert df.select(_lit_double_array([]).alias("x")).first()["x"] == []
+
+
 def test_pq_codebooks_shape_and_determinism(spark):
     """PQ training returns M codebooks of K sub_dim-vectors and is
     bit-deterministic across invocations (required for the oracle

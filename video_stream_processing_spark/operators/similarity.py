@@ -316,6 +316,19 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _lit_double_array(values: list[float]) -> Column:
+    """LITERAL ARRAY<DOUBLE> built as ONE parsed SQL expression instead
+    of ``F.array(*[F.lit(v) ...])``'s per-element py4j round trips —
+    measured ~55x faster to CONSTRUCT for 64-dim vectors, which
+    dominated k-means/PQ training wall-clock at bench scale (the JVM
+    literal is identical either way: ``repr`` emits the shortest
+    round-trip decimal and Spark's parser returns the nearest double =
+    the exact same bits, pinned in tests/test_extensions.py)."""
+    if not values:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
 def _centroid_candidates(emb_col: Column, cents: list[list[float]]) -> Column:
     """ARRAY<STRUCT<csim, neg_cid>> of the vector's rounded cosine to
     each LITERAL centroid. Pure projection — no join, no shuffle; struct
@@ -325,7 +338,7 @@ def _centroid_candidates(emb_col: Column, cents: list[list[float]]) -> Column:
         *[
             F.struct(
                 F.round(
-                    cosine(emb_col, F.array(*[F.lit(float(v)) for v in c])), SCORE_SCALE
+                    cosine(emb_col, _lit_double_array(c)), SCORE_SCALE
                 ).alias("csim"),
                 F.lit(-i).alias("neg_cid"),
             )
@@ -1223,7 +1236,7 @@ def _l2sq_lit(sub_col: Column, code_vec: list[float]) -> Column:
     return F.aggregate(
         F.zip_with(
             sub_col,
-            F.array(*[F.lit(float(v)) for v in code_vec]),
+            _lit_double_array(code_vec),
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
         F.lit(0.0),
@@ -1440,7 +1453,7 @@ def ivfpq_search(
                     F.round(
                         dot(
                             _sub(F.col("embedding"), m, sub_dim),
-                            F.array(*[F.lit(float(v)) for v in books[m][j]]),
+                            _lit_double_array(books[m][j]),
                         ),
                         SCORE_SCALE,
                     )
