@@ -4054,3 +4054,329 @@ def x105_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(pj / (pa * pb)), 6).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions (capped at 4 so the driver's ~50-row rotation still
+# certifies the round-5 backlog + the b08/b44/x22 rows-only refresh).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x107_ngram_contamination",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+g AS (
+    SELECT doc_id, split,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+    FROM d WHERE len(toks) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_hits,
+       round(count(b.gram) * 1.0 / count(*), 6) AS hit_frac,
+       count(b.gram) > 0 AS contaminated
+FROM g t LEFT JOIN bench b USING (gram)
+WHERE t.split = 'train'
+GROUP BY t.doc_id
+""",
+    tags=("extension", "dedup", "decontamination", "ngram"),
+)
+def x107_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram contamination report (the GPT-3/PaLM appendix-C
+    discipline, scaled down to 5-grams for this corpus): a train-split
+    document is contaminated if any of its distinct 5-gram shingles also
+    appears in the held-out test split (x32's md5 banding defines the
+    splits, so the report composes with the split job byte-for-byte).
+    Complements x26/x49, which match WHOLE documents by hash — n-gram
+    collision catches partial inclusions those miss.
+
+    Scale posture: the benchmark side of a real decontamination run is
+    small (eval suites, not corpora) => distinct test grams BROADCAST to
+    the train scan; train docs explode their distinct shingles once
+    (linear, map-side) and aggregate per doc. No corpus-x-corpus join
+    anywhere. If the benchmark ever outgrew broadcast, the same plan
+    falls back to a keyed left join on the gram hash (the x49 posture).
+    Counts are exact integers; the single ratio rounds at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    grams = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(F.array_distinct(T.shingles("text", 5))).alias("gram"),
+    )
+    bench = (
+        grams.where(F.col("split") == "test")
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("split") == "train")
+    return (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("n_grams"), 6).alias("hit_frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "x108_dupgram_fraction",
+    oracle="""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks), 2)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM d
+),
+c AS (
+    SELECT doc_id,
+           len(g2) AS t2, len(list_distinct(g2)) AS d2,
+           len(g3) AS t3, len(list_distinct(g3)) AS d3
+    FROM g
+)
+SELECT doc_id,
+       CAST(t2 AS BIGINT) AS n_2grams, CAST(d2 AS BIGINT) AS n_distinct_2,
+       round(1.0 - d2 * 1.0 / t2, 6) AS dup_frac_2,
+       CAST(t3 AS BIGINT) AS n_3grams, CAST(d3 AS BIGINT) AS n_distinct_3,
+       round(1.0 - d3 * 1.0 / t3, 6) AS dup_frac_3,
+       (1.0 - d2 * 1.0 / t2) <= 0.20 AND (1.0 - d3 * 1.0 / t3) <= 0.18 AS kept
+FROM c
+""",
+    tags=("extension", "text", "quality", "ngram"),
+)
+def x108_dupgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicated-n-gram quality filter (Rae et al. 2021,
+    table A1): the fraction of a document's 2-grams / 3-grams that are
+    repeats of an earlier n-gram in the SAME document, with the
+    published-shape keep rule (dup_frac_2 <= 0.20 AND dup_frac_3 <=
+    0.18). Complements x25 (top-bigram share — a peak statistic) with
+    the mass statistic Gopher actually thresholds on.
+
+    Scale posture: zero exchanges — every column is a higher-order
+    function over the per-document token array (bounded by doc length),
+    so the whole filter rides the document scan inside WholeStageCodegen
+    exactly like x34's rule chain. The keep rule compares the UNROUNDED
+    double on both engines (identical operands => identical branches);
+    reported fractions round at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = T.shingles("text", 2)
+    g3 = T.shingles("text", 3)
+    t2 = F.size(g2)
+    d2 = F.size(F.array_distinct(g2))
+    t3 = F.size(g3)
+    d3 = F.size(F.array_distinct(g3))
+    frac2 = F.lit(1.0) - d2 * F.lit(1.0) / t2
+    frac3 = F.lit(1.0) - d3 * F.lit(1.0) / t3
+    return docs.select(
+        "doc_id",
+        t2.cast("long").alias("n_2grams"),
+        d2.cast("long").alias("n_distinct_2"),
+        F.round(frac2, 6).alias("dup_frac_2"),
+        t3.cast("long").alias("n_3grams"),
+        d3.cast("long").alias("n_distinct_3"),
+        F.round(frac3, 6).alias("dup_frac_3"),
+        ((frac2 <= 0.20) & (frac3 <= 0.18)).alias("kept"),
+    )
+
+
+@register(
+    "x109_embedding_covariance",
+    oracle="""
+WITH q AS (
+    SELECT list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM q),
+m AS (
+    SELECT t.i AS i, sum(qv[t.i + 1]) AS s
+    FROM q, range(0, 64) t(i) GROUP BY t.i
+),
+sij AS (
+    SELECT i.i AS i, j.j AS j, sum(qv[i.i + 1] * qv[j.j + 1]) AS sxy
+    FROM q, range(0, 64) i(i), range(0, 64) j(j)
+    WHERE j.j >= i.i
+    GROUP BY i.i, j.j
+)
+SELECT sij.i, sij.j,
+       -- "+ 0.0" normalizes IEEE negative zero: DuckDB's round keeps the
+       -- sign bit, Spark's BigDecimal round does not, and the driver's
+       -- stringified row sort would see "-0.0" != "0.0"
+       round(CAST(n.n * sij.sxy - mi.s * mj.s AS DOUBLE)
+             / (n.n * (n.n - 1.0) * 1e12), 6) + 0.0 AS cov
+FROM sij
+JOIN m mi ON sij.i = mi.i
+JOIN m mj ON sij.j = mj.i
+CROSS JOIN n
+""",
+    tags=("extension", "similarity", "stats"),
+)
+def x109_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed embedding covariance matrix (upper triangle, 64x64 ->
+    2080 rows) — the aggregation that powers PCA whitening / dimension
+    reduction over an embedding corpus: eigendecomposition of THIS
+    output on the driver is O(dim^3) numpy work (tests/test_pca.py does
+    it), so the only distributed cost is the sufficient statistics.
+
+    Scale posture: the canonical word-count shape. Each vector emits its
+    dim(dim+1)/2 upper-triangle products via two Generate nodes (the
+    second explodes a per-row SLICE, so j >= i without a self-join);
+    partial aggregation collapses every task's output to <= 2080 (i, j)
+    rows BEFORE the single shuffle, and the corpus itself never joins or
+    shuffles. Means come from a 64-row aggregate; n is a broadcast
+    scalar. Exactness: coordinates quantize to 1e-6 (round half-away is
+    engine-identical on these doubles), sums run as DECIMAL(38,0) — so
+    n*S_ij - S_i*S_j is exact integer arithmetic in both engines and
+    only the final division is floating, rounded at 6. bench:headline"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.col("embedding"),
+            # explicit widen BEFORE the multiply: float32*int would round in
+            # 32-bit and diverge from the oracle's double arithmetic
+            lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("qv")
+    ).localCheckpoint(eager=True)
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    rows = q.select("qv", F.posexplode("qv").alias("i", "qi"))
+    m = rows.groupBy("i").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")
+    )
+    pairs = rows.select(
+        "i",
+        "qi",
+        F.posexplode(F.slice("qv", F.col("i") + 1, F.lit(64))).alias("dj", "qj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("dj")).alias("j"),
+        (F.col("qi") * F.col("qj")).cast("decimal(38,0)").alias("xy"),
+    )
+    sij = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("si"))
+    mj = m.select(F.col("i").alias("mj_i"), F.col("s").alias("sj"))
+    num = (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).cast("double")
+    den = F.col("n") * (F.col("n") - F.lit(1.0)) * F.lit(1e12)
+    return (
+        sij.join(F.broadcast(mi), sij["i"] == mi["mi_i"])
+        .join(F.broadcast(mj), sij["j"] == mj["mj_i"])
+        .crossJoin(F.broadcast(n))
+        # + 0.0 mirrors the oracle's negative-zero normalization
+        .select("i", "j", (F.round(num / den, 6) + F.lit(0.0)).alias("cov"))
+    )
+
+
+@register(
+    "x110_bigram_lm_logprob",
+    oracle="""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+pr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+    FROM d WHERE len(toks) >= 2
+),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+uni AS (SELECT unnest(toks) AS tok FROM d),
+unic AS (SELECT tok, count(*) AS cu, sum(count(*)) OVER () AS nt FROM uni GROUP BY tok),
+bic AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS cc FROM pairs GROUP BY w1),
+scored AS (
+    SELECT p.doc_id,
+           ln(0.7 * (b.cb * 1.0 / c.cc) + 0.3 * (u.cu * 1.0 / u.nt)) AS logp
+    FROM pairs p
+    JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN ctx c ON p.w1 = c.w1
+    JOIN unic u ON p.w2 = u.tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+    tags=("extension", "text", "quality", "lm"),
+)
+def x110_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained INTERPOLATED bigram language-model scoring — the
+    next step up from x51's unigram proxy toward CCNet/KenLM perplexity
+    filtering: per document, the mean log of 0.7*P_mle(w2|w1) +
+    0.3*P_mle(w2), both distributions trained on the corpus itself in
+    one pass over the exploded token pairs. Low scorers read as
+    token-salad/boilerplate even when their unigram mix looks normal —
+    exactly what the bigram term adds over x51.
+
+    Scale posture: x51's discipline extended one order — three counted
+    frames (bigram, context, unigram), each a map-side-combinable
+    groupBy; the corpus pair stream joins them back. Here all three are
+    vocab-bounded and BROADCAST; on a natural-text corpus the bigram
+    table is the one that can outgrow broadcast, and the identical plan
+    then runs it as a keyed sort-merge join on (w1, w2) — never
+    corpus x corpus either way. Counts are exact integers shared by both
+    engines; ln() ulp drift is absorbed by rounding the per-doc mean at
+    4 (the x51 precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens_col("text")
+    w1s = F.slice(toks, 1, F.size(toks) - 1)
+    w2s = F.slice(toks, 2, F.size(toks) - 1)
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    unic = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    nt = unic.agg(F.sum("cu").alias("nt"))
+    uni = unic.crossJoin(F.broadcast(nt)).select(
+        F.col("tok").alias("w2"), (F.col("cu") * 1.0 / F.col("nt")).alias("p_uni")
+    )
+    bic = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    scored = (
+        pairs.join(F.broadcast(bic), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), "w2")
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(0.7) * (F.col("cb") * 1.0 / F.col("cc"))
+                + F.lit(0.3) * F.col("p_uni")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
