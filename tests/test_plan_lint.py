@@ -79,6 +79,10 @@ NESTED_LOOP_ALLOWED = {
     # ABC analysis: the total-revenue scalar is a ONE-ROW broadcast
     # onto the bucketed prefix-sum frame; the carry join is keyed
     "b71_abc_analysis",
+    # bigram LM: the corpus-total token count is the same ONE-ROW
+    # scalar broadcast onto the vocab frame as x51; the three count
+    # joins back onto the pair stream are keyed broadcast hash joins
+    "x110_bigram_lm_logprob",
 }
 
 # Queries whose plans contain a GLOBAL (partition-less) WindowExec — each

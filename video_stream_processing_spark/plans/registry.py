@@ -210,9 +210,10 @@ _CURRENT_VERIFIED = (
 def _driver_order(name: str) -> tuple[int, str]:
     # 0 = driver row exists but is STALE (recorded against older parquet or
     # before the query's current oracle) — none at present;
-    # 1 = never driver-verified (the 42 round-5 additions x58-x99 + x106;
-    # all pass the local harness) — these enumerate first so round 6's
-    # capped (~50-row) driver pass certifies every one of them;
+    # 1 = never driver-verified (the 42 round-5 additions x58-x99, plus
+    # round 6's x106-x110; all pass the local harness) — these enumerate
+    # first (47 names) so round 6's capped (~50-row) driver pass
+    # certifies every one of them;
     # 1.5 (tier value 2) = rows-only-by-design queries (b08/b44/x22, no
     # oracle) — their weaker driver rows refresh right after the backlog
     # drains (VERDICT r5 item 2's parenthetical);
