@@ -56,3 +56,25 @@ def test_arrow_twin_half_away_rounding_on_exact_halves(spark):
     assert out[(0, 0)] == pytest.approx(expected, abs=0)
     # every other cell is exactly zero (and not negative zero)
     assert out[(0, 1)] == 0.0 and str(out[(0, 1)]) == "0.0"
+
+
+def test_arrow_twin_matches_numpy_on_random_vectors(spark):
+    """Fixed-seed random frame: the distributed statistic equals
+    numpy.cov to the documented 1e-6 quantization tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260814)
+    x = rng.normal(0, 0.25, size=(50, 64)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_upper_triangle_arrow(emb).collect()
+    }
+    ref = np.cov(x.astype(np.float64), rowvar=False)
+    worst = max(
+        abs(out[(i, j)] - ref[i, j]) for i in range(64) for j in range(i, 64)
+    )
+    assert worst < 2e-6
