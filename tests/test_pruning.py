@@ -129,3 +129,25 @@ def test_codec_paths_have_zero_exchanges(spark, sf_dir, qname):
     df = query_map()[qname](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, qname
+
+
+def test_dupgram_filter_is_zero_exchange(spark, sf_dir):
+    """x108's scale claim — the whole Gopher dup-gram filter rides the
+    document scan as per-row HOFs (no shuffle anywhere in the plan)."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()["x108_dupgram_fraction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """x107's scale claim — the benchmark gram set reaches the train
+    scan as a BROADCAST hash join (never a corpus-keyed shuffle join of
+    train x bench)."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    df = query_map()["x107_ngram_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
