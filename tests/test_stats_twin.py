@@ -78,3 +78,38 @@ def test_arrow_twin_matches_numpy_on_random_vectors(spark):
         abs(out[(i, j)] - ref[i, j]) for i in range(64) for j in range(i, 64)
     )
     assert worst < 2e-6
+
+
+def test_degenerate_corpora_yield_no_rows(spark):
+    """Sample covariance is undefined below n=2 — both twins emit
+    nothing instead of raising ANSI DIVIDE_BY_ZERO."""
+    one = spark.createDataFrame([(0, [0.1] * 64)], "vec_id long, embedding array<float>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for df in (one, empty):
+        assert covariance_upper_triangle_arrow(df).count() == 0
+        assert covariance_upper_triangle_jvm(df).count() == 0
+
+
+def test_arrow_twin_invariant_to_tiny_batches(spark, sf_dir):
+    """Cross-batch partial merging AND sliced-ListArray handling: with
+    maxRecordsPerBatch=7 every batch is a slice, and the result must be
+    bit-identical to the default batching."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_upper_triangle_arrow(emb).collect()
+    }
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        tiny = {
+            (r["i"], r["j"]): r["cov"]
+            for r in covariance_upper_triangle_arrow(emb).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert base == tiny

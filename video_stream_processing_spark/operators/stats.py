@@ -79,6 +79,8 @@ def covariance_upper_triangle_jvm(
         sij.join(F.broadcast(mi), sij["i"] == mi["mi_i"])
         .join(F.broadcast(mj), sij["j"] == mj["mj_i"])
         .crossJoin(F.broadcast(n))
+        # sample covariance is undefined for n < 2 (see the Arrow twin)
+        .where(F.col("n") >= 2)
         # + 0.0 mirrors the oracle's negative-zero normalization
         .select("i", "j", (F.round(num / den, 6) + F.lit(0.0)).alias("cov"))
     )
@@ -139,7 +141,13 @@ def covariance_upper_triangle_arrow(
     # recovers the total row count; decimal sums keep the cross-batch
     # arithmetic exact at any corpus size
     dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c[1:])  # noqa: E731
-    agg = parts.groupBy("i", "j").agg(dec("pn"), dec("psi"), dec("psj"), dec("psxy"))
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(dec("pn"), dec("psi"), dec("psj"), dec("psxy"))
+        # sample covariance is undefined for n < 2: emit nothing rather
+        # than raise ANSI DIVIDE_BY_ZERO on a degenerate corpus
+        .where(F.col("n") >= 2)
+    )
     num = (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).cast("double")
     den = F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0)) * F.lit(
         quant * quant
