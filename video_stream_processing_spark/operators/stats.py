@@ -29,8 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "covariance_partials",
+    "covariance_shard_partials",
     "covariance_upper_triangle_arrow",
     "covariance_upper_triangle_jvm",
+    "finish_covariance",
+    "merge_covariance_partials",
     "pca_project",
     "train_pca",
 ]
@@ -86,16 +90,14 @@ def covariance_upper_triangle_jvm(
     )
 
 
-def covariance_upper_triangle_arrow(
+def _raw_covariance_batches(
     emb: DataFrame,
     dim: int = 64,
     embedding_col: str = "embedding",
     quant: float = 1e6,
 ) -> DataFrame:
-    """Sample covariance (ddof=1) upper triangle as (i, j, cov) rows —
-    the Arrow-native twin of x109's JVM explode path; identical output
-    contract including the 1e-6 quantization, round-at-6 and
-    negative-zero normalization."""
+    """Per-ARROW-BATCH raw partial rows (i, j, pn, psi, psj, psxy): one
+    numpy Gram matmul per batch, dim(dim+1)/2 rows per batch out."""
     import numpy as np
     import pyarrow as pa
 
@@ -136,17 +138,77 @@ def covariance_upper_triangle_arrow(
                 names=["i", "j", "pn", "psi", "psj", "psxy"],
             )
 
-    parts = emb.select(embedding_col).mapInArrow(batch_stats, out_schema)
+    return emb.select(embedding_col).mapInArrow(batch_stats, out_schema)
+
+
+def covariance_upper_triangle_arrow(
+    emb: DataFrame,
+    dim: int = 64,
+    embedding_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Sample covariance (ddof=1) upper triangle as (i, j, cov) rows —
+    the Arrow-native twin of x109's JVM explode path; identical output
+    contract including the 1e-6 quantization, round-at-6 and
+    negative-zero normalization."""
+    raw = _raw_covariance_batches(emb, dim=dim, embedding_col=embedding_col, quant=quant)
+    return finish_covariance(covariance_partials(raw), quant=quant)
+
+
+def covariance_shard_partials(
+    emb: DataFrame,
+    dim: int = 64,
+    embedding_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """One shard's collapsed sufficient-statistics table (2080 rows for
+    dim=64) — the artifact to persist per ingest; see
+    covariance_partials for the merge/finish contract."""
+    raw = _raw_covariance_batches(emb, dim=dim, embedding_col=embedding_col, quant=quant)
+    return covariance_partials(raw)
+
+
+def covariance_partials(raw_parts: DataFrame) -> DataFrame:
+    """Collapse per-batch partial rows to one (i, j, n, si, sj, sxy) row
+    per cell — a MERGEABLE sufficient-statistics table (exact decimal
+    sums). This is the artifact an incremental pipeline STORES per
+    ingested shard: union any number of shard partial tables, re-apply
+    this collapse, and ``finish_covariance`` yields exactly the
+    whole-corpus covariance — no re-scan of old shards (the x71/x106
+    incremental-maintenance discipline; losslessness pinned in
+    tests/test_stats_twin.py). Accepts either raw per-batch rows or
+    already-collapsed partials (merging is the same aggregation)."""
     # each batch emits exactly one row per (i, j), so summing pn per key
     # recovers the total row count; decimal sums keep the cross-batch
     # arithmetic exact at any corpus size
     dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c[1:])  # noqa: E731
-    agg = (
-        parts.groupBy("i", "j")
-        .agg(dec("pn"), dec("psi"), dec("psj"), dec("psxy"))
+    return raw_parts.groupBy("i", "j").agg(
+        dec("pn"), dec("psi"), dec("psj"), dec("psxy")
+    )
+
+
+def merge_covariance_partials(*partials: DataFrame) -> DataFrame:
+    """Merge shard partial tables (union + re-collapse; exact)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    renamed = out.select(
+        "i",
+        "j",
+        F.col("n").alias("pn"),
+        F.col("si").alias("psi"),
+        F.col("sj").alias("psj"),
+        F.col("sxy").alias("psxy"),
+    )
+    return covariance_partials(renamed)
+
+
+def finish_covariance(partials: DataFrame, quant: float = 1e6) -> DataFrame:
+    """(i, j, n, si, sj, sxy) partials -> (i, j, cov)."""
+    agg = partials.where(
         # sample covariance is undefined for n < 2: emit nothing rather
         # than raise ANSI DIVIDE_BY_ZERO on a degenerate corpus
-        .where(F.col("n") >= 2)
+        F.col("n") >= 2
     )
     num = (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).cast("double")
     den = F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0)) * F.lit(
