@@ -312,3 +312,39 @@ def decontaminate_stream(
         )
         .where(F.col("shared") >= min_shared)
     )
+
+
+def covariance_partials_sink(emb_stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Streaming maintenance of the PCA sufficient statistics: each
+    micro-batch of arriving embeddings appends ITS 2080-row covariance
+    partial table (operators/stats.py:covariance_shard_partials) to a
+    parquet directory; readers merge + finish on demand
+    (merge_covariance_partials / finish_covariance) for an
+    always-current whole-corpus covariance WITHOUT re-scanning history.
+    The same stored-partials discipline as x71's incremental view
+    refresh and x106's appended LSH band index, applied to x109's
+    statistics.
+
+    State: NONE in the streaming engine (stateless foreachBatch) — the
+    accumulated partial table on storage IS the state, bounded at
+    2080 rows per micro-batch regardless of batch size. Exactness: the
+    partial sums are exact decimals, so merge order cannot change a
+    bit (tests/test_stats_twin.py pins shard-merge losslessness;
+    tests/test_streaming_covariance.py pins stream == batch)."""
+    from video_stream_processing_spark.operators.stats import (
+        covariance_shard_partials,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            covariance_shard_partials(batch_df)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
