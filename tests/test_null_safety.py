@@ -113,3 +113,56 @@ def test_flatten_with_null_detections(spark):
     # explode_outer variant keeps the empty/null frames as null rows
     kept = flatten_detections(df, keep_empty=True)
     assert kept.count() == 3
+
+
+def test_round6_text_queries_with_degenerate_docs(spark, tmp_path):
+    """x107/x108/x110 on a corpus containing null, empty and too-short
+    texts: degenerate docs drop from the reports; nothing throws
+    (notably x108 must not hit ANSI DIVIDE_BY_ZERO on a doc with no
+    trigram)."""
+    from video_stream_processing_spark.plans.registry import all_queries
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "s", 1),
+        (2, "", "en", "s", 1),
+        (3, None, "en", "s", 1),
+        (4, "ab", "en", "s", 1),
+        (5, "one two", "en", "s", 1),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    x108 = {r["doc_id"]: r for r in all_queries()["x108_dupgram_fraction"].fn(spark, d).collect()}
+    assert set(x108) == {1}  # only the doc with >= 1 trigram survives
+    x110 = {r["doc_id"]: r for r in all_queries()["x110_bigram_lm_logprob"].fn(spark, d).collect()}
+    assert set(x110) == {1, 5}  # >= 1 bigram required
+    # x107 needs the split bands; just assert it runs and only reports
+    # train docs that actually have 5-grams
+    rep = all_queries()["x107_ngram_contamination"].fn(spark, d).collect()
+    assert all(r["n_grams"] >= 1 for r in rep)
+
+
+def test_covariance_excludes_null_and_wrong_length_vectors(spark):
+    """Null / wrong-length embeddings are EXCLUDED from the statistics
+    (not silently misaligned in the Arrow buffer, not counted in n by
+    the JVM twin): both twins equal the numpy covariance of only the
+    valid rows."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.stats import (
+        covariance_upper_triangle_arrow,
+        covariance_upper_triangle_jvm,
+    )
+
+    rng = np.random.default_rng(7)
+    good = rng.normal(0, 0.2, size=(10, 64)).astype(np.float32)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(good)]
+    rows += [(100, None), (101, []), (102, [0.5] * 3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = np.cov(good.astype(np.float64), rowvar=False)
+    for fn in (covariance_upper_triangle_arrow, covariance_upper_triangle_jvm):
+        out = {(r["i"], r["j"]): r["cov"] for r in fn(emb).collect()}
+        worst = max(abs(out[(i, j)] - ref[i, j]) for i in range(64) for j in range(i, 64))
+        assert worst < 2e-6, fn.__name__

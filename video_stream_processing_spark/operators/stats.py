@@ -54,7 +54,7 @@ def covariance_upper_triangle_jvm(
     equality-pinned against (tests/test_stats_twin.py); the measured
     loser at sf0.1 (0.96 s vs 0.28 s) because per-element codegen
     cannot compete with one BLAS matmul per batch."""
-    q = emb.select(
+    q = _valid_vectors(emb, dim, embedding_col).select(
         F.transform(
             F.col(embedding_col),
             # explicit widen BEFORE the multiply: float32*int would round
@@ -138,7 +138,21 @@ def _raw_covariance_batches(
                 names=["i", "j", "pn", "psi", "psj", "psxy"],
             )
 
-    return emb.select(embedding_col).mapInArrow(batch_stats, out_schema)
+    return _valid_vectors(emb, dim, embedding_col).mapInArrow(
+        batch_stats, out_schema
+    )
+
+
+def _valid_vectors(emb: DataFrame, dim: int, embedding_col: str) -> DataFrame:
+    """Drop null / wrong-length embeddings BEFORE the statistics: a null
+    list contributes no child values to the flattened Arrow buffer, so
+    the reshape(-1, dim) would silently misalign every following vector
+    in the batch; the JVM twin would count the null row in n while
+    contributing no sums. Malformed rows degrade to 'excluded', never
+    poison the batch (tests/test_null_safety.py)."""
+    return emb.select(embedding_col).where(
+        F.col(embedding_col).isNotNull() & (F.size(embedding_col) == dim)
+    )
 
 
 def covariance_upper_triangle_arrow(

@@ -4157,6 +4157,7 @@ c AS (
            len(g2) AS t2, len(list_distinct(g2)) AS d2,
            len(g3) AS t3, len(list_distinct(g3)) AS d3
     FROM g
+    WHERE len(g3) >= 1
 )
 SELECT doc_id,
        CAST(t2 AS BIGINT) AS n_2grams, CAST(d2 AS BIGINT) AS n_distinct_2,
@@ -4191,7 +4192,11 @@ def x108_dupgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d3 = F.size(F.array_distinct(g3))
     frac2 = F.lit(1.0) - d2 * F.lit(1.0) / t2
     frac3 = F.lit(1.0) - d3 * F.lit(1.0) / t3
-    return docs.select(
+    # docs too short for a 3-gram (incl. null/empty text) drop rather
+    # than hit ANSI DIVIDE_BY_ZERO — at 100 TB some input is ALWAYS
+    # malformed (tests/test_null_safety.py); the oracle mirrors the
+    # same >= 1-trigram floor
+    return docs.where(t3 >= 1).select(
         "doc_id",
         t2.cast("long").alias("n_2grams"),
         d2.cast("long").alias("n_distinct_2"),
