@@ -260,7 +260,10 @@ def train_pca(
         cov[r["i"], r["j"]] = r["cov"]
         cov[r["j"], r["i"]] = r["cov"]
     mean_rows = (
-        emb.select(F.posexplode(embedding_col).alias("i", "x"))
+        # same valid-vector gate as the covariance: a wrong-length row
+        # must not skew the low-index means it does contribute to
+        _valid_vectors(emb, dim, embedding_col)
+        .select(F.posexplode(embedding_col).alias("i", "x"))
         .groupBy("i")
         .agg(F.avg(F.col("x").cast("double")).alias("mu"))
         .collect()
