@@ -836,3 +836,92 @@ def test_incremental_refresh_equals_recompute(spark, sf_dir):
     for k in full:
         for f in ("n_events", "value_sum", "min_value", "max_value"):
             assert merged[k][f] == full[k][f], (k, f)
+
+
+def test_sequence_packing_matches_sequential_replay(spark, sf_dir):
+    """x111's distributed two-level prefix sum equals a driver-side
+    sequential replay of concatenate-then-chunk packing."""
+    from video_stream_processing_spark.operators.text import word_count
+    from video_stream_processing_spark.plans.extensions import PACK_CAPACITY
+    from video_stream_processing_spark.plans.registry import query_map
+    from video_stream_processing_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", word_count("text").alias("wc"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum = 0
+    expected: dict = {}
+    for r in docs:
+        shard = cum // PACK_CAPACITY
+        e = expected.setdefault(shard, [0, 0, r["doc_id"], r["doc_id"]])
+        e[0] += 1
+        e[1] += r["wc"]
+        e[3] = r["doc_id"]
+        cum += r["wc"]
+    got = {
+        r["shard_id"]: [r["n_docs"], r["shard_tokens"], r["first_doc"], r["last_doc"]]
+        for r in query_map()["x111_sequence_packing"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # manifest covers every doc exactly once
+    assert sum(e[0] for e in expected.values()) == len(docs)
+
+
+def test_source_quality_prune_budget_and_threshold(spark, sf_dir):
+    """x112 keeps at most ceil(frac*n) docs per source, and n_kept is
+    EXACTLY the count of docs at or above the reported threshold (the
+    all-or-nothing tie-group rule)."""
+    import math
+
+    from video_stream_processing_spark.plans.extensions import PRUNE_KEEP_FRAC
+    from video_stream_processing_spark.plans.registry import query_map
+    from video_stream_processing_spark.tables import load_table
+
+    qm = query_map()
+    rep = {
+        r["source"]: r
+        for r in qm["x112_source_quality_prune"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    x11 = qm["x11_quality_score"](spark, sf_dir)
+    per_src: dict = {}
+    for r in docs.select("doc_id", "source").join(x11, "doc_id").collect():
+        per_src.setdefault(r["source"], []).append(r["quality"])
+    assert set(rep) == set(per_src)
+    for src, arr in per_src.items():
+        row = rep[src]
+        budget = math.ceil(PRUNE_KEEP_FRAC * len(arr))
+        assert row["n_docs"] == len(arr)
+        assert row["n_kept"] <= budget
+        if row["quality_threshold"] is not None:
+            kept = [q for q in arr if q >= row["quality_threshold"]]
+            assert len(kept) == row["n_kept"]
+            # tie rule: admitting the next-lower score group would overflow
+            below = sorted({q for q in arr if q < row["quality_threshold"]}, reverse=True)
+            if below:
+                next_group = [q for q in arr if q == below[0]]
+                assert len(kept) + len(next_group) > budget
+        else:
+            assert row["n_kept"] == 0
+
+
+def test_source_quality_prune_overflowing_tie_group_keeps_nothing(spark, tmp_path):
+    """A source whose TOP score group alone overflows the budget keeps
+    zero docs (NULL threshold) — the documented all-or-nothing edge."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = [(i, "same text every time", "en", "s0", 1) for i in range(4)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    rep = query_map()["x112_source_quality_prune"](spark, d).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # budget = ceil(0.3*4) = 2 < the 4-doc identical-score group
+    assert r["n_docs"] == 4 and r["n_kept"] == 0
+    assert r["quality_threshold"] is None and r["kept_frac"] == 0.0

@@ -166,3 +166,28 @@ def test_covariance_excludes_null_and_wrong_length_vectors(spark):
         out = {(r["i"], r["j"]): r["cov"] for r in fn(emb).collect()}
         worst = max(abs(out[(i, j)] - ref[i, j]) for i in range(64) for j in range(i, 64))
         assert worst < 2e-6, fn.__name__
+
+
+def test_packing_and_prune_with_degenerate_docs(spark, tmp_path):
+    """x111/x112 on a corpus with null and empty texts: null text drops
+    from both (it has no tokens and no score); empty text keeps its
+    deterministic word_count/quality so both engines agree."""
+    from video_stream_processing_spark.plans.registry import all_queries
+
+    rows = [
+        (1, "the quick brown fox", "en", "s", 1),
+        (2, "", "en", "s", 1),
+        (3, None, "en", "s", 1),
+        (4, "one two three", "en", "s", 1),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    shards = all_queries()["x111_sequence_packing"].fn(spark, d).collect()
+    assert sum(r["n_docs"] for r in shards) == 3  # doc 3 dropped
+    assert sum(r["shard_tokens"] for r in shards) == 4 + 1 + 3  # ""→1 token
+
+    rep = all_queries()["x112_source_quality_prune"].fn(spark, d).collect()
+    assert len(rep) == 1 and rep[0]["n_docs"] == 3

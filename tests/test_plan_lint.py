@@ -100,6 +100,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "x68_histogram_quantiles",  # over |bins|
     "x85_session_concurrency",  # carry over |hour buckets|
     "x91_psi_drift",  # over |bins|
+    "x111_sequence_packing",  # carry over |shuffle-partition| buckets
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -4360,3 +4360,219 @@ def x110_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# x111 — sequence packing (training-shard construction)
+# --------------------------------------------------------------------------
+
+# Tokens per training shard. Tiny against a real 2k-8k-token context so
+# the fixture produces a multi-shard answer; the plan is capacity-
+# agnostic.
+PACK_CAPACITY = 2048
+
+
+@register(
+    "x111_sequence_packing",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS wc
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT doc_id, wc,
+           sum(wc) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - wc AS cum_before
+    FROM t
+)
+SELECT CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wc) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+    tags=("extension", "text", "packing"),
+)
+def x111_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-batch construction step every LLM
+    data pipeline ends with: documents are concatenated in stable
+    doc_id order and cut into shards of PACK_CAPACITY tokens
+    (concatenate-then-chunk, the GPT/T5 packing style: a document
+    belongs to the shard where it STARTS; long documents may spill
+    into the next shard's budget). Report per shard: docs started,
+    tokens contributed, first/last doc — the manifest a dataloader
+    would consume. Complements x28: x28 packs WITHIN deterministic
+    (length-bucket, md5-shard) partitions — embarrassingly parallel
+    but order-scrambling; x111 preserves the single global
+    concatenation order (what a curriculum or strict-replay run
+    needs) and pays for it with a distributed prefix sum instead of
+    a global sort.
+
+    Scale posture — the packing offset is a GLOBAL running token sum,
+    which would be a single-partition window at 100 TB. This plan runs
+    it as the b71/x85 DISTRIBUTED prefix sum: repartitionByRange on
+    doc_id splits the corpus into order-respecting buckets, the running
+    sum runs WITHIN each bucket in parallel, and each bucket adds a
+    carry = sum of earlier buckets' totals (one |buckets|-sized window
+    — shuffle-partition-count-bounded, not corpus-bounded; recurse the
+    same shape if buckets themselves outgrow one partition). Token
+    counts are exact BIGINTs, so two-level grouping is loss-free and
+    the oracle's global window is replayed bit-for-bit. bench:headline"""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = docs.select("doc_id", T.word_count().cast("long").alias("wc"))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = (
+        t.repartitionByRange(n_buckets, F.asc("doc_id"))
+        .withColumn("bucket", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("run", F.sum("wc").over(w_in))
+    btot = bucketed.groupBy("bucket").agg(F.sum("wc").alias("btot"))
+    carry = btot.withColumn(
+        "carry",
+        F.coalesce(
+            F.sum("btot").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("bucket", "carry")
+    packed = within.join(F.broadcast(carry), "bucket").withColumn(
+        "cum_before", F.col("run") + F.col("carry") - F.col("wc")
+    )
+    return (
+        packed.select(
+            (F.expr(f"cum_before div {PACK_CAPACITY}")).cast("long").alias("shard_id"),
+            "doc_id",
+            "wc",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wc").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x112 — per-source quality-quantile pruning (FineWeb-style curation)
+# --------------------------------------------------------------------------
+
+# Keep the top PRUNE_KEEP_FRAC of each source by quality score.
+PRUNE_KEEP_FRAC = 0.3
+
+
+@register(
+    "x112_source_quality_prune",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+    FROM documents WHERE text IS NOT NULL
+),
+m AS (
+    SELECT doc_id, source,
+           round(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (1.0 - pr)
+                 + 0.2 * CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
+                 + 0.1 * (1.0 - abs(
+                       CAST(len(list_filter(toks, w -> lower(w) IN ({_X11_STOPS}))) AS DOUBLE)
+                       / greatest(len(toks), 1) - 0.1)), 6) AS q
+    FROM t
+),
+h AS (SELECT source, q, count(*) AS cnt FROM m GROUP BY 1, 2),
+n AS (SELECT source, count(*) AS n_docs FROM m GROUP BY 1),
+cum AS (
+    SELECT h.source, h.q, h.cnt,
+           sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.q DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge
+    FROM h
+),
+thr AS (
+    SELECT cum.source,
+           min(cum.q) AS quality_threshold,
+           CAST(max(cum.cum_ge) AS BIGINT) AS n_kept
+    FROM cum JOIN n ON cum.source = n.source
+    WHERE cum.cum_ge <= ceil({PRUNE_KEEP_FRAC} * n.n_docs)
+    GROUP BY cum.source
+)
+SELECT n.source,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       coalesce(thr.n_kept, 0) AS n_kept,
+       round(coalesce(thr.n_kept, 0) * 1.0 / n.n_docs, 6) AS kept_frac,
+       thr.quality_threshold
+FROM n LEFT JOIN thr ON n.source = thr.source
+""",
+    tags=("extension", "text", "quality", "curation"),
+)
+def x112_source_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile pruning — the FineWeb/DCLM curation
+    step: within each source, keep only the top PRUNE_KEEP_FRAC of
+    documents by x11's composite quality score, and report per source
+    the resulting cut (n_docs, n_kept, kept_frac, the quality
+    threshold actually applied). Tie groups at the boundary are
+    all-or-nothing: a score group is kept only if the ENTIRE group
+    fits inside the ceil(frac*n) budget — deterministic with no
+    per-row tiebreak, so both engines agree without ordering hacks.
+    Sources where even the top score group overflows the budget keep
+    nothing (n_kept=0, NULL threshold).
+
+    Scale posture — the naive plan is a percent_rank window
+    partitioned by source, i.e. a full sort of every corpus-sized
+    source group. This plan never windows over documents: scores
+    round at 6 and aggregate into a per-(source, score) HISTOGRAM
+    (one map-side-combinable shuffle, <= |sources| x 1e6-ish bins
+    regardless of corpus size); the descending cumulative count, the
+    budget comparison and the threshold pick all run over that
+    bounded histogram. Applying the cut to the corpus is then a
+    broadcast hash join on (source) + one scalar comparison per row
+    — here the report is the deliverable, so only the bounded side
+    materializes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select("source", F.round(T.quality_score(), 6).alias("q"))
+    hist = (
+        scored.groupBy("source", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum_ge", F.sum("cnt").over(w))
+    thr = (
+        cum.join(n, "source")
+        .where(F.col("cum_ge") <= F.ceil(F.lit(PRUNE_KEEP_FRAC) * F.col("n_docs")))
+        .groupBy("source")
+        .agg(
+            F.min("q").alias("quality_threshold"),
+            F.max("cum_ge").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        n.join(F.broadcast(thr), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("kept_frac"),
+            "quality_threshold",
+        )
+    )
