@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword list used by quality scoring and lang-id.
@@ -321,3 +321,73 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(logp), 4) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source quality-quantile pruning (x112) as reusable sufficient
+# statistics: histogram -> merge -> decision. The histogram is the ONLY
+# corpus-sized pass; it is exact-integer mergeable across shards and
+# micro-batches (streaming/pipeline.py:quality_histogram_sink), so the
+# prune decision can always be recomputed from stored partials without
+# re-scanning history — the same stored-partials discipline as the
+# covariance statistics (operators/stats.py).
+# --------------------------------------------------------------------------
+
+
+def quality_histogram(docs: DataFrame) -> DataFrame:
+    """(source, q, cnt): rounded-quality-score histogram per source —
+    the bounded sufficient statistic for per-source quantile pruning.
+    One map-side-combinable shuffle; <= |sources| x score-resolution
+    bins regardless of corpus size. Null-text docs drop (no tokens, no
+    score)."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.round(quality_score(), 6).alias("q"))
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quality_histograms(parts: DataFrame) -> DataFrame:
+    """Merge shard/micro-batch histogram partials — exact integer sums,
+    so merge order and grouping cannot change a bit."""
+    return parts.groupBy("source", "q").agg(F.sum("cnt").alias("cnt"))
+
+
+def quality_prune_report(hist: DataFrame, keep_frac: float = 0.3) -> DataFrame:
+    """The decision half of per-source quantile pruning, computed
+    entirely over the bounded histogram: keep the top ``keep_frac`` of
+    each source's docs with ALL-OR-NOTHING tie groups (a score group is
+    admitted only if the whole group fits inside the ceil(frac*n)
+    budget — deterministic with no per-row tiebreak). Returns one row
+    per source: n_docs, n_kept, kept_frac, quality_threshold (NULL +
+    n_kept=0 when even the top group overflows the budget)."""
+    hist = hist.localCheckpoint(eager=True)
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum_ge", F.sum("cnt").over(w))
+    thr = (
+        cum.join(n, "source")
+        .where(F.col("cum_ge") <= F.ceil(F.lit(keep_frac) * F.col("n_docs")))
+        .groupBy("source")
+        .agg(
+            F.min("q").alias("quality_threshold"),
+            F.max("cum_ge").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        n.join(F.broadcast(thr), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("kept_frac"),
+            "quality_threshold",
+        )
+    )

@@ -4540,39 +4540,11 @@ def x112_source_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded histogram. Applying the cut to the corpus is then a
     broadcast hash join on (source) + one scalar comparison per row
     — here the report is the deliverable, so only the bounded side
-    materializes."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    scored = docs.select("source", F.round(T.quality_score(), 6).alias("q"))
-    hist = (
-        scored.groupBy("source", "q")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    n = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("q"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum_ge", F.sum("cnt").over(w))
-    thr = (
-        cum.join(n, "source")
-        .where(F.col("cum_ge") <= F.ceil(F.lit(PRUNE_KEEP_FRAC) * F.col("n_docs")))
-        .groupBy("source")
-        .agg(
-            F.min("q").alias("quality_threshold"),
-            F.max("cum_ge").cast("long").alias("n_kept"),
-        )
-    )
-    return (
-        n.join(F.broadcast(thr), "source", "left")
-        .select(
-            "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.round(
-                F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
-            ).alias("kept_frac"),
-            "quality_threshold",
-        )
+    materializes. The histogram is an exact-integer MERGEABLE
+    sufficient statistic (operators/text.py:merge_quality_histograms;
+    streaming twin streaming/pipeline.py:quality_histogram_sink —
+    stream == batch pinned in tests/test_streaming_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_prune_report(
+        T.quality_histogram(docs), keep_frac=PRUNE_KEEP_FRAC
     )

@@ -348,3 +348,35 @@ def covariance_partials_sink(emb_stream: DataFrame, out_dir: str, checkpoint_dir
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def quality_histogram_sink(doc_stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Streaming maintenance of the per-source quality-prune statistics
+    (x112): each micro-batch of arriving documents appends ITS
+    (source, q, cnt) quality histogram (operators/text.py:
+    quality_histogram) to a parquet directory; readers merge + decide
+    on demand (merge_quality_histograms -> quality_prune_report) for an
+    always-current per-source quantile cut WITHOUT re-scanning
+    history. Same stored-partials discipline as covariance_partials_sink
+    and x106's appended band index.
+
+    State: NONE in the streaming engine (stateless foreachBatch) — the
+    stored histogram partials ARE the state, bounded by |sources| x
+    score-resolution bins per micro-batch. Exactness: integer counts
+    merge losslessly in any order, so the decision recomputed from
+    partials equals the batch report bit-for-bit."""
+    from video_stream_processing_spark.operators.text import quality_histogram
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            quality_histogram(batch_df)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
