@@ -925,3 +925,28 @@ def test_source_quality_prune_overflowing_tie_group_keeps_nothing(spark, tmp_pat
     # budget = ceil(0.3*4) = 2 < the 4-doc identical-score group
     assert r["n_docs"] == 4 and r["n_kept"] == 0
     assert r["quality_threshold"] is None and r["kept_frac"] == 0.0
+
+
+def test_source_overlap_matrix_planted_pair(spark, tmp_path):
+    """x113 on a planted corpus: two sources share exactly one 5-gram
+    (the common sentence), a third source shares nothing and must be
+    absent from the matrix."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "sA", 1),
+        (2, "alpha beta gamma delta epsilon omega", "en", "sB", 1),
+        (3, "one two three four five six", "en", "sC", 1),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = query_map()["x113_source_overlap_matrix"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared gram: "alpha beta gamma delta epsilon"; each source has 2
+    # distinct 5-grams -> jaccard = 1 / (2 + 2 - 1)
+    assert (r["source_a"], r["source_b"]) == ("sA", "sB")
+    assert r["shared_grams"] == 1
+    assert abs(r["jaccard"] - 1 / 3) < 1e-6

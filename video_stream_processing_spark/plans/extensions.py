@@ -4548,3 +4548,97 @@ def x112_source_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_prune_report(
         T.quality_histogram(docs), keep_frac=PRUNE_KEEP_FRAC
     )
+
+
+# --------------------------------------------------------------------------
+# x113 — cross-source n-gram overlap matrix (dedup-planning diagnostic)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x113_source_overlap_matrix",
+    oracle="""
+WITH d AS (
+    SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT DISTINCT source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+    FROM d WHERE len(toks) >= 5
+),
+s AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+c AS (
+    SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+    FROM g a JOIN g b USING (gram)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT c.sa AS source_a, c.sb AS source_b,
+       CAST(c.shared AS BIGINT) AS shared_grams,
+       round(c.shared * 1.0 / (x.n + y.n - c.shared), 6) AS jaccard
+FROM c JOIN s x ON c.sa = x.source JOIN s y ON c.sb = y.source
+""",
+    tags=("extension", "dedup", "ngram", "diagnostics"),
+)
+def x113_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the dedup-planning
+    diagnostic a multi-source corpus needs before mixing (which feeds
+    duplicate which: CommonCrawl-vs-C4-style overlap): for every source
+    pair, the count of distinct 5-gram shingles present in BOTH, plus
+    the gram-set Jaccard. Pairs sharing nothing are omitted (inner
+    join). Complements x107 (doc-vs-benchmark contamination) and x36
+    (mixing weights) with the source-vs-source view.
+
+    Scale posture — NO source x source join ever touches the gram
+    stream: one corpus shuffle builds per-gram source SETS
+    (collect_set bounded by |sources|, map-side combined), and the
+    pair fan-out is a higher-order-function expansion of each set
+    (<= |sources|^2/2 structs per gram) over the gram-keyed frame.
+    Per-source totals come from re-exploding the same checkpointed
+    frame — no second corpus scan. The oracle's self-join replays the
+    identical counts; all integers exact, one ratio rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    exploded = docs.select(
+        "source", F.explode(F.array_distinct(T.shingles("text", 5))).alias("gram")
+    )
+    gs = (
+        exploded.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        gs.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda b: F.struct(a.alias("sa"), b.alias("sb")),
+            ),
+        )
+    )
+    shared = (
+        gs.where(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes).withColumnRenamed("source", "sa").withColumnRenamed("n", "na"), "sa")
+        .join(F.broadcast(sizes).withColumnRenamed("source", "sb").withColumnRenamed("n", "nb"), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("shared").cast("long").alias("shared_grams"),
+            F.round(
+                F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
