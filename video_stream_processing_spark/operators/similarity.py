@@ -87,29 +87,29 @@ def brute_force_topk(emb: DataFrame, k: int = 5, query_modulus: int = 50) -> Dat
     )
 
 
-def hyperplane_bits(emb_col: Column, n_planes: int = N_HYPERPLANES) -> Column:
+def _plane_bits_sql(emb: str, planes: list[int]) -> str:
+    """SQL text of the '0'/'1' bucket key for the given plane indices:
+    g(i,p) = (((5i + 11p) % 13) - 6)/6 (zero-mean integer lattice), bit =
+    1 iff dot(e, g_p) >= 0. One generated string for ALL planes — the
+    per-plane py4j HOF construction this replaces dominated build time
+    (see the generated-SQL builder note above _sql_arr)."""
+    frags = []
+    for p in planes:
+        fold = (
+            f"aggregate(zip_with({emb}, sequence(0, size({emb}) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * CAST(((i * 5 + {p * 11}) % 13) - 6 AS DOUBLE) / 6.0D), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        frags.append(f"CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(frags) + ")"
+
+
+def hyperplane_bits(emb_sql: str, n_planes: int = N_HYPERPLANES) -> Column:
     """Deterministic random-ish hyperplanes: g(i,j) = (((5i + 11j) % 13) - 6)/6
     (zero-mean integer lattice). Bit j = 1 iff dot(e, g_j) >= 0. Returns
-    the n-char '0'/'1' bucket key."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.sequence(F.lit(0), F.size(emb_col) - 1),
-                    lambda x, i: x.cast("double")
-                    * (((i * 5 + F.lit(j * 11)) % 13) - 6).cast("double")
-                    / 6.0,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            "1",
-        ).otherwise("0")
-        for j in range(n_planes)
-    ]
-    return F.concat(*bits)
+    the n-char '0'/'1' bucket key. ``emb_sql`` is the embedding column's
+    SQL text (generated-SQL build)."""
+    return F.expr(_plane_bits_sql(emb_sql, list(range(n_planes))))
 
 
 def lsh_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
@@ -119,7 +119,7 @@ def lsh_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
     this is the 100 TB shape (shuffle on bucket key, no broadcast of the
     corpus)."""
     bucketed = emb.select(
-        "vec_id", "embedding", hyperplane_bits(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", hyperplane_bits("embedding").alias("bucket")
     )
     q = bucketed.where(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -316,6 +316,58 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Generated-SQL expression builders for the literal-codebook operators.
+#
+# The k-means assign / PQ encode / ADC-LUT / hyperplane projections build
+# expression trees whose size grows with k x dim. Constructing those with
+# pyspark Column operators pays one py4j round trip PER NODE — measured
+# ~0.35 s just to BUILD one 8-centroid candidate array at 64 dims, which
+# dominated the ANN queries' wall-clock at bench scale (the data is
+# negligible; the driver-side construction is not). Emitting the SAME
+# expression as one SQL string and parsing it with F.expr() is ~350x
+# faster to construct and analyzes to the identical tree — the
+# differential gate (DuckDB oracle hash-compare) pins that nothing
+# drifted. Each _sql_* builder is the exact textual twin of the Column
+# helper it replaces (same fold order, same casts, same rounding).
+# ---------------------------------------------------------------------------
+
+
+def _sql_arr(values: list[float]) -> str:
+    """array(...) double-literal SQL. ``repr`` emits the shortest
+    round-trip decimal and Spark's parser returns the nearest double =
+    the exact same bits (pinned in tests/test_extensions.py)."""
+    if not values:
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    return "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL twin of dot(): sequential left-fold product-sum in double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_l2norm(a: str) -> str:
+    """SQL twin of l2_norm(): sqrt of the sequential squared-sum fold."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """SQL twin of cosine() (try_divide: zero-norm -> NULL -> drops)."""
+    return f"try_divide({_sql_dot(a, b)}, {_sql_l2norm(a)} * {_sql_l2norm(b)})"
+
+
+def _sql_sub(col: str, m: int, sub_dim: int) -> str:
+    """SQL twin of _sub(): 1-based sub-vector slice m."""
+    return f"slice({col}, {m * sub_dim + 1}, {sub_dim})"
+
+
 def _lit_double_array(values: list[float]) -> Column:
     """LITERAL ARRAY<DOUBLE> built as ONE parsed SQL expression instead
     of ``F.array(*[F.lit(v) ...])``'s per-element py4j round trips —
@@ -324,26 +376,24 @@ def _lit_double_array(values: list[float]) -> Column:
     literal is identical either way: ``repr`` emits the shortest
     round-trip decimal and Spark's parser returns the nearest double =
     the exact same bits, pinned in tests/test_extensions.py)."""
-    if not values:
-        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+    return F.expr(_sql_arr(values))
 
 
-def _centroid_candidates(emb_col: Column, cents: list[list[float]]) -> Column:
+def _centroid_candidates(emb_sql: str, cents: list[list[float]]) -> Column:
     """ARRAY<STRUCT<csim, neg_cid>> of the vector's rounded cosine to
     each LITERAL centroid. Pure projection — no join, no shuffle; struct
     lexicographic order makes array_max/array_sort implement the
-    (csim DESC, cid ASC) round-then-rank rule (cid ASC == neg_cid DESC)."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(emb_col, _lit_double_array(c)), SCORE_SCALE
-                ).alias("csim"),
-                F.lit(-i).alias("neg_cid"),
-            )
+    (csim DESC, cid ASC) round-then-rank rule (cid ASC == neg_cid DESC).
+    ``emb_sql`` is the embedding column's SQL text (generated-SQL build:
+    one F.expr parse instead of ~k*3 py4j HOF constructions)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('csim', round({_sql_cosine(emb_sql, _sql_arr(c))}, "
+            f"{SCORE_SCALE}), 'neg_cid', {-i})"
             for i, c in enumerate(cents)
-        ]
+        )
+        + ")"
     )
 
 
@@ -382,7 +432,7 @@ def kmeans_centroids(
     ]
     dim = len(cents[0]) if cents else 0
     for _ in range(n_iters):
-        best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+        best = F.array_max(_centroid_candidates("embedding", cents))
         # project cid in its OWN select before posexplode: combining the
         # getField with a generator in one projection makes the analyzer
         # rebuild the struct nameless (col1/col2) under the aggregate and
@@ -424,7 +474,7 @@ def ivf_topk_trained(
     probed lists only. The corpus is scanned once and never shuffled
     before the final candidate equi-join against the broadcast probes."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
-    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    best = F.array_max(_centroid_candidates("embedding", cents))
     corpus = emb.select(
         "vec_id",
         "embedding",
@@ -434,7 +484,7 @@ def ivf_topk_trained(
     # reversed lexicographic sort = (csim DESC, neg_cid DESC == cid ASC):
     # exactly the oracle's ORDER BY cos DESC, cid — top n_probes by slice
     probe_structs = F.slice(
-        F.reverse(F.array_sort(_centroid_candidates(F.col("embedding"), cents))),
+        F.reverse(F.array_sort(_centroid_candidates("embedding", cents))),
         1,
         n_probes,
     )
@@ -575,7 +625,7 @@ def kmeans_cluster_profile(
     as ivf_topk_trained: one corpus scan, one centroid-sized groupBy
     (map-side combine to <= k partials per task), zero joins."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
-    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    best = F.array_max(_centroid_candidates("embedding", cents))
     assigned = emb.select(
         (-best["neg_cid"]).cast("int").alias("cid"), best["csim"].alias("csim")
     )
@@ -618,7 +668,7 @@ def semantic_dedup_trained(
     (per-cluster equi-join bounds the quadratic term; raise n_clusters
     to keep clusters small at 100 TB)."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
-    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    best = F.array_max(_centroid_candidates("embedding", cents))
     assigned = emb.select(
         "vec_id", "embedding", (-best["neg_cid"]).cast("int").alias("cluster")
     )
@@ -830,27 +880,12 @@ WHERE {cos} >= {threshold}
 """
 
 
-def _table_bits(emb_col: Column, table: int, bits: int) -> Column:
-    """Bucket key for LSH table ``table``: planes (table*bits + j)."""
-    frags = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.sequence(F.lit(0), F.size(emb_col) - 1),
-                    lambda x, i: x.cast("double")
-                    * (((i * 5 + F.lit((table * bits + j) * 11)) % 13) - 6).cast("double")
-                    / 6.0,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            "1",
-        ).otherwise("0")
-        for j in range(bits)
-    ]
-    return F.concat(*frags)
+def _table_bits(emb_sql: str, table: int, bits: int) -> Column:
+    """Bucket key for LSH table ``table``: planes (table*bits + j).
+    Generated-SQL build (see _plane_bits_sql)."""
+    return F.expr(
+        _plane_bits_sql(emb_sql, [table * bits + j for j in range(bits)])
+    )
 
 
 def lsh_multitable_topk(
@@ -874,7 +909,7 @@ def lsh_multitable_topk(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
-        *[_table_bits(F.col("embedding"), t, bits).alias(f"b{t}") for t in range(n_tables)],
+        *[_table_bits("embedding", t, bits).alias(f"b{t}") for t in range(n_tables)],
     )
     bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
     c_exp = with_buckets.select(
@@ -947,7 +982,7 @@ def lsh_multitable_topk_capped(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
-        *[_table_bits(F.col("embedding"), t, bits).alias(f"b{t}") for t in range(n_tables)],
+        *[_table_bits("embedding", t, bits).alias(f"b{t}") for t in range(n_tables)],
     )
     bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
     wb = Window.partitionBy("t", "bkt").orderBy("vec_id")
@@ -1230,36 +1265,28 @@ def _sub(col: Column, m: int, sub_dim: int) -> Column:
     return F.slice(col, m * sub_dim + 1, sub_dim)
 
 
-def _l2sq_lit(sub_col: Column, code_vec: list[float]) -> Column:
+def _sql_l2sq(sub: str, code_vec: list[float]) -> str:
     """Squared L2 distance of a sub-vector to a LITERAL code vector —
-    sequential left fold in double, mirroring the oracle's list_sum."""
-    return F.aggregate(
-        F.zip_with(
-            sub_col,
-            _lit_double_array(code_vec),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    sequential left fold in double, mirroring the oracle's list_sum
+    (SQL-text twin of the former _l2sq_lit Column builder)."""
+    return (
+        f"aggregate(zip_with({sub}, {_sql_arr(code_vec)}, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
 
 
-def _pq_code_for(sub_col: Column, codebook: list[list[float]]) -> Column:
+def _pq_code_for(sub_sql: str, codebook: list[list[float]]) -> Column:
     """Nearest code id in a LITERAL codebook by ROUNDED squared-L2
     (tie -> lowest code id): array_max over (-round(d2), -code) structs —
-    the same projection-only argmin trick as _centroid_candidates."""
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (-F.round(_l2sq_lit(sub_col, c), SCORE_SCALE)).alias("nd2"),
-                    F.lit(-j).alias("neg_code"),
-                )
-                for j, c in enumerate(codebook)
-            ]
-        )
+    the same projection-only argmin trick as _centroid_candidates.
+    ``sub_sql`` is the sub-vector's SQL text (generated-SQL build)."""
+    structs = ",".join(
+        f"named_struct('nd2', -round({_sql_l2sq(sub_sql, c)}, {SCORE_SCALE}), "
+        f"'neg_code', {-j})"
+        for j, c in enumerate(codebook)
     )
-    return (-best["neg_code"]).cast("int")
+    return F.expr(f"CAST(-(array_max(array({structs})).neg_code) AS INT)")
 
 
 def pq_codebooks(
@@ -1295,7 +1322,7 @@ def pq_codebooks(
         coded = emb.select(
             "embedding",
             *[
-                _pq_code_for(_sub(F.col("embedding"), m, sub_dim), books[m]).alias(
+                _pq_code_for(_sql_sub("embedding", m, sub_dim), books[m]).alias(
                     f"code_{m}"
                 )
                 for m in range(m_sub)
@@ -1408,13 +1435,13 @@ def ivfpq_encode(
     the recomputed plan)."""
     m_sub = len(books)
     sub_dim = len(books[0][0])
-    best = F.array_max(_centroid_candidates(F.col("embedding"), cents))
+    best = F.array_max(_centroid_candidates("embedding", cents))
     return emb.select(
         "vec_id",
         "embedding",
         (-best["neg_cid"]).cast("int").alias("cid"),
         *[
-            _pq_code_for(_sub(F.col("embedding"), m, sub_dim), books[m]).alias(
+            _pq_code_for(_sql_sub("embedding", m, sub_dim), books[m]).alias(
                 f"code_{m}"
             )
             for m in range(m_sub)
@@ -1442,26 +1469,25 @@ def ivfpq_search(
     sub_dim = len(books[0][0])
     corpus = corpus.withColumn("cn", l2_norm(F.col("embedding")))
     probe_structs = F.slice(
-        F.reverse(F.array_sort(_centroid_candidates(F.col("embedding"), cents))),
+        F.reverse(F.array_sort(_centroid_candidates("embedding", cents))),
         1,
         n_probes,
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        dot(
-                            _sub(F.col("embedding"), m, sub_dim),
-                            _lit_double_array(books[m][j]),
-                        ),
-                        SCORE_SCALE,
-                    )
-                    for j in range(k_codes)
-                ]
+    # one parsed SQL expression for the whole M x K ADC lookup table —
+    # see the generated-SQL builder note above _sql_arr
+    lut = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"round({_sql_dot(_sql_sub('embedding', m, sub_dim), _sql_arr(books[m][j]))}, "
+                f"{SCORE_SCALE})"
+                for j in range(k_codes)
             )
+            + ")"
             for m in range(m_sub)
-        ]
+        )
+        + ")"
     )
     probes = (
         queries.where(F.col("vec_id") % query_modulus == 0)
@@ -1707,33 +1733,25 @@ FROM ranked WHERE rank <= {k}
 RP_OUT_DIM = 16
 
 
-def _rp_sign(i: Column, j: int) -> Column:
-    """Deterministic +/-1 sign for matrix cell (i, j): a quadratic
-    integer hash mod 103 (full-rank, near-balanced — numerically
-    validated in tests against column-correlation degeneracy)."""
-    h = (i * i * 3 + F.lit(j * j * 7) + i * (j * 5) + i * 11 + F.lit(j * 13)) % 103
-    return F.when(h < 51, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
-def rp_project(emb_col: Column, out_dim: int = RP_OUT_DIM) -> Column:
+def rp_project(emb_sql: str, out_dim: int = RP_OUT_DIM) -> Column:
     """Project an embedding onto ``out_dim`` +/-1 sign rows — a pure
     per-row projection (no join, no shuffle, input dim discovered at
-    runtime). JL scaling constants are dropped: cosine is
-    scale-invariant."""
-    def _dim(j: int) -> Column:
-        # closure factory, not a default-arg lambda (pyspark counts lambda
-        # params, so a bound default would make the 2-ary zip_with 3-ary)
-        return F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.sequence(F.lit(0), F.size(emb_col) - 1),
-                lambda x, i: x.cast("double") * _rp_sign(i, j),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    runtime). Sign(i, j) is a quadratic integer hash mod 103 (full-rank,
+    near-balanced — numerically validated in tests against
+    column-correlation degeneracy). JL scaling constants are dropped:
+    cosine is scale-invariant. Generated-SQL build (one F.expr parse
+    instead of out_dim*2 py4j HOF constructions — see _sql_arr note)."""
+    dims = []
+    for j in range(out_dim):
+        sign = (
+            f"CASE WHEN (i * i * 3 + {j * j * 7} + i * {j * 5} + i * 11 + {j * 13}) "
+            "% 103 < 51 THEN 1.0D ELSE -1.0D END"
         )
-
-    return F.array(*[_dim(j) for j in range(out_dim)])
+        dims.append(
+            f"aggregate(zip_with({emb_sql}, sequence(0, size({emb_sql}) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * ({sign})), 0.0D, (acc, x) -> acc + x)"
+        )
+    return F.expr("array(" + ", ".join(dims) + ")")
 
 
 def rp_ann_topk(
@@ -1757,7 +1775,7 @@ def rp_ann_topk(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
-        rp_project(F.col("embedding"), out_dim).alias("rp"),
+        rp_project("embedding", out_dim).alias("rp"),
     ).withColumn("rpn", l2_norm(F.col("rp")))
     q = corpus.where(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"),
