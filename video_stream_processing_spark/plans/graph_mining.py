@@ -64,6 +64,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # checkpoint BEFORE the self-join: the two join branches differ
+        # only in their alias projection, but Spark does not reuse the
+        # exchange across them (audited: 4 parquet scans — the whole
+        # lineitem-join-orders-distinct pipeline ran twice). One eager
+        # materialization of the narrow (cust, part) frame halves the
+        # graph-base cost.
+        .localCheckpoint(eager=True)
     )
     a = baskets.select("cust", F.col("part").alias("part_a"))
     b = baskets.select("cust", F.col("part").alias("part_b"))
@@ -593,6 +600,13 @@ def x92_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # checkpoint BEFORE the self-join: the two join branches differ
+        # only in their alias projection, but Spark does not reuse the
+        # exchange across them (audited: 4 parquet scans — the whole
+        # lineitem-join-orders-distinct pipeline ran twice). One eager
+        # materialization of the narrow (cust, part) frame halves the
+        # graph-base cost.
+        .localCheckpoint(eager=True)
     )
     a = baskets.select("cust", F.col("part").alias("part_a"))
     b = baskets.select("cust", F.col("part").alias("part_b"))
