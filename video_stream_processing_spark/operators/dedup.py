@@ -256,25 +256,36 @@ def _bucket_join(bands: DataFrame, neighbor_window: int | None = None) -> DataFr
     )
 
 
-def minhash_lsh_neardups(
+def _exact_jaccard_on_candidates(
+    cand: DataFrame,
     docs: DataFrame,
-    text_col: str = "text",
-    threshold: float = JACCARD_THRESHOLD,
-    shingle_k: int | None = SHINGLE_K,
-    neighbor_window: int | None = None,
+    text_col: str,
+    shingle_k: int | None,
+    threshold: float,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
-    bucket join -> EXACT (shingle-set) Jaccard verification on candidates
-    only. Emits (doc_a, doc_b, jaccard) for verified pairs >= threshold.
+    """Exact shingle-set Jaccard for candidate pairs, shingling ONLY docs
+    that appear in a candidate pair. ``cand`` is checkpointed once
+    (candidate-pair-sized) and its distinct doc ids semi-join the corpus
+    BEFORE tokenization — so the verification COMPUTE, not just the
+    verify join, is candidates-only. (The previous shape shingled the
+    whole corpus a second time and let the join discard the work: the
+    join prunes rows, but Catalyst cannot push join keys into the
+    shingle projection. At 100 TB that was 2 full shingle passes where
+    1 + candidate-sized suffices.) Keeps every extra column on cand.
 
-    ``neighbor_window`` bounds per-bucket candidate generation to O(B*W)
-    against adversarial bucket skew (see _bucket_join); None (default)
-    keeps the exact all-pairs-per-bucket semantics the oracle checks."""
-    toks = _doc_tokens(docs, text_col, shingle_k)
-    cand = _bucket_join(
-        _band_buckets(_minhash_wide(docs, text_col, shingle_k=shingle_k)),
-        neighbor_window=neighbor_window,
+    Measured trade-off at sf0.1: the differential corpus is near-dup
+    SATURATED (86% of docs appear in a candidate pair), so the semi
+    join saves almost nothing there and the checkpoint adds ~6% (2.39
+    -> 2.54s median A/B). On a real corpus candidates are a small
+    fraction and this removes an entire corpus-wide shingle pass —
+    the posture wins at exactly the scale that matters."""
+    cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    toks = _doc_tokens(docs.join(ids, "doc_id", "left_semi"), text_col, shingle_k)
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -284,8 +295,31 @@ def minhash_lsh_neardups(
         .join(tb, "doc_b")
         .withColumn("jaccard", F.round(inter / union, 4).cast("double"))
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_neardups(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    shingle_k: int | None = SHINGLE_K,
+    neighbor_window: int | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
+    bucket join -> EXACT (shingle-set) Jaccard verification on candidates
+    only (compute included — see _exact_jaccard_on_candidates). Emits
+    (doc_a, doc_b, jaccard) for verified pairs >= threshold.
+
+    ``neighbor_window`` bounds per-bucket candidate generation to O(B*W)
+    against adversarial bucket skew (see _bucket_join); None (default)
+    keeps the exact all-pairs-per-bucket semantics the oracle checks."""
+    cand = _bucket_join(
+        _band_buckets(_minhash_wide(docs, text_col, shingle_k=shingle_k)),
+        neighbor_window=neighbor_window,
+    )
+    return _exact_jaccard_on_candidates(
+        cand, docs, text_col, shingle_k, threshold
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def incremental_lsh_neardups(
@@ -333,18 +367,9 @@ def incremental_lsh_neardups(
     )
     in_shard = _bucket_join(shard_bands).withColumn("vs_existing", F.lit(False))
     cand = vs_base.unionByName(in_shard)
-    toks = _doc_tokens(base.unionByName(shard), text_col, shingle_k)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 4).cast("double"))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard", "vs_existing")
-    )
+    return _exact_jaccard_on_candidates(
+        cand, base.unionByName(shard), text_col, shingle_k, threshold
+    ).select("doc_a", "doc_b", "jaccard", "vs_existing")
 
 
 def ngram_jaccard_pairs(
