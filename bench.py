@@ -112,11 +112,22 @@ def main() -> int:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Several operators cut lineage with localCheckpoint(eager=True);
+    # their JVM-side RDD blocks are only released after the PYTHON
+    # DataFrame object is garbage-collected (py4j handle -> ContextCleaner),
+    # and Spark's periodic fallback GC runs every 30 min by default — so a
+    # 38-query x 3-rep session accumulates checkpoint blocks and late
+    # queries pay the heap pressure of early ones. A gc.collect() between
+    # queries releases the handles promptly (~ms, outside the timed
+    # window).
+    import gc
+
     # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
     # transient machine-load spike hits at most one rep of each query
     # instead of all reps of one query.
     for _ in range(reps):
         for n in names:
+            gc.collect()
             t0 = time.perf_counter()
             run_full(qmap[n](spark, sf_dir))
             samples[n].append(time.perf_counter() - t0)

@@ -83,6 +83,12 @@ def get_spark(
         # stdout tail, and the console progress bar can interleave with
         # the final JSON line.
         .config("spark.ui.showConsoleProgress", "false")
+        # ContextCleaner's fallback JVM GC defaults to every 30 min —
+        # longer than an entire bench/gate session, so localCheckpoint
+        # RDD blocks from early queries linger and late queries pay the
+        # heap pressure. 5 min bounds the accumulation on a long-lived
+        # local session; a cluster tunes this to its own churn.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
