@@ -156,7 +156,10 @@ def x82_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan tree stays linear in the iteration count (see
     operators/graph.py and SCALE.md "Graph mining" for the measured
     checkpoint economics)."""
-    _, edges, _ = _copurchase_edges(spark, sf_dir)
+    # _materialized_graph, not _copurchase_edges: the edge union
+    # references pairs twice, so an un-checkpointed pairs base runs
+    # the pair self-join twice (the x96 ADVICE fix, applied here too)
+    _, edges, _ = _materialized_graph(spark, sf_dir)
     return G.pagerank_fixedpoint(edges, iters=_X82_ITERS).select(
         F.col("node").alias("part"), "pr_mass"
     )
@@ -479,7 +482,10 @@ def x89_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed equi-joins on node ids; the alive set is checkpointed per
     round (x15 lineage discipline) so round r+1 never re-derives round
     r. Edge data is materialized once up front."""
-    _, edges, _ = _copurchase_edges(spark, sf_dir)
+    # _materialized_graph, not _copurchase_edges: the edge union
+    # references pairs twice, so an un-checkpointed pairs base runs
+    # the pair self-join twice (the x96 ADVICE fix, applied here too)
+    _, edges, _ = _materialized_graph(spark, sf_dir)
     return G.kcore_peel(edges, k=_X89_K, rounds=_X89_ROUNDS).select(
         F.col("node").alias("part"), "core_deg"
     )
