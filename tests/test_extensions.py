@@ -593,6 +593,68 @@ def test_lit_double_array_bit_exact(spark):
     assert df.select(_lit_double_array([]).alias("x")).first()["x"] == []
 
 
+def test_sql_builders_match_column_twins(spark):
+    """The generated-SQL expression builders (round-6 speedup: one
+    F.expr parse instead of per-node py4j construction) must be exact
+    semantic twins of the Column helpers they textually mirror — same
+    fold order, same casts, same NULL behavior — on adversarial doubles
+    and a zero vector (try_divide -> NULL path)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.similarity import (
+        _sql_arr,
+        _sql_cosine,
+        _sql_dot,
+        _sql_l2norm,
+        _sql_l2sq,
+        _sql_sub,
+        cosine,
+        dot,
+        l2_norm,
+    )
+
+    vecs = [
+        ([0.1, -0.30000000000000004, 1e-150, 2 / 3], [1e150, -0.1, 0.7, 5e-324]),
+        ([0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),  # zero-norm -> NULL cosine
+        ([-1.5, 2.25, -3.125, 4.0625], [0.25, -0.5, 0.75, -1.0]),
+    ]
+    df = spark.createDataFrame([(list(a),) for a, _ in vecs], "a array<double>")
+    for i, (a, b) in enumerate(vecs):
+        row_f = df.where(F.size("a") >= 0).collect()[i]  # keep order stable
+        lit_b = F.expr(_sql_arr(b))
+        got = (
+            df.select(
+                F.expr(_sql_dot("a", _sql_arr(b))).alias("d"),
+                F.expr(_sql_l2norm("a")).alias("n"),
+                F.expr(_sql_cosine("a", _sql_arr(b))).alias("c"),
+                F.expr(_sql_l2sq(_sql_sub("a", 0, 2), b[:2])).alias("q"),
+            )
+            .collect()[i]
+        )
+        ref = (
+            df.select(
+                dot(F.col("a"), lit_b).alias("d"),
+                l2_norm(F.col("a")).alias("n"),
+                cosine(F.col("a"), lit_b).alias("c"),
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("a", 1, 2),
+                        F.expr(_sql_arr(b[:2])),
+                        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("q"),
+            )
+            .collect()[i]
+        )
+        pack = lambda v: None if v is None else struct.pack("<d", v)
+        for f in ("d", "n", "c", "q"):
+            assert pack(got[f]) == pack(ref[f]), (i, f, got[f], ref[f])
+
+
 def test_pq_codebooks_shape_and_determinism(spark):
     """PQ training returns M codebooks of K sub_dim-vectors and is
     bit-deterministic across invocations (required for the oracle
