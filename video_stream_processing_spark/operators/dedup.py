@@ -386,10 +386,18 @@ def ngram_jaccard_pairs(
     add prefix filtering to bound the residual blow-up."""
     from video_stream_processing_spark.operators.text import shingles
 
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
-    ).select("doc_id", F.md5("s").alias("w"))
+    # materialize the inverted index once: the self-join's two branches
+    # and the size table otherwise re-run the shingle+md5 pipeline per
+    # reference (4 corpus scans, plan-audited). This IS the posting
+    # table a production pipeline writes at ingest — fixed-width rows.
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         tok.alias("a")

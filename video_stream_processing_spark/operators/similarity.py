@@ -669,9 +669,11 @@ def semantic_dedup_trained(
     to keep clusters small at 100 TB)."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
     best = F.array_max(_centroid_candidates("embedding", cents))
+    # same materialize-once rationale as semantic_dedup — here the
+    # re-derived work is the literal-centroid argmin over every row
     assigned = emb.select(
         "vec_id", "embedding", (-best["neg_cid"]).cast("int").alias("cluster")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         "cluster",
         F.col("vec_id").alias("vec_a"),
@@ -905,12 +907,17 @@ def lsh_multitable_topk(
     single hash join keyed on the composite instead of L joins + union
     (fewer stages, same candidate set), distinct, then exact cosine
     rank — still no cross join anywhere."""
+    # with_buckets feeds BOTH explode sides and the exact-scoring join:
+    # materialize it once (this IS the stored bucket index production
+    # writes at ingest) instead of recomputing the n_tables*bits
+    # hyperplane folds + norm per reference (idle A/B at sf0.1:
+    # 1.80 -> 1.35s median).
     with_buckets = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
         *[_table_bits("embedding", t, bits).alias(f"b{t}") for t in range(n_tables)],
-    )
+    ).localCheckpoint(eager=True)
     bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
     c_exp = with_buckets.select(
         "vec_id", F.posexplode(bucket_arr).alias("t", "bkt")
@@ -978,12 +985,17 @@ def lsh_multitable_topk_capped(
     one table still collide in their other L-1 (less crowded) buckets.
     Recall under the cap is gated in tests/test_extensions.py; the cap
     itself is oracle-checked (x45)."""
+    # with_buckets feeds BOTH explode sides and the exact-scoring join:
+    # materialize it once (this IS the stored bucket index production
+    # writes at ingest) instead of recomputing the n_tables*bits
+    # hyperplane folds + norm per reference (idle A/B at sf0.1:
+    # 1.80 -> 1.35s median).
     with_buckets = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
         *[_table_bits("embedding", t, bits).alias(f"b{t}") for t in range(n_tables)],
-    )
+    ).localCheckpoint(eager=True)
     bucket_arr = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
     wb = Window.partitionBy("t", "bkt").orderBy("vec_id")
     c_exp = (
@@ -1175,7 +1187,10 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     quadratic term is bounded per cluster — at 100 TB you raise the
     centroid count so clusters stay small; the corpus is never
     cross-joined globally."""
-    assigned = assign_clusters(emb)
+    # assigned feeds both pair-join sides and the final attribution
+    # join: materialize the (cluster, vec_id, embedding) routing once
+    # instead of re-running the assignment per reference
+    assigned = assign_clusters(emb).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_a"),

@@ -3221,6 +3221,10 @@ def x80_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # materialize once: the self-join's two branches AND the degree
+        # table all re-derive the basket pipeline otherwise (the same
+        # missing exchange reuse fixed in _copurchase_edges)
+        .localCheckpoint(eager=True)
     )
     a = baskets.select("cust", F.col("part").alias("part_a"))
     b = baskets.select("cust", F.col("part").alias("part_b"))

@@ -1902,7 +1902,15 @@ def b55_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a filter under the min, not a range join. At 100 TB each step
     prunes (funnel narrows), so the chain's cost is dominated by the
     one events shuffle."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # the IN-filter pushes to the parquet scan (row-group pruning on the
+    # fact table) — every step only reads funnel-relevant rows; never
+    # materialize events itself, re-scanning the pruned columnar fact is
+    # the cheap path at 100 TB
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+    )
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
     ).where(F.col("t_view").isNotNull())
