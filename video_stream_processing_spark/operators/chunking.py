@@ -172,7 +172,16 @@ def cdc_neardup_pairs(
     near-dup signal, exactly like stopwords."""
     from pyspark.sql import functions as F
 
-    chunks = cdc_chunks(df, text_col).select("doc_id", "chunk_md5", "chunk_len").distinct()
+    # materialize the chunk table once: the df-cap aggregate and both
+    # self-join branches otherwise re-run the Arrow rolling-hash pass
+    # per reference (3 chunking passes, plan-audited). Fixed-width
+    # (doc_id, md5, len) rows — the chunk index production stores.
+    chunks = (
+        cdc_chunks(df, text_col)
+        .select("doc_id", "chunk_md5", "chunk_len")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     keep = (
         chunks.groupBy("chunk_md5")
         .agg(F.count(F.lit(1)).alias("df"))

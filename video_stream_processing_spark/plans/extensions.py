@@ -2943,7 +2943,15 @@ def x76_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # checkpoint the doc-length table (|docs| fixed-width rows): avgdl
+    # and the scoring join otherwise re-tokenize the corpus per
+    # reference; tokenization then runs twice total (dl, tf) instead of
+    # four times — without materializing the token stream itself
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dlen"))
+        .localCheckpoint(eager=True)
+    )
     stats = dl.agg(
         F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
