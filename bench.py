@@ -125,9 +125,20 @@ def main() -> int:
     # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
     # transient machine-load spike hits at most one rep of each query
     # instead of all reps of one query.
+    def _release_checkpoints() -> None:
+        # gc.collect() alone is not enough: the async ContextCleaner lags,
+        # and persistent-RDD block sets were measured accumulating 1 -> 7
+        # across just 5 queries. Explicitly unpersisting between queries
+        # is safe here — nothing references a finished query's
+        # checkpoints — and keeps late queries from paying early queries'
+        # storage pressure.
+        gc.collect()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+
     for _ in range(reps):
         for n in names:
-            gc.collect()
+            _release_checkpoints()
             t0 = time.perf_counter()
             run_full(qmap[n](spark, sf_dir))
             samples[n].append(time.perf_counter() - t0)
