@@ -3228,6 +3228,11 @@ def x80_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        # repartition by cust BEFORE distinct: HashPartitioning(cust)
+        # satisfies the (cust, part) clustering the aggregate needs AND
+        # the self-join's cust clustering, so the wide join output is
+        # exchanged once on the narrow key instead of once per grain
+        .repartition("cust")
         .distinct()
         # materialize once: the self-join's two branches AND the degree
         # table all re-derive the basket pipeline otherwise (the same

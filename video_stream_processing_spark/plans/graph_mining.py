@@ -63,6 +63,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        # repartition by cust BEFORE distinct: HashPartitioning(cust)
+        # satisfies the (cust, part) clustering the aggregate needs AND
+        # the self-join's cust clustering, so the wide join output is
+        # exchanged once on the narrow key instead of once per grain
+        .repartition("cust")
         .distinct()
         # checkpoint BEFORE the self-join: the two join branches differ
         # only in their alias projection, but Spark does not reuse the
@@ -605,6 +610,11 @@ def x92_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        # repartition by cust BEFORE distinct: HashPartitioning(cust)
+        # satisfies the (cust, part) clustering the aggregate needs AND
+        # the self-join's cust clustering, so the wide join output is
+        # exchanged once on the narrow key instead of once per grain
+        .repartition("cust")
         .distinct()
         # checkpoint BEFORE the self-join: the two join branches differ
         # only in their alias projection, but Spark does not reuse the
@@ -703,6 +713,9 @@ def x93_recommendation_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part"),
             (F.col("o_orderdate") < cut).alias("is_train"),
         )
+        # see _copurchase_edges: partitioning by cust alone satisfies
+        # the distinct's clustering and the downstream per-cust joins
+        .repartition("cust")
         .distinct()
         .localCheckpoint(eager=True)
     )
