@@ -30,6 +30,7 @@ pinned to the spec by arithmetic, not by mirroring a library.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -194,29 +195,46 @@ class _ScanEnd(Exception):
 
 
 class _BitReader:
-    """Reads entropy-coded bits from an already-destuffed byte segment."""
+    """Reads entropy-coded bits from an already-destuffed byte segment.
+
+    Multi-bit reads via byte-slice windows — the original bit-at-a-time
+    accumulator was the decode hot spot (82k read_bit calls per 10
+    images profiled; the Huffman walk + per-bit receive dominated
+    decode wall-clock). Semantics are unchanged: any read that would
+    cross the end of the segment raises _ScanEnd, exactly when the
+    per-bit reader needed a byte beyond the data."""
+
+    __slots__ = ("data", "bitpos", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
+        self.bitpos = 0
+        self.nbits = 8 * len(data)
+
+    def peek16(self) -> int:
+        """Next 16 bits, 1-padded past the segment end (never raises —
+        callers bound-check against nbits)."""
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        chunk = self.data[byte : byte + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\xff" * (4 - len(chunk))
+        return (int.from_bytes(chunk, "big") >> (16 - off)) & 0xFFFF
 
     def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise _ScanEnd
-            self._acc = self.data[self.pos]
-            self.pos += 1
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        return self.receive(1)
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.bitpos + n > self.nbits:
+            raise _ScanEnd
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        nbytes = (off + n + 7) >> 3
+        chunk = int.from_bytes(self.data[byte : byte + nbytes], "big")
+        self.bitpos += n
+        return (chunk >> (nbytes * 8 - off - n)) & ((1 << n) - 1)
 
 
 # --------------------------------------------------------------------------
@@ -238,35 +256,42 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+@lru_cache(maxsize=64)
+def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """(symbol, length) lookup tables indexed by the NEXT 16 bits of the
+    stream — the table-driven form of the F.2.2.3 decode walk. Every
+    16-bit pattern whose prefix is a valid code maps to that code's
+    symbol and length; patterns with no valid prefix keep length 0
+    (-> corrupt-stream error, same as the walk exceeding 16 bits).
+    Cached per Huffman table: the Annex K tables recur across images."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for symbol, (code, length) in _canonical_codes(list(bits), list(vals)).items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = symbol
+        ln[lo:hi] = length
+    # native containers: indexing a numpy array with a Python int returns
+    # a numpy scalar per lookup, which measured SLOWER than the bit walk
+    # it replaced; list/bytes lookups return plain ints
+    return sym.tolist(), bytes(ln.tolist())
+
+
 class _HuffDecoder:
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += n
-                k += n
-                self.maxcode[length] = code - 1
-            else:
-                self.maxcode[length] = -1
-            code <<= 1
+        self._sym, self._len = _huff_lut(tuple(bits), tuple(vals))
 
     def decode(self, br: _BitReader) -> int:
-        code = br.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise ValueError("corrupt Huffman stream")
-            code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[length] + code - self.mincode[length]]
+        if br.bitpos >= br.nbits:
+            raise _ScanEnd  # the walk would raise on its first bit read
+        p = br.peek16()
+        length = self._len[p]
+        if length == 0:
+            raise ValueError("corrupt Huffman stream")
+        if br.bitpos + length > br.nbits:
+            raise _ScanEnd  # code would cross the segment end mid-walk
+        br.bitpos += length
+        return self._sym[p]
 
 
 def _extend(v: int, size: int) -> int:
@@ -323,28 +348,30 @@ def _encode_component(
     diff = dc - pred
     s = _category(diff)
     code, length = dc_codes[s]
-    bw.write(code, length)
+    # code bits then magnitude bits is one concatenated write — the
+    # two-call form doubled the writer calls (encode hot spot, profiled)
     if s:
-        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = 0
-    nz = np.nonzero(blk[1:])[0]
-    last_nz = int(nz[-1]) + 1 if nz.size else 0
-    for k in range(1, last_nz + 1):
+        mag = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write((code << s) | mag, length + s)
+    else:
+        bw.write(code, length)
+    # iterate ONLY the nonzero coefficients (zero runs come from index
+    # gaps) instead of stepping Python through every zero
+    nz = (np.nonzero(blk[1:])[0] + 1).tolist()
+    prev = 0
+    for k in nz:
         v = int(blk[k])
-        if v == 0:
-            run += 1
-            continue
+        run = k - prev - 1
         while run > 15:
             zcode, zlen = ac_codes[0xF0]  # ZRL
             bw.write(zcode, zlen)
             run -= 16
         s = _category(v)
         code, length = ac_codes[(run << 4) | s]
-        bw.write(code, length)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz < 63:
+        mag = v if v >= 0 else v + (1 << s) - 1
+        bw.write((code << s) | mag, length + s)
+        prev = k
+    if (nz[-1] if nz else 0) < 63:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
     return dc
