@@ -179,3 +179,70 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
         "global (partition-less) windows outside the documented "
         f"dimension-bounded set: {global_win}"
     )
+
+
+# Per-table scan-multiplicity bounds. The round-6 audit found 8 queries
+# re-deriving an expensive frame (bucket index, posting table, chunk
+# table, cluster assignment, basket base) through multiple plan
+# references — Spark reuses no exchange across a self-join's alias
+# branches, so each reference re-ran the whole pipeline. Those now
+# materialize once; this lint pins that a refactor cannot silently
+# regrow the duplicated derivation. Tables scanned >= 3 times in one
+# plan must be on this allowlist with a reason.
+SCAN_MULTIPLICITY_ALLOWED = {
+    # three-branch set algebra over two facts — each branch is a pruned
+    # filtered scan (union/intersect/except legs), not a re-derivation
+    "b16_set_ops": {"orders": 3, "events": 3},
+    # the CDC change feed (update/insert/delete branches) is DERIVED
+    # from the base table by construction — four pruned scans model
+    # base + three feed branches
+    "b48_merge_upsert": {"orders": 4},
+    # funnel steps scan the pruned fact once per step (view/click/
+    # purchase); step tables are checkpointed so the chain no longer
+    # re-derives prior steps (was 6 scans)
+    "b55_funnel_steps": {"events": 3},
+    # ANN corpus + probe + query sides of one embeddings table — the
+    # documented IVF shape (corpus assignment, probe selection, rerank)
+    "x08_ivf_ann_topk": {"embeddings": 3},
+    "x41_ivf_multiprobe_topk": {"embeddings": 3},
+    # incremental refresh reads base bands, shard (checkpointed), the
+    # union'd doc bodies for candidate verify, and lengths — each a
+    # pruned scan; the minhash pipelines themselves run once per side
+    "x106_incremental_lsh_refresh": {"documents": 4},
+    # per-shard sketch branches (the mergeability demonstration IS four
+    # independent shard scans)
+    "x67_hll_distinct_merge": {"documents": 4},
+    "x68_histogram_quantiles": {"events": 3},
+    # composes the x32 split (2 scans) with the x02 LSH pipeline
+    "x79_split_leakage_report": {"documents": 4},
+    # part is a dimension table: brand lookup + two endpoint joins
+    "x97_brand_modularity": {"part": 3},
+}
+
+
+@pytest.mark.slow
+def test_no_undeclared_scan_multiplicity(spark):
+    """No table may be scanned 3+ times in one executed plan unless the
+    allowlist documents why (branch modeling over pruned scans). Catches
+    the repeated-derivation regression class fixed in round 6."""
+    import re as _re
+    from collections import Counter
+
+    offenders, errors = [], []
+    for name, spec in all_queries().items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            errors.append((name, str(e).split("\n")[0][:120]))
+            continue
+        counts = Counter(_re.findall(r"(\w+)\.parquet", plan))
+        allowed = SCAN_MULTIPLICITY_ALLOWED.get(name, {})
+        for table, k in counts.items():
+            if k >= 3 and k > allowed.get(table, 2):
+                offenders.append((name, table, k))
+    assert not errors, errors
+    assert not offenders, (
+        "tables scanned 3+ times outside the documented branch shapes "
+        f"(repeated derivation?): {offenders}"
+    )

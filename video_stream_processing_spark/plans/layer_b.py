@@ -1911,9 +1911,13 @@ def b55_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
         .where(F.col("event_type").isin("view", "click", "purchase"))
     )
+    # each step table is a PER-USER aggregate (<= 1 row per user):
+    # checkpointing s1/s2 keeps the next step from re-deriving the whole
+    # prior chain (the lazy form re-scanned events 1+2+3 = 6 times;
+    # materialized step tables are user-count-sized, never the fact)
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    ).where(F.col("t_view").isNotNull())
+    ).where(F.col("t_view").isNotNull()).localCheckpoint(eager=True)
     s2 = (
         e.join(s1, "user_id")
         .where(
@@ -1923,6 +1927,7 @@ def b55_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.join(s2, "user_id")
