@@ -772,7 +772,7 @@ def test_rp_projection_full_rank_and_recall(spark):
         rp_ann_topk,
     )
 
-    # numeric rank check of the formula itself (mirrors _rp_sign)
+    # numeric rank check of the formula itself (mirrors rp_project's sign)
     def sign(i, j):
         return 1.0 if ((i * i * 3 + j * j * 7 + i * j * 5 + i * 11 + j * 13) % 103) < 51 else -1.0
 
