@@ -125,23 +125,32 @@ def main() -> int:
     # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
     # transient machine-load spike hits at most one rep of each query
     # instead of all reps of one query.
-    def _release_checkpoints() -> None:
+    def _persistent_ids() -> set[int]:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _release_since(baseline: set[int]) -> None:
         # gc.collect() alone is not enough: the async ContextCleaner lags,
         # and persistent-RDD block sets were measured accumulating 1 -> 7
-        # across just 5 queries. Explicitly unpersisting between queries
-        # is safe here — nothing references a finished query's
-        # checkpoints — and keeps late queries from paying early queries'
-        # storage pressure.
+        # across just 5 queries. Unpersist ONLY the ids the finished query
+        # created (diff vs the pre-query snapshot) — a blanket unpersist
+        # would delete any future cross-query cached/checkpointed frame,
+        # whose lineage-truncated blocks are unrecoverable.
         gc.collect()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in baseline:
+                jmap.get(k).unpersist()
 
     for _ in range(reps):
         for n in names:
-            _release_checkpoints()
+            baseline = _persistent_ids()
             t0 = time.perf_counter()
             run_full(qmap[n](spark, sf_dir))
             samples[n].append(time.perf_counter() - t0)
+            _release_since(baseline)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}

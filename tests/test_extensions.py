@@ -622,7 +622,6 @@ def test_sql_builders_match_column_twins(spark):
     ]
     df = spark.createDataFrame([(list(a),) for a, _ in vecs], "a array<double>")
     for i, (a, b) in enumerate(vecs):
-        row_f = df.where(F.size("a") >= 0).collect()[i]  # keep order stable
         lit_b = F.expr(_sql_arr(b))
         got = (
             df.select(

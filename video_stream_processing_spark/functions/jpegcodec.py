@@ -287,6 +287,10 @@ class _HuffDecoder:
         p = br.peek16()
         length = self._len[p]
         if length == 0:
+            # the walk reads 16 REAL bits before declaring corruption; with
+            # fewer remaining it runs out first -> _ScanEnd, not ValueError
+            if br.bitpos + 16 > br.nbits:
+                raise _ScanEnd
             raise ValueError("corrupt Huffman stream")
         if br.bitpos + length > br.nbits:
             raise _ScanEnd  # code would cross the segment end mid-walk

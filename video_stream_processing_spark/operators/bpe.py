@@ -110,9 +110,25 @@ def train_bpe_merges(
     # learned merges — and the x56 oracle replay — are unchanged). The
     # sample is bounded by sample_mod, so the checkpointed state is
     # sample-token-sized at any corpus scale.
+    sc = docs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids: set[int]) -> None:
+        # release the PREVIOUS round's checkpoint blocks promptly: the
+        # async ContextCleaner lags, so without this n_merges sample-sized
+        # block sets would pile up (at most 2 copies live at any time now)
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist()
+
+    pre_existing = _persistent_ids()
     state = toks.select(
         "tok", _chars(F.col("tok")).alias("syms")
     ).localCheckpoint(eager=True)
+    state_ids = _persistent_ids() - pre_existing
     merges: list[tuple[str, str, str, int]] = []
     for it in range(n_merges):
         rep = state
@@ -138,6 +154,7 @@ def train_bpe_merges(
             (row["left_sym"], row["right_sym"], row["left_sym"] + row["right_sym"], row["cnt"])
         )
         if it < n_merges - 1:  # the final round's state is never counted
+            before = _persistent_ids()
             state = state.select(
                 "tok",
                 apply_merge(
@@ -148,6 +165,9 @@ def train_bpe_merges(
                     guard=F.col("tok"),
                 ).alias("syms"),
             ).localCheckpoint(eager=True)
+            _unpersist(state_ids)
+            state_ids = _persistent_ids() - before
+    _unpersist(state_ids)
     return merges
 
 

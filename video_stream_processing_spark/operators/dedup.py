@@ -285,7 +285,11 @@ def _exact_jaccard_on_candidates(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    toks = _doc_tokens(docs.join(ids, "doc_id", "left_semi"), text_col, shingle_k)
+    # toks feeds BOTH verify-join branches — checkpoint it too, or the
+    # candidate shingle pass runs twice (same no-exchange-reuse class)
+    toks = _doc_tokens(
+        docs.join(ids, "doc_id", "left_semi"), text_col, shingle_k
+    ).localCheckpoint(eager=True)
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
