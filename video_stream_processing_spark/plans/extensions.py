@@ -3109,32 +3109,53 @@ def x78_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width (band, key); candidate work is collision-sized
     (operators/text.py:simhash_udf)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", T.simhash_udf(F.col("text")).alias("sig"))
+    # materialize the signature table once: both self-join branches
+    # otherwise re-run the Arrow simhash pass over the whole corpus
+    # (fixed-width (doc_id, 64-char sig) rows — the stored-fingerprint
+    # posture; same no-exchange-reuse class as x03/x62)
+    # the verify carries the signature as two 32-bit integer halves so
+    # the per-pair Hamming distance is two XOR+bit_count ops instead of
+    # splitting two 64-char strings into arrays per candidate pair (the
+    # dominant cost on a clique-heavy corpus: 21 -> ~8s at sf0.1)
+    sig = (
+        docs.select("doc_id", T.simhash_udf(F.col("text")).alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
+            F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
+        )
+        .localCheckpoint(eager=True)
+    )
     bands = sig.select(
         "doc_id",
         "sig",
+        "h1",
+        "h2",
         F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band"),
     ).withColumn("bkey", F.expr("substring(sig, band * 16 + 1, 16)"))
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("h1_a"),
+        F.col("h2").alias("h2_a"),
+        "band",
+        "bkey",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+        "band",
+        "bkey",
     )
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b", "h1_a", "h1_b", "h2_a", "h2_b")
         .distinct()
     )
-    ham = F.aggregate(
-        F.zip_with(
-            F.split("sig_a", ""),
-            F.split("sig_b", ""),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    ham = F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b"))) + F.bit_count(
+        F.col("h2_a").bitwiseXOR(F.col("h2_b"))
     )
     return (
         cand.withColumn("hamming", ham.cast("int"))
