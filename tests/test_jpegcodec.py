@@ -186,3 +186,39 @@ def test_imageio_reads_our_encoder(jpeg_interop, tmp_path):
     assert theirs.shape == img.shape
     err = np.abs(theirs[:, :, ::-1].astype(int) - img.astype(int))  # theirs is RGB
     assert err.mean() < 2.0 and err.max() <= 12, (err.mean(), err.max())
+
+
+def test_bitreader_matches_per_bit_reference():
+    """The round-6 multi-bit _BitReader (byte-window reads, 1-padded
+    peek16) must agree with a per-bit reference on random segments,
+    random read sizes, and the exact end-of-segment raise point."""
+    import random
+
+    from video_stream_processing_spark.functions.jpegcodec import (
+        _BitReader,
+        _ScanEnd,
+    )
+
+    rng = random.Random(20240815)
+    for _ in range(200):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 9)))
+        bits = "".join(f"{b:08b}" for b in data)
+        br = _BitReader(data)
+        pos = 0
+        while True:
+            n = rng.randrange(0, 17)
+            want_raise = pos + n > len(bits)
+            try:
+                got = br.receive(n)
+            except _ScanEnd:
+                assert want_raise, (data.hex(), pos, n)
+                break
+            assert not want_raise, (data.hex(), pos, n)
+            expect = int(bits[pos : pos + n] or "0", 2)
+            assert got == expect, (data.hex(), pos, n, got, expect)
+            pos += n
+            # peek16 is 1-padded past the end and never raises
+            padded = (bits[pos : pos + 16] + "1" * 16)[:16]
+            assert br.peek16() == int(padded, 2), (data.hex(), pos)
+            if pos >= len(bits) and rng.random() < 0.5:
+                break
