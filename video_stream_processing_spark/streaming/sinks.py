@@ -122,9 +122,10 @@ def lsh_index_refresh_sink(
     tests/test_curation_stream.py::test_lsh_index_refresh_stream."""
     from video_stream_processing_spark.operators.dedup import (
         JACCARD_THRESHOLD,
+        SHINGLE_K,
         _band_buckets,
         _bucket_join,
-        _doc_tokens,
+        _exact_jaccard_on_candidates,
         _minhash_wide,
     )
 
@@ -132,6 +133,14 @@ def lsh_index_refresh_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        sc = spark.sparkContext
+        # scoped checkpoint release: each micro-batch creates eager
+        # localCheckpoints (batch docs, band table, candidate verify)
+        # whose blocks the async ContextCleaner frees too slowly — a
+        # long-running stream would accumulate one block set per batch.
+        # Snapshot the persistent ids on entry and unpersist only what
+        # this batch created once its writes are committed.
+        pre_ids = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
         batch_df = batch_df.localCheckpoint(eager=True)
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
@@ -170,18 +179,13 @@ def lsh_index_refresh_sink(
             .parquet(index_dir)
         )
         all_docs = spark.read.parquet(docs_dir).where(F.col("__batch_id") <= batch_id)
-        toks = _doc_tokens(all_docs, text_col)
-        ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-        tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-        inter = F.size(F.array_intersect("toks_a", "toks_b"))
-        union = F.size("toks_a") + F.size("toks_b") - inter
-        pairs = (
-            cand.join(ta, "doc_a")
-            .join(tb, "doc_b")
-            .withColumn("jaccard", F.round(inter / union, 4).cast("double"))
-            .where(F.col("jaccard") >= thr)
-            .select("doc_a", "doc_b", "jaccard", "vs_existing")
-        )
+        # candidates-only verify (shared batch helper): shingle ONLY docs
+        # in a candidate pair — the previous inline form tokenized the
+        # WHOLE landed corpus once per join branch every micro-batch,
+        # exactly the corpus re-hash the docstring forbids
+        pairs = _exact_jaccard_on_candidates(
+            cand, all_docs, text_col, SHINGLE_K, thr
+        ).select("doc_a", "doc_b", "jaccard", "vs_existing")
         (
             pairs.withColumn("__batch_id", F.lit(batch_id))
             .write.partitionBy("__batch_id")
@@ -189,6 +193,10 @@ def lsh_index_refresh_sink(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(pairs_dir)
         )
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in pre_ids:
+                jmap.get(k).unpersist()
 
     return sink
 
