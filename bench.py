@@ -112,45 +112,24 @@ def main() -> int:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
-    # Several operators cut lineage with localCheckpoint(eager=True);
-    # their JVM-side RDD blocks are only released after the PYTHON
-    # DataFrame object is garbage-collected (py4j handle -> ContextCleaner),
-    # and Spark's periodic fallback GC runs every 30 min by default — so a
-    # 38-query x 3-rep session accumulates checkpoint blocks and late
-    # queries pay the heap pressure of early ones. A gc.collect() between
-    # queries releases the handles promptly (~ms, outside the timed
-    # window).
-    import gc
+    # Scoped localCheckpoint-block release between queries: the shared
+    # audited helper (session.snapshot_persistent_ids / release_since)
+    # holds the rationale and the reuse caveat.
+    from video_stream_processing_spark.session import (
+        release_since,
+        snapshot_persistent_ids,
+    )
 
     # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
     # transient machine-load spike hits at most one rep of each query
     # instead of all reps of one query.
-    def _persistent_ids() -> set[int]:
-        return {
-            int(k)
-            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-        }
-
-    def _release_since(baseline: set[int]) -> None:
-        # gc.collect() alone is not enough: the async ContextCleaner lags,
-        # and persistent-RDD block sets were measured accumulating 1 -> 7
-        # across just 5 queries. Unpersist ONLY the ids the finished query
-        # created (diff vs the pre-query snapshot) — a blanket unpersist
-        # would delete any future cross-query cached/checkpointed frame,
-        # whose lineage-truncated blocks are unrecoverable.
-        gc.collect()
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) not in baseline:
-                jmap.get(k).unpersist()
-
     for _ in range(reps):
         for n in names:
-            baseline = _persistent_ids()
+            baseline = snapshot_persistent_ids(spark)
             t0 = time.perf_counter()
             run_full(qmap[n](spark, sf_dir))
             samples[n].append(time.perf_counter() - t0)
-            _release_since(baseline)
+            release_since(spark, baseline)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}

@@ -159,7 +159,12 @@ def test_covariance_excludes_null_and_wrong_length_vectors(spark):
     rng = np.random.default_rng(7)
     good = rng.normal(0, 0.2, size=(10, 64)).astype(np.float32)
     rows = [(i, [float(v) for v in r]) for i, r in enumerate(good)]
-    rows += [(100, None), (101, []), (102, [0.5] * 3)]
+    # a null ELEMENT inside a right-length vector is the nastiest case:
+    # Arrow flatten().to_numpy() renders it NaN and astype(int64) on NaN
+    # is platform-undefined — the gate must exclude the whole row
+    null_elem = [0.5] * 64
+    null_elem[17] = None
+    rows += [(100, None), (101, []), (102, [0.5] * 3), (103, null_elem)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     ref = np.cov(good.astype(np.float64), rowvar=False)
     for fn in (covariance_upper_triangle_arrow, covariance_upper_triangle_jvm):

@@ -110,19 +110,21 @@ def train_bpe_merges(
     # learned merges — and the x56 oracle replay — are unchanged). The
     # sample is bounded by sample_mod, so the checkpointed state is
     # sample-token-sized at any corpus scale.
-    sc = docs.sparkSession.sparkContext
+    from video_stream_processing_spark.session import (
+        release_ids,
+        snapshot_persistent_ids,
+    )
+
+    spark = docs.sparkSession
 
     def _persistent_ids() -> set[int]:
-        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return snapshot_persistent_ids(spark)
 
     def _unpersist(ids: set[int]) -> None:
         # release the PREVIOUS round's checkpoint blocks promptly: the
         # async ContextCleaner lags, so without this n_merges sample-sized
         # block sets would pile up (at most 2 copies live at any time now)
-        jmap = sc._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) in ids:
-                jmap.get(k).unpersist()
+        release_ids(spark, ids)
 
     pre_existing = _persistent_ids()
     state = toks.select(

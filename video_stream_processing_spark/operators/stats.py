@@ -144,14 +144,20 @@ def _raw_covariance_batches(
 
 
 def _valid_vectors(emb: DataFrame, dim: int, embedding_col: str) -> DataFrame:
-    """Drop null / wrong-length embeddings BEFORE the statistics: a null
-    list contributes no child values to the flattened Arrow buffer, so
-    the reshape(-1, dim) would silently misalign every following vector
-    in the batch; the JVM twin would count the null row in n while
-    contributing no sums. Malformed rows degrade to 'excluded', never
-    poison the batch (tests/test_null_safety.py)."""
+    """Drop null / wrong-length / null-ELEMENT embeddings BEFORE the
+    statistics: a null list contributes no child values to the flattened
+    Arrow buffer, so the reshape(-1, dim) would silently misalign every
+    following vector in the batch; a null ELEMENT inside a right-length
+    vector is worse — flatten().to_numpy() turns it into NaN and
+    astype(int64) on NaN is platform-undefined garbage (typically
+    INT64_MIN) that would poison the whole batch's Gram sums, while the
+    JVM twin would merely null-propagate that one product. Malformed
+    rows degrade to 'excluded' in BOTH twins, never poison a batch
+    (tests/test_null_safety.py); the x109 oracle mirrors the same gate."""
     return emb.select(embedding_col).where(
-        F.col(embedding_col).isNotNull() & (F.size(embedding_col) == dim)
+        F.col(embedding_col).isNotNull()
+        & (F.size(embedding_col) == dim)
+        & ~F.exists(F.col(embedding_col), lambda x: x.isNull())
     )
 
 

@@ -147,27 +147,22 @@ def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareR
     con = duckdb_connection(sf_dir)
     results = []
 
-    def _persistent_ids() -> set[int]:
-        return {
-            int(k)
-            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-        }
+    from video_stream_processing_spark.session import (
+        release_since,
+        snapshot_persistent_ids,
+    )
 
     for name, spec in all_queries().items():
         if names and name not in names:
             continue
-        baseline = _persistent_ids()
+        baseline = snapshot_persistent_ids(spark)
         try:
             results.append(run_query_pair(spark, con, spec, sf_dir))
         except Exception as e:  # surface, keep going
             results.append(
                 CompareResult(name=name, ok=False, issues=[f"exception: {type(e).__name__}: {e}"])
             )
-        # release the finished query's localCheckpoint blocks (the async
-        # ContextCleaner lags; a 197-query session otherwise accumulates
-        # every eager materialization — same discipline as bench.py)
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) not in baseline:
-                jmap.get(k).unpersist()
+        # release the finished query's localCheckpoint blocks (rationale
+        # and reuse caveat live in session.release_since)
+        release_since(spark, baseline)
     return results

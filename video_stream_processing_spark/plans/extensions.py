@@ -4253,6 +4253,12 @@ WITH q AS (
     SELECT list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
     FROM embeddings
+    -- mirror the Spark path's validity gate (operators/stats.py
+    -- _valid_vectors): null / wrong-length / null-element vectors are
+    -- EXCLUDED from n and the sums in both engines
+    WHERE embedding IS NOT NULL
+      AND len(embedding) = 64
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 n AS (SELECT count(*) AS n FROM q),
 m AS (
@@ -4358,30 +4364,38 @@ def x110_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens_col("text")
     w1s = F.slice(toks, 1, F.size(toks) - 1)
     w2s = F.slice(toks, 2, F.size(toks) - 1)
-    pairs = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.w1", "p.w2")
-        .localCheckpoint(eager=True)
-    )
+    # the pair stream stays a pure EXPRESSION (x76's discipline): it is
+    # O(corpus tokens), so checkpointing it would be a full-corpus
+    # storage copy per query. The corpus is scanned twice instead (once
+    # to count bigrams, once to score) — at 100 TB two scans beat one
+    # scan + one corpus-sized write + one corpus-sized read back.
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
     unic = (
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
+        # vocab-bounded: checkpointing THIS is cheap and feeds two
+        # consumers (nt total + per-token probability) from one pass
         .localCheckpoint(eager=True)
     )
     nt = unic.agg(F.sum("cu").alias("nt"))
     uni = unic.crossJoin(F.broadcast(nt)).select(
         F.col("tok").alias("w2"), (F.col("cu") * 1.0 / F.col("nt")).alias("p_uni")
     )
-    bic = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    # one counting pass over the pair expression; ctx (context totals)
+    # derives from the vocab^2-bounded bigram table by marginalizing over
+    # w2 — identical counts, no second pass and no corpus checkpoint
+    bic = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bic.groupBy("w1").agg(F.sum("cb").alias("cc"))
     scored = (
         pairs.join(F.broadcast(bic), ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")

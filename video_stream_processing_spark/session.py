@@ -59,6 +59,57 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def snapshot_persistent_ids(spark: SparkSession) -> set[int]:
+    """Snapshot the ids of currently persisted RDD blocks.
+
+    The ONE audited place that touches the private py4j surface
+    ``sc._jsc.getPersistentRDDs()`` (previously duplicated across
+    bench.py / oracle.py / streaming sinks / bpe). Used with
+    :func:`release_since` to scope localCheckpoint block release to
+    exactly what one query/batch created — the async ContextCleaner
+    frees them too slowly for a long-lived session (measured 1 -> 7
+    block sets across 5 bench queries).
+    """
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def release_since(spark: SparkSession, baseline: set[int]) -> None:
+    """Unpersist every RDD block created since ``baseline`` (a
+    :func:`snapshot_persistent_ids` snapshot).
+
+    CAVEAT (the reuse trap): this is a snapshot DIFF — any block the
+    scoped work intentionally left cached for a LATER consumer would be
+    unpersisted too, and a lineage-truncated localCheckpoint block is
+    unrecoverable. Callers that hand cached frames across the scope
+    boundary must either include those ids in ``baseline`` or use
+    :func:`release_ids` on an explicit set instead.
+
+    gc.collect() first so py4j handles drop before the unpersist walk —
+    collect alone is NOT enough (the ContextCleaner lags), and
+    unpersist alone leaks the Python-side JavaObject handles.
+    """
+    import gc
+
+    gc.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) not in baseline:
+            jmap.get(k).unpersist()
+
+
+def release_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Unpersist exactly the given RDD block ids (positive form of
+    :func:`release_since` for callers that track what they created —
+    e.g. the BPE trainer releasing the PREVIOUS round's state)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist()
+
+
 def get_spark(
     app_name: str = "video-stream-processing-spark",
     master: str | None = None,

@@ -133,14 +133,18 @@ def lsh_index_refresh_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sc = spark.sparkContext
         # scoped checkpoint release: each micro-batch creates eager
         # localCheckpoints (batch docs, band table, candidate verify)
         # whose blocks the async ContextCleaner frees too slowly — a
         # long-running stream would accumulate one block set per batch.
         # Snapshot the persistent ids on entry and unpersist only what
         # this batch created once its writes are committed.
-        pre_ids = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        from video_stream_processing_spark.session import (
+            release_since,
+            snapshot_persistent_ids,
+        )
+
+        pre_ids = snapshot_persistent_ids(spark)
         batch_df = batch_df.localCheckpoint(eager=True)
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
@@ -193,10 +197,7 @@ def lsh_index_refresh_sink(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(pairs_dir)
         )
-        jmap = sc._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) not in pre_ids:
-                jmap.get(k).unpersist()
+        release_since(spark, pre_ids)
 
     return sink
 
