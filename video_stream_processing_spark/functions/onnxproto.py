@@ -124,7 +124,19 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
 
 def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     n, pos = _read_varint(buf, pos)
-    return buf[pos : pos + n], pos + n
+    end = pos + n
+    if end > len(buf):
+        raise ValueError(
+            f"length-delimited field of {n} bytes overruns buffer "
+            f"({len(buf) - pos} remaining) — corrupt protobuf"
+        )
+    return buf[pos:end], end
+
+
+def _read_fixed32_float(buf: bytes, pos: int) -> tuple[float, int]:
+    if pos + 4 > len(buf):
+        raise ValueError("fixed32 field overruns buffer — corrupt protobuf")
+    return struct.unpack("<f", buf[pos : pos + 4])[0], pos + 4
 
 
 def _read_repeated_int(buf: bytes, pos: int, wire: int, dest: list[int]) -> int:
@@ -136,6 +148,8 @@ def _read_repeated_int(buf: bytes, pos: int, wire: int, dest: list[int]) -> int:
             v, p = _read_varint(chunk, p)
             dest.append(_signed(v))
         return pos
+    if wire != 0:
+        raise ValueError(f"repeated int64 field has wire type {wire}, expected 0 or 2")
     v, pos = _read_varint(buf, pos)
     dest.append(_signed(v))
     return pos
@@ -144,10 +158,17 @@ def _read_repeated_int(buf: bytes, pos: int, wire: int, dest: list[int]) -> int:
 def _read_repeated_float(buf: bytes, pos: int, wire: int, dest: list[float]) -> int:
     if wire == 2:
         chunk, pos = _read_bytes(buf, pos)
+        if len(chunk) % 4:
+            raise ValueError(
+                f"packed float field length {len(chunk)} not a multiple of 4"
+            )
         dest.extend(struct.unpack(f"<{len(chunk) // 4}f", chunk))
         return pos
-    dest.append(struct.unpack("<f", buf[pos : pos + 4])[0])
-    return pos + 4
+    if wire != 5:
+        raise ValueError(f"repeated float field has wire type {wire}, expected 5 or 2")
+    v, pos = _read_fixed32_float(buf, pos)
+    dest.append(v)
+    return pos
 
 
 def _emit_tag(out: bytearray, fieldno: int, wire: int) -> None:
@@ -256,8 +277,11 @@ class AttributeProto:
                 b, pos = _read_bytes(buf, pos)
                 a.name = b.decode("utf-8")
             elif fno == 2:
-                a.f = struct.unpack("<f", buf[pos : pos + 4])[0]
-                pos += 4
+                if wire != 5:
+                    raise ValueError(
+                        f"AttributeProto.f has wire type {wire}, expected 5 (fixed32)"
+                    )
+                a.f, pos = _read_fixed32_float(buf, pos)
             elif fno == 3:
                 v, pos = _read_varint(buf, pos)
                 a.i = _signed(v)
@@ -593,8 +617,11 @@ class ModelProto:
 
 
 def tensor_to_numpy(t: TensorProto):
-    """TensorProto -> numpy array. raw_data (little-endian, the ONNX
-    spec's layout) takes precedence over the typed repeated fields."""
+    """TensorProto -> numpy array (always a fresh WRITABLE array; the
+    executor may fold weights in place). raw_data (little-endian, the
+    ONNX spec's layout) takes precedence over the typed repeated fields;
+    either payload's element count is validated against prod(dims) so a
+    truncated tensor raises instead of silently mis-shaping."""
     import numpy as np
 
     if t.data_type == DT_FLOAT:
@@ -611,9 +638,23 @@ def tensor_to_numpy(t: TensorProto):
         typed = t.int32_data  # spec stores uint8 in int32_data
     else:
         raise NotImplementedError(f"tensor data_type {t.data_type} not supported")
+    n_expected = 1
+    for d in t.dims:
+        n_expected *= d
     if t.raw_data:
-        arr = np.frombuffer(t.raw_data, dtype=dtype)
+        if len(t.raw_data) != n_expected * dtype.itemsize:
+            raise ValueError(
+                f"tensor {t.name!r}: raw_data is {len(t.raw_data)} bytes, "
+                f"dims {t.dims} require {n_expected * dtype.itemsize}"
+            )
+        # .copy(): np.frombuffer views the (immutable) bytes read-only
+        arr = np.frombuffer(t.raw_data, dtype=dtype).copy()
     else:
+        if len(typed) != n_expected:
+            raise ValueError(
+                f"tensor {t.name!r}: {len(typed)} typed elements, "
+                f"dims {t.dims} require {n_expected}"
+            )
         arr = np.asarray(typed, dtype=dtype)
     return arr.reshape(t.dims if t.dims else ())
 

@@ -129,9 +129,13 @@ class OnnxDetector:
     """Real YOLOv8 ONNX path. The tensor math (preprocess resize/CHW/255,
     postprocess argmax/threshold/rescale/clamp + NMS) is fully implemented
     in pure numpy (operators/yolo.py, matching YOLODetector.java:234-287
-    and ImageUtils.java:41-74); only ``ort.InferenceSession`` construction
-    is import-gated (onnxruntime absent in this container). Session
-    options mirrored: 2 intra-op threads, basic graph opt
+    and ImageUtils.java:41-74). ``backend="numpy"`` executes the .onnx
+    graph itself with the engine's dependency-free executor
+    (operators/onnx_numpy.py over functions/onnxproto.py), so the full
+    decode -> preprocess -> graph -> postprocess -> NMS chain runs a REAL
+    model file in this container; ``backend="ort"`` (default) uses
+    onnxruntime when installed, with the reference's session options
+    mirrored: 2 intra-op threads, basic graph opt
     (YOLODetector.java:71-75).
 
     ``session`` and ``decoder`` are injectable: tests drive the complete
@@ -152,14 +156,24 @@ class OnnxDetector:
         conf_threshold: float = CONF_THRESHOLD,
         iou_threshold: float = NMS_IOU_THRESHOLD,
         input_name: str = "images",  # YOLODetector.java:137
+        backend: str = "ort",  # "ort" | "numpy"
     ):
+        if session is None and backend == "numpy":
+            # dependency-free executor (operators/onnx_numpy.py) over the
+            # engine's own ONNX protobuf layer — the same run() contract
+            from video_stream_processing_spark.operators.onnx_numpy import (
+                NumpyGraphSession,
+            )
+
+            session = NumpyGraphSession(model_path)
         if session is None:  # pragma: no cover - onnxruntime not installed here
             try:
                 import onnxruntime as ort
             except ImportError as e:
                 raise NotImplementedError(
-                    "onnxruntime is not available in this environment; inject a "
-                    "session= (tests) or use StubDetector (SURVEY.md §5.2)"
+                    "onnxruntime is not available in this environment; use "
+                    "backend='numpy' (operators/onnx_numpy.py), inject a "
+                    "session= (tests), or use StubDetector (SURVEY.md §5.2)"
                 ) from e
             opts = ort.SessionOptions()
             opts.intra_op_num_threads = 2

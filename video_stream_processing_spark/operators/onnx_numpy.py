@@ -1,0 +1,499 @@
+"""Pure-numpy ONNX graph executor over functions/onnxproto.py.
+
+The reference executes its detector with onnxruntime
+(/root/reference/src/main/java/com/video/streaming/processor/
+YOLODetector.java:71-90 builds an OrtSession; :137-139 feeds a
+float[1,3,640,640] named "images" and reads output[0]); onnxruntime is
+not installed in this container, so this module executes the parsed
+GraphProto with numpy instead. :class:`NumpyGraphSession` mirrors the
+two ort.InferenceSession surfaces the engine touches —
+``run(output_names, feed_dict)`` and ``get_inputs()/get_outputs()`` —
+so ``OnnxDetector(backend="numpy")`` (operators/detection.py) drives
+the identical decode -> preprocess -> run -> postprocess -> NMS chain.
+
+Implemented op set (ONNX opset 13-17 semantics, the subset a YOLO-style
+detector head needs): Conv, MaxPool, Sigmoid, Relu, Mul, Add, Sub, Div,
+Concat, Resize (nearest/asymmetric/floor — the torch Upsample export),
+Transpose, Reshape, Slice, Split, Softmax, MatMul, Gemm, Constant.
+Everything is vectorized numpy (Conv/MaxPool via an explicit
+kH*kW-offset im2col + einsum); unsupported ops/attributes raise
+NotImplementedError rather than silently mis-executing.
+
+Scale note (SURVEY §4.2): one session is constructed per Python worker
+and reused across Arrow batches (the reference likewise builds one
+OrtSession per subtask in open(), VideoProcessFunction.java:60-66); the
+weights live in the worker, never in a Spark row, and inference stays
+inside the pandas-UDF batch loop.
+
+``make_tiny_detector`` builds the deterministic fixture model
+(tests/test_onnx_numpy.py pins its serialized bytes and the end-to-end
+detection output) covering every mandated op on the real [1,3,640,640]
+-> [1,84,N] wire shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from video_stream_processing_spark.functions import onnxproto as op
+from video_stream_processing_spark.functions.onnxproto import (
+    AttributeProto,
+    GraphProto,
+    ModelProto,
+    NodeProto,
+    ValueInfoProto,
+    numpy_to_tensor,
+    tensor_to_numpy,
+)
+
+__all__ = ["NumpyGraphSession", "make_tiny_detector"]
+
+
+# --------------------------------------------------------------------------
+# attribute helpers
+# --------------------------------------------------------------------------
+
+
+def _ints(attrs: dict, name: str, default: list[int] | None = None) -> list[int]:
+    if name in attrs:
+        return list(attrs[name].ints)
+    if default is None:
+        raise NotImplementedError(f"required attribute {name!r} missing")
+    return list(default)
+
+
+def _int(attrs: dict, name: str, default: int) -> int:
+    return int(attrs[name].i) if name in attrs else default
+
+
+def _str(attrs: dict, name: str, default: str) -> str:
+    return attrs[name].s.decode("utf-8") if name in attrs else default
+
+
+def _check_notset_autopad(attrs: dict, opname: str) -> None:
+    ap = _str(attrs, "auto_pad", "NOTSET")
+    if ap not in ("", "NOTSET"):
+        raise NotImplementedError(f"{opname}: auto_pad={ap!r} (use explicit pads)")
+
+
+def _im2col(
+    X: np.ndarray,
+    kH: int,
+    kW: int,
+    sH: int,
+    sW: int,
+    dH: int,
+    dW: int,
+    pads: list[int],
+    pad_value: float,
+) -> np.ndarray:
+    """(N,C,H,W) -> (N,C,kH,kW,oH,oW) window gather: one strided slice per
+    kernel offset (kH*kW slices, no per-pixel Python), the standard
+    vectorized-numpy conv/pool front end."""
+    if pads != [0, 0, 0, 0]:
+        X = np.pad(
+            X,
+            ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
+            constant_values=pad_value,
+        )
+    N, C, H, W = X.shape
+    eKH, eKW = (kH - 1) * dH + 1, (kW - 1) * dW + 1
+    oH = (H - eKH) // sH + 1
+    oW = (W - eKW) // sW + 1
+    if oH <= 0 or oW <= 0:
+        raise ValueError(f"window {kH}x{kW} larger than padded input {H}x{W}")
+    cols = np.empty((N, C, kH, kW, oH, oW), dtype=X.dtype)
+    for i in range(kH):
+        for j in range(kW):
+            cols[:, :, i, j] = X[
+                :,
+                :,
+                i * dH : i * dH + sH * (oH - 1) + 1 : sH,
+                j * dW : j * dW + sW * (oW - 1) + 1 : sW,
+            ]
+    return cols
+
+
+# --------------------------------------------------------------------------
+# operator kernels: (attrs, inputs) -> list of outputs
+# --------------------------------------------------------------------------
+
+
+def _op_conv(node: NodeProto, inp: list) -> list:
+    X, W = inp[0], inp[1]
+    B = inp[2] if len(inp) > 2 else None
+    attrs = node.attrs()
+    _check_notset_autopad(attrs, "Conv")
+    if X.ndim != 4 or W.ndim != 4:
+        raise NotImplementedError("Conv: only 2-D (NCHW) convolution supported")
+    kH, kW = int(W.shape[2]), int(W.shape[3])
+    ks = _ints(attrs, "kernel_shape", [kH, kW])
+    if ks != [kH, kW]:
+        raise ValueError(f"Conv: kernel_shape {ks} != weight spatial dims {[kH, kW]}")
+    sH, sW = _ints(attrs, "strides", [1, 1])
+    dH, dW = _ints(attrs, "dilations", [1, 1])
+    pads = _ints(attrs, "pads", [0, 0, 0, 0])
+    g = _int(attrs, "group", 1)
+    C = X.shape[1]
+    M = W.shape[0]
+    if C % g or M % g or W.shape[1] != C // g:
+        raise ValueError(f"Conv: group={g} inconsistent with X C={C}, W {W.shape}")
+    cols = _im2col(X, kH, kW, sH, sW, dH, dW, pads, 0.0)
+    N, _, _, _, oH, oW = cols.shape
+    cols_g = cols.reshape(N, g, C // g, kH, kW, oH, oW)
+    Wg = W.reshape(g, M // g, C // g, kH, kW)
+    out = np.einsum("ngcijyx,gmcij->ngmyx", cols_g, Wg, optimize=True)
+    out = np.ascontiguousarray(out.reshape(N, M, oH, oW).astype(X.dtype, copy=False))
+    if B is not None:
+        out += B.reshape(1, M, 1, 1).astype(out.dtype, copy=False)
+    return [out]
+
+
+def _op_maxpool(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    attrs = node.attrs()
+    _check_notset_autopad(attrs, "MaxPool")
+    if X.ndim != 4:
+        raise NotImplementedError("MaxPool: only 2-D (NCHW) pooling supported")
+    if _int(attrs, "ceil_mode", 0):
+        raise NotImplementedError("MaxPool: ceil_mode=1 not supported")
+    kH, kW = _ints(attrs, "kernel_shape")
+    sH, sW = _ints(attrs, "strides", [1, 1])
+    dH, dW = _ints(attrs, "dilations", [1, 1])
+    pads = _ints(attrs, "pads", [0, 0, 0, 0])
+    cols = _im2col(X, kH, kW, sH, sW, dH, dW, pads, -np.inf)
+    return [cols.max(axis=(2, 3))]
+
+
+def _op_resize(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    scales = inp[2] if len(inp) > 2 else None
+    sizes = inp[3] if len(inp) > 3 else None
+    attrs = node.attrs()
+    mode = _str(attrs, "mode", "nearest")
+    ctm = _str(attrs, "coordinate_transformation_mode", "half_pixel")
+    nearest = _str(attrs, "nearest_mode", "round_prefer_floor")
+    # The torch nn.Upsample(scale_factor=2) export — the only Resize a
+    # YOLO backbone emits: nearest / asymmetric / floor.
+    if mode != "nearest" or ctm != "asymmetric" or nearest != "floor":
+        raise NotImplementedError(
+            f"Resize: only nearest/asymmetric/floor supported, got "
+            f"{mode}/{ctm}/{nearest}"
+        )
+    if X.ndim != 4:
+        raise NotImplementedError("Resize: only NCHW input supported")
+    N, C, H, W = X.shape
+    if sizes is not None and np.asarray(sizes).size:
+        sz = np.asarray(sizes).astype(np.int64)
+        if int(sz[0]) != N or int(sz[1]) != C:
+            raise NotImplementedError("Resize: N/C resize not supported")
+        oH, oW = int(sz[2]), int(sz[3])
+        sh, sw = oH / H, oW / W
+    elif scales is not None and np.asarray(scales).size:
+        sc = np.asarray(scales).astype(np.float64)
+        if sc[0] != 1.0 or sc[1] != 1.0:
+            raise NotImplementedError("Resize: N/C resize not supported")
+        sh, sw = float(sc[2]), float(sc[3])
+        oH, oW = int(np.floor(H * sh)), int(np.floor(W * sw))
+    else:
+        raise ValueError("Resize: one of scales/sizes must be provided")
+    iy = np.clip(np.floor(np.arange(oH) / sh).astype(np.int64), 0, H - 1)
+    ix = np.clip(np.floor(np.arange(oW) / sw).astype(np.int64), 0, W - 1)
+    return [np.ascontiguousarray(X[:, :, iy][:, :, :, ix])]
+
+
+def _op_reshape(node: NodeProto, inp: list) -> list:
+    X, shape = inp[0], np.asarray(inp[1]).astype(np.int64)
+    if _int(node.attrs(), "allowzero", 0):
+        raise NotImplementedError("Reshape: allowzero=1 not supported")
+    dims = [int(X.shape[i]) if s == 0 else int(s) for i, s in enumerate(shape)]
+    return [X.reshape(dims)]  # a single -1 is resolved by numpy itself
+
+
+def _op_transpose(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    perm = _ints(node.attrs(), "perm", list(range(X.ndim))[::-1])
+    return [np.ascontiguousarray(X.transpose(perm))]
+
+
+def _op_concat(node: NodeProto, inp: list) -> list:
+    axis = int(node.attrs()["axis"].i)
+    return [np.concatenate(inp, axis=axis)]
+
+
+def _op_split(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    attrs = node.attrs()
+    axis = _int(attrs, "axis", 0)
+    if len(inp) > 1 and inp[1] is not None:  # opset 13: split as input
+        split = np.asarray(inp[1]).astype(np.int64).tolist()
+    elif "split" in attrs:  # opset <13: split as attribute
+        split = _ints(attrs, "split")
+    else:
+        n = len(node.output)
+        if X.shape[axis] % n:
+            raise ValueError(f"Split: axis dim {X.shape[axis]} not divisible by {n}")
+        split = [X.shape[axis] // n] * n
+    return [np.ascontiguousarray(s) for s in np.split(X, np.cumsum(split)[:-1], axis=axis)]
+
+
+def _op_slice(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    starts = np.asarray(inp[1]).astype(np.int64)
+    ends = np.asarray(inp[2]).astype(np.int64)
+    axes = (
+        np.asarray(inp[3]).astype(np.int64)
+        if len(inp) > 3 and inp[3] is not None
+        else np.arange(len(starts), dtype=np.int64)
+    )
+    steps = (
+        np.asarray(inp[4]).astype(np.int64)
+        if len(inp) > 4 and inp[4] is not None
+        else np.ones(len(starts), dtype=np.int64)
+    )
+    sl = [slice(None)] * X.ndim
+    for a, s, e, st in zip(axes, starts, ends, steps):
+        a = int(a) % X.ndim
+        sl[a] = slice(int(s), int(e), int(st))
+    return [np.ascontiguousarray(X[tuple(sl)])]
+
+
+def _op_softmax(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    axis = _int(node.attrs(), "axis", -1)
+    m = X.max(axis=axis, keepdims=True)
+    e = np.exp(X - m)
+    return [e / e.sum(axis=axis, keepdims=True)]
+
+
+def _op_gemm(node: NodeProto, inp: list) -> list:
+    A, B = inp[0], inp[1]
+    C = inp[2] if len(inp) > 2 else None
+    attrs = node.attrs()
+    alpha = attrs["alpha"].f if "alpha" in attrs else 1.0
+    beta = attrs["beta"].f if "beta" in attrs else 1.0
+    if _int(attrs, "transA", 0):
+        A = A.T
+    if _int(attrs, "transB", 0):
+        B = B.T
+    Y = np.asarray(alpha, dtype=A.dtype) * (A @ B)
+    if C is not None:
+        Y = Y + np.asarray(beta, dtype=A.dtype) * C
+    return [Y]
+
+
+def _op_constant(node: NodeProto, inp: list) -> list:
+    attrs = node.attrs()
+    if "value" not in attrs or attrs["value"].t is None:
+        raise NotImplementedError("Constant: only the tensor `value` form supported")
+    return [tensor_to_numpy(attrs["value"].t)]
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    # Branch on sign for overflow-free float32 (exp of a large positive
+    # would warn/inf; both branches keep the input dtype).
+    pos = x >= 0
+    out = np.empty_like(x)
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+_OPS: dict = {
+    "Conv": _op_conv,
+    "MaxPool": _op_maxpool,
+    "Resize": _op_resize,
+    "Reshape": _op_reshape,
+    "Transpose": _op_transpose,
+    "Concat": _op_concat,
+    "Split": _op_split,
+    "Slice": _op_slice,
+    "Softmax": _op_softmax,
+    "Gemm": _op_gemm,
+    "MatMul": lambda node, inp: [inp[0] @ inp[1]],
+    "Constant": _op_constant,
+    "Sigmoid": lambda node, inp: [_sigmoid(inp[0])],
+    "Relu": lambda node, inp: [np.maximum(inp[0], 0)],
+    "Mul": lambda node, inp: [inp[0] * inp[1]],
+    "Add": lambda node, inp: [inp[0] + inp[1]],
+    "Sub": lambda node, inp: [inp[0] - inp[1]],
+    "Div": lambda node, inp: [inp[0] / inp[1]],
+}
+
+
+# --------------------------------------------------------------------------
+# session
+# --------------------------------------------------------------------------
+
+
+class _IOArg:
+    """Minimal ort.NodeArg stand-in (name/shape are what callers read)."""
+
+    def __init__(self, name: str, shape: list[int]):
+        self.name = name
+        self.shape = shape
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"_IOArg(name={self.name!r}, shape={self.shape})"
+
+
+class NumpyGraphSession:
+    """ort.InferenceSession-shaped executor for a parsed ONNX model.
+
+    ``model`` may be a ModelProto, a path, or raw bytes. Nodes execute in
+    graph order (ONNX requires topological order; a forward reference
+    raises KeyError with the missing tensor name). All intermediates are
+    numpy arrays keyed by tensor name; initializers are materialized once
+    at construction and shared across run() calls.
+    """
+
+    def __init__(self, model: ModelProto | str | bytes):
+        if not isinstance(model, ModelProto):
+            model = op.load_model(model)
+        self.model = model
+        g = model.graph
+        self._init = {t.name: tensor_to_numpy(t) for t in g.initializer}
+        for node in g.node:
+            if node.op_type not in _OPS:
+                raise NotImplementedError(
+                    f"op {node.op_type!r} (node {node.name!r}) not in the "
+                    f"supported set {sorted(_OPS)}"
+                )
+        self._inputs = [
+            _IOArg(v.name, [d.dim_value for d in v.dims])
+            for v in g.input
+            if v.name not in self._init
+        ]
+        self._outputs = [
+            _IOArg(v.name, [d.dim_value for d in v.dims]) for v in g.output
+        ]
+
+    def get_inputs(self) -> list[_IOArg]:
+        return self._inputs
+
+    def get_outputs(self) -> list[_IOArg]:
+        return self._outputs
+
+    def run(self, output_names: list[str] | None, input_feed: dict) -> list:
+        values = dict(self._init)
+        for name, arr in input_feed.items():
+            values[name] = np.asarray(arr)
+        for node in self.model.graph.node:
+            kernel = _OPS[node.op_type]
+            # "" marks an omitted optional input (ONNX convention)
+            args = [values[n] if n else None for n in node.input]
+            outs = kernel(node, args)
+            for name, arr in zip(node.output, outs):
+                if name:
+                    values[name] = arr
+        names = output_names or [o.name for o in self._outputs]
+        return [values[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture model
+# --------------------------------------------------------------------------
+
+
+def make_tiny_detector(seed: int = 7, num_classes: int = 80) -> ModelProto:
+    """Tiny YOLO-shaped detector exercising every mandated op on the real
+    wire contract: input "images" [1,3,640,640] float32, output
+    "output0" [1,4+num_classes,1600] with rows 0..3 = (cx,cy,w,h) in
+    640-space and rows 4.. = sigmoid class scores — exactly the tensor
+    YOLODetector.postProcess consumes (YOLODetector.java:137,234-287).
+
+    stem Conv16s16 -> SiLU -> {branch A: kept at 40x40} ;
+    MaxPool2 -> mid Conv3x3(pad1) -> SiLU -> +residual Add ->
+    Resize x2 (nearest) -> Concat(A) -> head Conv1x1 -> Split(4/nc) ->
+    box: Mul/Add affine to 640-space ; cls: Mul/Sub then Sigmoid ->
+    Concat -> Transpose -> Reshape [1,84,1600].
+
+    Weights come from numpy's PCG64 generator (seed fixed) — the model
+    bytes are fully deterministic, pinned by sha256 in
+    tests/test_onnx_numpy.py.
+    """
+    rng = np.random.default_rng(seed)
+    ch = 8
+
+    def w(name: str, *shape: int, gain: float = 1.0):
+        arr = (rng.standard_normal(shape) * gain).astype(np.float32)
+        return numpy_to_tensor(name, arr)
+
+    nc = num_classes
+    inits = [
+        w("w_stem", ch, 3, 16, 16, gain=0.08),
+        w("b_stem", ch, gain=0.1),
+        w("w_mid", ch, ch, 3, 3, gain=0.15),
+        w("b_mid", ch, gain=0.1),
+        w("w_head", 4 + nc, 2 * ch, 1, 1, gain=0.4),
+        w("b_head", 4 + nc, gain=0.1),
+        numpy_to_tensor("up_scales", np.array([1, 1, 2, 2], dtype=np.float32)),
+        numpy_to_tensor("split_4_nc", np.array([4, nc], dtype=np.int64)),
+        # box affine: cx,cy around 320 +/- 40*raw; w,h around 64 + 12*raw
+        numpy_to_tensor(
+            "box_scale", np.array([40, 40, 12, 12], dtype=np.float32).reshape(1, 4, 1, 1)
+        ),
+        numpy_to_tensor(
+            "box_off", np.array([320, 320, 64, 64], dtype=np.float32).reshape(1, 4, 1, 1)
+        ),
+        # cls logits shifted down so only a sparse tail clears conf 0.5
+        numpy_to_tensor("cls_gain", np.array([1.5], dtype=np.float32)),
+        numpy_to_tensor("cls_shift", np.array([2.5], dtype=np.float32)),
+        numpy_to_tensor(
+            "out_shape", np.array([1, 4 + nc, 1600], dtype=np.int64)
+        ),
+    ]
+
+    def n(op_type: str, inputs: list[str], outputs: list[str], name: str, **attrs):
+        alist = []
+        for k, v in attrs.items():
+            if isinstance(v, int):
+                alist.append(AttributeProto.make_int(k, v))
+            elif isinstance(v, float):
+                alist.append(AttributeProto.make_float(k, v))
+            elif isinstance(v, str):
+                alist.append(AttributeProto.make_string(k, v))
+            elif isinstance(v, list):
+                alist.append(AttributeProto.make_ints(k, v))
+            else:  # pragma: no cover - fixture-internal
+                raise TypeError(f"attr {k}: {type(v)}")
+        return NodeProto(op_type=op_type, name=name, input=inputs, output=outputs, attribute=alist)
+
+    nodes = [
+        n("Conv", ["images", "w_stem", "b_stem"], ["c1"], "stem",
+          kernel_shape=[16, 16], strides=[16, 16], pads=[0, 0, 0, 0]),
+        n("Sigmoid", ["c1"], ["c1_sig"], "stem_sig"),
+        n("Mul", ["c1", "c1_sig"], ["silu1"], "stem_silu"),
+        n("MaxPool", ["silu1"], ["p1"], "pool",
+          kernel_shape=[2, 2], strides=[2, 2]),
+        n("Conv", ["p1", "w_mid", "b_mid"], ["c2"], "mid",
+          kernel_shape=[3, 3], strides=[1, 1], pads=[1, 1, 1, 1]),
+        n("Sigmoid", ["c2"], ["c2_sig"], "mid_sig"),
+        n("Mul", ["c2", "c2_sig"], ["silu2"], "mid_silu"),
+        n("Add", ["p1", "silu2"], ["r2"], "residual"),
+        n("Resize", ["r2", "", "up_scales"], ["up"], "upsample",
+          mode="nearest", coordinate_transformation_mode="asymmetric",
+          nearest_mode="floor"),
+        n("Concat", ["up", "silu1"], ["cat"], "neck_concat", axis=1),
+        n("Conv", ["cat", "w_head", "b_head"], ["head"], "head",
+          kernel_shape=[1, 1], strides=[1, 1], pads=[0, 0, 0, 0]),
+        n("Split", ["head", "split_4_nc"], ["box_raw", "cls_raw"], "split_head", axis=1),
+        n("Mul", ["box_raw", "box_scale"], ["box_scaled"], "box_mul"),
+        n("Add", ["box_scaled", "box_off"], ["box"], "box_add"),
+        n("Mul", ["cls_raw", "cls_gain"], ["cls_gained"], "cls_mul"),
+        n("Sub", ["cls_gained", "cls_shift"], ["cls_logit"], "cls_sub"),
+        n("Sigmoid", ["cls_logit"], ["cls"], "cls_sig"),
+        n("Concat", ["box", "cls"], ["pre"], "out_concat", axis=1),
+        n("Transpose", ["pre"], ["pre_t"], "out_transpose", perm=[0, 1, 3, 2]),
+        n("Reshape", ["pre_t", "out_shape"], ["output0"], "out_reshape"),
+    ]
+
+    graph = GraphProto(
+        name="tiny-detector",
+        node=nodes,
+        initializer=inits,
+        input=[ValueInfoProto.make("images", [1, 3, 640, 640])],
+        output=[ValueInfoProto.make("output0", [1, 4 + nc, 1600])],
+    )
+    return ModelProto(graph=graph)

@@ -173,3 +173,94 @@ def u03_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_detections") >= N_ANCHORS // 5)
     )
+
+
+# --------------------------------------------------------------------------
+# u04: the REAL model chain — a .onnx graph executed by the engine's own
+# numpy executor, no onnxruntime, no fake session (round-8 close of
+# SURVEY §2 #14 against YOLODetector.java:92-175).
+# --------------------------------------------------------------------------
+
+_U04_SAMPLE_HEX = "15"  # md5 prefix < 0x15 ~= 21/256 ~= 8% of rows
+
+
+def _u04_detector():
+    """One parsed model + session per Python worker (the reference builds
+    one YOLODetector per subtask in open(), VideoProcessFunction.java:60-66).
+    The fixture model is deterministic (seed-pinned weights), so every
+    worker materializes byte-identical weights locally — nothing but the
+    Arrow batches crosses the JVM boundary."""
+    global _U04_DET
+    try:
+        return _U04_DET
+    except NameError:
+        from video_stream_processing_spark.operators.detection import OnnxDetector
+        from video_stream_processing_spark.operators.onnx_numpy import (
+            NumpyGraphSession,
+            make_tiny_detector,
+        )
+
+        _U04_DET = OnnxDetector(session=NumpyGraphSession(make_tiny_detector()))
+        return _U04_DET
+
+
+@register(
+    "u04_onnx_numpy_detect",
+    oracle=None,
+    tags=("udf", "pandas_udf", "multimodal", "rows_only"),
+)
+def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> preprocess -> ONNX graph (numpy executor) -> postprocess
+    -> NMS on REAL image bytes: each sampled embedding is rendered into a
+    deterministic BMP, and OnnxDetector runs the seed-pinned fixture
+    model through operators/onnx_numpy.NumpyGraphSession — the complete
+    YOLODetector.detect(byte[]) chain (YOLODetector.java:92-175) with the
+    graph itself executing in this container. rows_only: a conv graph is
+    not ANSI-SQL-expressible; the numerics are instead pinned end-to-end
+    by tests/test_onnx_numpy.py (byte-reproducible output, hand-checked
+    kernels). Scale posture: md5-deterministic ~8% sample bounds work per
+    run; repartition BEFORE binary synthesis so image bytes never cross a
+    shuffle; one session per worker reused across Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.detection import DETECTIONS_TYPE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = emb.where(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < _U04_SAMPLE_HEX
+    ).repartition(32, "vec_id")
+
+    @F.pandas_udf("binary")
+    def render_bmp(vec_id, embedding):  # no hints: pd is a local import
+        out = []
+        for vid, e in zip(vec_id, embedding):
+            v = np.asarray(e, dtype=np.float64)
+            if v.size == 0:
+                out.append(None)
+                continue
+            h = 40 + int(vid) % 25
+            w = 56 + int(vid) % 31
+            span = float(v.max() - v.min()) or 1.0
+            px = np.resize(((v - v.min()) / span * 255.0), h * w * 3)
+            out.append(encode_bmp(np.rint(px).astype(np.uint8).reshape(h, w, 3)))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(DETECTIONS_TYPE)
+    def detect(blobs):  # no hints: pd is a local import
+        return _u04_detector().detect_batch(blobs)
+
+    d = F.explode(detect(render_bmp("vec_id", "embedding")).alias("dets")).alias("d")
+    return (
+        sel.select("vec_id", d)
+        .select(
+            "vec_id",
+            F.col("d.object_class").alias("object_class"),
+            F.round(F.col("d.confidence").cast("double"), 4).alias("confidence"),
+            F.round(F.col("d.bbox.x1").cast("double"), 2).alias("bbox_x1"),
+            F.round(F.col("d.bbox.y1").cast("double"), 2).alias("bbox_y1"),
+            F.round(F.col("d.bbox.x2").cast("double"), 2).alias("bbox_x2"),
+            F.round(F.col("d.bbox.y2").cast("double"), 2).alias("bbox_y2"),
+        )
+    )

@@ -76,7 +76,9 @@ def snapshot_persistent_ids(spark: SparkSession) -> set[int]:
     }
 
 
-def release_since(spark: SparkSession, baseline: set[int]) -> None:
+def release_since(
+    spark: SparkSession, baseline: set[int], collect_gc: bool = True
+) -> None:
     """Unpersist every RDD block created since ``baseline`` (a
     :func:`snapshot_persistent_ids` snapshot).
 
@@ -89,11 +91,17 @@ def release_since(spark: SparkSession, baseline: set[int]) -> None:
 
     gc.collect() first so py4j handles drop before the unpersist walk —
     collect alone is NOT enough (the ContextCleaner lags), and
-    unpersist alone leaks the Python-side JavaObject handles.
+    unpersist alone leaks the Python-side JavaObject handles. Pass
+    ``collect_gc=False`` on a latency-sensitive path (the streaming
+    foreachBatch sinks) to skip the full driver GC pause; the unpersist
+    walk still frees executor block memory, and any py4j handle the
+    Python side still holds is reclaimed by the next periodic GC instead
+    of inline on the batch's critical path.
     """
-    import gc
+    if collect_gc:
+        import gc
 
-    gc.collect()
+        gc.collect()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for k in jmap.keySet().toArray():
         if int(k) not in baseline:

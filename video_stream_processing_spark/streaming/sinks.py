@@ -197,7 +197,9 @@ def lsh_index_refresh_sink(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(pairs_dir)
         )
-        release_since(spark, pre_ids)
+        # collect_gc=False: no full driver GC on the micro-batch critical
+        # path — the unpersist walk alone frees the executor blocks
+        release_since(spark, pre_ids, collect_gc=False)
 
     return sink
 
