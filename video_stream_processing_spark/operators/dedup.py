@@ -206,7 +206,9 @@ def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
     return _bucket_join(bands)
 
 
-def _bucket_join(bands: DataFrame, neighbor_window: int | None = None) -> DataFrame:
+def _bucket_join(
+    bands: DataFrame, neighbor_window: int | None = None, distinct: bool = True
+) -> DataFrame:
     """Candidate pairs from band buckets.
 
     Exact mode (neighbor_window=None, the oracle-checked default): docs
@@ -244,16 +246,15 @@ def _bucket_join(bands: DataFrame, neighbor_window: int | None = None) -> DataFr
         return stacked.where(F.col("doc_b").isNotNull()).distinct()
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # distinct=False lets a caller that unions several candidate streams
+    # dedup ONCE over the union (one exchange) instead of per-stream
+    return pairs.distinct() if distinct else pairs
 
 
 def _exact_jaccard_on_candidates(
@@ -332,6 +333,8 @@ def incremental_lsh_neardups(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     shingle_k: int | None = SHINGLE_K,
+    corpus: DataFrame | None = None,
+    shard_pred=None,
 ) -> DataFrame:
     """Incremental-ingest form of ``minhash_lsh_neardups``: near-dup
     pairs INTRODUCED by an arriving shard, against the existing corpus
@@ -349,15 +352,32 @@ def incremental_lsh_neardups(
     (shard x stored-index, shard x shard), never a re-hash or re-pair
     of the full corpus. Exact-Jaccard verification touches candidates
     only; document bodies never shuffle (all join keys are band keys /
-    doc ids; token sets join per-side by doc_id)."""
-    # The shard band table feeds THREE references (the cross join and
-    # both sides of the in-shard self-join): materialize it once — the
-    # in-query analog of the stored band index this operator models
-    # (fixed-width rows, |shard| x n_bands sized).
-    shard_bands = _band_buckets(
-        _minhash_wide(shard, text_col, shingle_k=shingle_k)
-    ).localCheckpoint(eager=True)
-    base_bands = _band_buckets(_minhash_wide(base, text_col, shingle_k=shingle_k))
+    doc ids; token sets join per-side by doc_id).
+
+    When ``base``/``shard`` are row-disjoint slices of ONE table, pass
+    that table as ``corpus`` plus a doc_id predicate ``shard_pred``
+    selecting the shard: the band index is then built in ONE corpus
+    pass and materialized ONCE (the in-query stand-in for reading the
+    stored index), with the shard/base sides derived by filter from the
+    materialized table — instead of two independent minhash pipelines
+    scanning the table twice (r7 plan audit: 8 scans/20 exchanges; the
+    one-pass form roughly halves both). Results are identical; the
+    differential test pins one-pass == two-input == full-corpus-filter.
+    """
+    if corpus is not None and shard_pred is not None:
+        all_bands = _band_buckets(
+            _minhash_wide(corpus, text_col, shingle_k=shingle_k)
+        ).localCheckpoint(eager=True)
+        shard_bands = all_bands.where(shard_pred)
+        base_bands = all_bands.where(~shard_pred)
+        verify_docs = corpus
+    else:
+        # generic two-input path: sides may come from different tables
+        shard_bands = _band_buckets(
+            _minhash_wide(shard, text_col, shingle_k=shingle_k)
+        ).localCheckpoint(eager=True)
+        base_bands = _band_buckets(_minhash_wide(base, text_col, shingle_k=shingle_k))
+        verify_docs = base.unionByName(shard)
     s = shard_bands.alias("s")
     b = base_bands.alias("b")
     vs_base = (
@@ -366,13 +386,19 @@ def incremental_lsh_neardups(
             F.least(F.col("s.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("s.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
-        .distinct()
         .withColumn("vs_existing", F.lit(True))
     )
-    in_shard = _bucket_join(shard_bands).withColumn("vs_existing", F.lit(False))
-    cand = vs_base.unionByName(in_shard)
+    in_shard = _bucket_join(shard_bands, distinct=False).withColumn(
+        "vs_existing", F.lit(False)
+    )
+    # ONE distinct over the union instead of one per branch: a pair's
+    # vs_existing flag is a function of its (fixed) shard membership, so
+    # no (doc_a, doc_b) can appear under both flags — the merged distinct
+    # dedups exactly the same band-collision repeats, one exchange
+    # cheaper.
+    cand = vs_base.unionByName(in_shard).distinct()
     return _exact_jaccard_on_candidates(
-        cand, base.unionByName(shard), text_col, shingle_k, threshold
+        cand, verify_docs, text_col, shingle_k, threshold
     ).select("doc_a", "doc_b", "jaccard", "vs_existing")
 
 

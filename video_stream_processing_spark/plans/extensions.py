@@ -1378,11 +1378,16 @@ def x106_incremental_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base band table is a STORED index appended per ingest, so each
     arriving shard costs O(|shard|) hashing + two bucket equi-joins —
     the full corpus is never re-hashed or re-paired
-    (operators/dedup.py:incremental_lsh_neardups). bench:headline"""
+    (operators/dedup.py:incremental_lsh_neardups). In-query, the stored
+    index is stood in by ONE materialized band table built in a single
+    corpus pass (corpus= + shard_pred=), shard/base sides derived by
+    filter — r8 materialize-once fix over the r7 8-scan/20-exchange
+    plan. bench:headline"""
     docs = load_table(spark, sf_dir, "documents")
-    shard = docs.where(F.col("doc_id") % 10 == 7)
-    base = docs.where(F.col("doc_id") % 10 != 7)
-    return D.incremental_lsh_neardups(base, shard)
+    pred = F.col("doc_id") % 10 == 7
+    return D.incremental_lsh_neardups(
+        docs.where(~pred), docs.where(pred), corpus=docs, shard_pred=pred
+    )
 
 
 @register(
