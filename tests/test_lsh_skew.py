@@ -157,3 +157,13 @@ def test_incremental_lsh_equals_full_recompute_restriction(spark):
         assert vs_existing == ((a in shard_ids) != (b in shard_ids))
     # base-only cluster C never surfaces
     assert (3, 4) not in inc
+    # r8 one-pass form (corpus= + shard_pred=, the x106 shape: one scan
+    # builds one materialized band index) must be row-identical to the
+    # generic two-input form
+    one_pass = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["vs_existing"])
+        for r in incremental_lsh_neardups(
+            base, shard, corpus=docs, shard_pred=F.col("doc_id") % 10 == 7
+        ).collect()
+    }
+    assert one_pass == inc
