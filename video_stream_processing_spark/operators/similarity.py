@@ -739,12 +739,25 @@ FROM corpus asg LEFT JOIN dropped d ON asg.vec_id = d.vec_b
     )
 
 
-def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+def neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4, sample_hex: str | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
     All-pairs here (the exact answer the blocked/LSH variants
     approximate); blocking keys (LSH bucket or IVF list) bound the
-    quadratic term at scale."""
+    quadratic term at scale. ``sample_hex`` bounds THIS operator the
+    same way the exactness role allows: a deterministic md5-prefix slice
+    of the corpus (b37 pattern, engine-reproducible, oracle-mirrored in
+    neardup_oracle_sql) is paired exhaustively — the quadratic term is
+    then (f*n)^2 for fraction f, a fixed budget knob, while the answer
+    stays EXACT on the slice (so it still recall-gates the approximate
+    variants on that slice). None = the full all-pairs baseline."""
+    if sample_hex is not None:
+        emb = emb.where(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, len(sample_hex))
+            < sample_hex
+        )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -873,11 +886,17 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def neardup_oracle_sql(threshold: float = 0.4) -> str:
+def neardup_oracle_sql(threshold: float = 0.4, sample_hex: str | None = None) -> str:
     cos = cosine_sql("a.embedding", "b.embedding")
+    src = "embeddings"
+    if sample_hex is not None:
+        src = (
+            "(SELECT * FROM embeddings WHERE "
+            f"substr(md5(CAST(vec_id AS VARCHAR)), 1, {len(sample_hex)}) < '{sample_hex}')"
+        )
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
 

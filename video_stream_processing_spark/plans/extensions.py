@@ -84,13 +84,20 @@ def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x05_embedding_neardup",
-    oracle=S.neardup_oracle_sql(threshold=0.4),
+    oracle=S.neardup_oracle_sql(threshold=0.4, sample_hex="66"),
     tags=("extension", "dedup", "vector"),
 )
 def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.4) — exact all-pairs
-    baseline; the LSH/IVF blockers (x07/x08) are the scale path."""
-    return S.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    EXACTNESS BASELINE, bounded (r8) to a deterministic md5-prefix slice
+    (< '66' ~= 40% of vecs, oracle-mirrored, b37 pattern) so the
+    quadratic term is a fixed budget knob at any corpus size instead of
+    unbounded O(n^2); within the slice the answer is exact, preserving
+    the recall-gate role. The LSH/IVF blockers (x07/x08) are the scale
+    path for full-corpus coverage."""
+    return S.neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, sample_hex="66"
+    )
 
 
 # --------------------------------------------------------------------------
