@@ -135,6 +135,21 @@ def main() -> int:
     spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # Streaming throughput (VERDICT r7 task 5 / SURVEY §6 design point
+    # 75 frames/s): the full stateful detection path — keyframe gate ->
+    # stub inference -> NMS -> explode — replayed over the events table
+    # via tools/stream_bench.measure. One number next to the headline
+    # total; the per-path breakdown stays in tools/stream_bench.py.
+    stream_fps = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from stream_bench import measure as _stream_measure
+
+        stream_res = _stream_measure(spark, sf_dir, paths=("full_detection_path",))
+        stream_fps = stream_res["full_detection_path"]["frames_per_sec"]
+    except Exception as e:  # pragma: no cover - bench must still emit its line
+        stream_fps = f"error: {str(e)[:80]}"
     # Per-query numbers and spread go to a side file: the driver captures
     # only a small stdout tail, and r05's 34-query single-line payload
     # overflowed it (BENCH_r05 "parsed": null).  The FINAL stdout line is
@@ -150,6 +165,7 @@ def main() -> int:
                 "spread": spread,
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
+                "stream_throughput_fps": stream_fps,
             },
             fh,
             indent=1,
@@ -162,6 +178,7 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
+        "stream_throughput_fps": stream_fps,
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:

@@ -6,6 +6,10 @@ stream through the stateful keyframe gate and the exact segment operator
 Reference design point: 25 fps x 3 streams = 75 frames/s
 (BASELINE.md; VideoStreamMockProducer defaults). Prints one JSON line.
 
+``measure(spark, sf_dir, paths=...)`` is importable — bench.py calls it
+to record a ``stream_throughput_fps`` metric next to the headline total
+(VERDICT r7 task 5).
+
 Usage: python tools/stream_bench.py [sf_dir]
 """
 
@@ -25,12 +29,13 @@ from pyspark.sql import functions as F
 from video_stream_processing_spark.session import get_spark
 from video_stream_processing_spark.tables import load_table
 
+ALL_PATHS = ("keyframe_gate", "exact_segments", "full_detection_path", "funnel_cep")
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("stream-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
+def measure(spark, sf_dir: str, paths: tuple[str, ...] = ALL_PATHS) -> dict:
+    """Run the requested stateful-streaming paths end-to-end (noop sink,
+    processAllAvailable) and return {path: {sec, frames_per_sec}} plus
+    n_frames. Work dir (replayed frames + checkpoints) is temp-scoped."""
     work = tempfile.mkdtemp(prefix="vsp-stream-bench-")
     frames_dir = os.path.join(work, "frames")
     try:
@@ -77,28 +82,33 @@ def main() -> int:
                 "stream_id", F.explode(nms(detect(F.col("embedding")))).alias("d")
             )
 
-        events_dir = os.path.join(work, "events")
-        ev.select("user_id", "event_type", "ts").write.mode("overwrite").parquet(events_dir)
-        ev_stream = spark.readStream.schema(
-            "user_id long, event_type string, ts timestamp"
-        ).parquet(events_dir)
-
         def funnel_path():
             """view->click->purchase CEP state machine (b55's streaming
             twin) — per-user O(1) state, event-time timeout expiry."""
             from video_stream_processing_spark.streaming.stateful import funnel_stream
 
+            events_dir = os.path.join(work, "events")
+            ev.select("user_id", "event_type", "ts").write.mode("overwrite").parquet(
+                events_dir
+            )
+            ev_stream = spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp"
+            ).parquet(events_dir)
             return funnel_stream(ev_stream)
 
-        results = {}
-        for name, build in (
-            ("keyframe_gate", lambda: keyframes_stream(stream, 300_000, 50.0)),
-            ("exact_segments", lambda: exact_segments_stream(stream.select("stream_id", "ts"))),
-            ("full_detection_path", full_detection_path),
-            ("funnel_cep", funnel_path),
-        ):
+        builders = {
+            "keyframe_gate": lambda: keyframes_stream(stream, 300_000, 50.0),
+            "exact_segments": lambda: exact_segments_stream(
+                stream.select("stream_id", "ts")
+            ),
+            "full_detection_path": full_detection_path,
+            "funnel_cep": funnel_path,
+        }
+
+        results: dict = {"n_frames": n_frames}
+        for name in paths:
             q = (
-                build()
+                builders[name]()
                 .writeStream.format("noop")
                 .option("checkpointLocation", os.path.join(work, f"ck-{name}"))
                 .outputMode("append")
@@ -112,21 +122,29 @@ def main() -> int:
                 "sec": round(dt, 2),
                 "frames_per_sec": round(n_frames / dt, 1),
             }
-
-        print(
-            json.dumps(
-                {
-                    "metric": "streaming_stateful_throughput",
-                    "n_frames": n_frames,
-                    "sf_dir": sf_dir,
-                    "reference_design_point_fps": 75,
-                    "results": results,
-                }
-            )
-        )
-        return 0
+        return results
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = measure(spark, sf_dir)
+    n_frames = results.pop("n_frames")
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_stateful_throughput",
+                "n_frames": n_frames,
+                "sf_dir": sf_dir,
+                "reference_design_point_fps": 75,
+                "results": results,
+            }
+        )
+    )
+    return 0
 
 
 if __name__ == "__main__":
