@@ -152,3 +152,47 @@ def test_doc_chunking_invariants(spark, tmp_path):
         assert covered == set(range(n))  # every token lands in >= 1 chunk
     assert len(by_doc[10]) == 1 and len(by_doc[40]) == 1
     assert len(by_doc[41]) == 2 and len(by_doc[100]) == 3
+
+
+def test_repeated_passages_planted_recovery(spark):
+    """x114's operator recovers planted verbatim passages EXACTLY: right
+    pair, right 0-based offsets, right maximal length — and only them."""
+    from video_stream_processing_spark.operators.dedup import repeated_passages
+
+    passage = " ".join(f"shared{i}" for i in range(20))  # 20-token passage
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        # doc 1: passage at token offset 5; doc 2: same passage at offset 3
+        (1, filler("a", 5) + " " + passage + " " + filler("b", 6)),
+        (2, filler("c", 3) + " " + passage + " " + filler("d", 8)),
+        # doc 3: an UNRELATED doc with no 15-gram overlap
+        (3, filler("e", 40)),
+        # docs 4/5: exact duplicates — one island spanning the whole doc
+        (4, filler("f", 30)),
+        (5, filler("f", 30)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["start_a"], r["start_b"], r["match_len"])
+        for r in repeated_passages(docs, gram_len=15, max_gram_docs=8).collect()
+    }
+    assert out == {
+        (1, 2): (5, 3, 20),   # maximal run = the full 20-token passage
+        (4, 5): (0, 0, 30),   # exact dup = whole-doc island
+    }
+
+
+def test_repeated_passages_boilerplate_cap(spark):
+    """A gram present in more docs than the cap is dropped (boilerplate
+    guard) — without the cap this corpus would fan out quadratically."""
+    from video_stream_processing_spark.operators.dedup import repeated_passages
+
+    boiler = " ".join(f"tpl{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}x unique{i}y " + boiler) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # 10 docs share the gram; cap 8 -> dropped entirely
+    assert repeated_passages(docs, gram_len=15, max_gram_docs=8).count() == 0
+    # raising the cap reinstates all 45 pairs
+    assert repeated_passages(docs, gram_len=15, max_gram_docs=16).count() == 45

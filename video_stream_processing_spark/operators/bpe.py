@@ -214,6 +214,47 @@ def bpe_piece_counts(
     )
 
 
+def bpe_decode(pieces: Column) -> Column:
+    """Decode a piece array back to the original token string. BPE
+    merges only ever CONCATENATE adjacent symbols, so decode is exact
+    concatenation — encode∘decode = identity on every token, by
+    construction of the algorithm; THIS function plus the round-trip
+    report below is what proves the fold implementation preserves that
+    (a fold bug that drops/duplicates a symbol breaks the identity)."""
+    return F.concat_ws("", pieces)
+
+
+def bpe_roundtrip_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc encode∘decode audit over the FULL corpus: token count,
+    post-merge piece count, and the number of tokens whose decoded
+    pieces do NOT reproduce the token (must be 0 everywhere — the
+    column exists so the ORACLE independently recomputes it rather than
+    the test asserting a constant). Same zero-shuffle scan -> project
+    shape as bpe_piece_counts: both folds run per row inside
+    transform/aggregate."""
+    tl = _word_tokens(text_col)
+
+    def pieces_of(tok: Column) -> Column:
+        return apply_merges(_chars(tok), merges, guard=tok)
+
+    return docs.select(
+        "doc_id",
+        F.size(tl).alias("n_tokens"),
+        F.aggregate(
+            F.transform(tl, lambda tok: F.size(pieces_of(tok))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        ).alias("n_pieces"),
+        F.size(
+            F.filter(tl, lambda tok: bpe_decode(pieces_of(tok)) != tok)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle builders — replay training and apply with string-encoded
 # list_reduce folds ('|'-joined symbols; safe, alphabet is [a-z]+).
@@ -290,6 +331,34 @@ SELECT doc_id,
        CAST(len(tl) AS INT) AS n_tokens,
        CAST(coalesce(list_sum(list_transform(tl, tok -> len({folded}))), 0) AS BIGINT)
            AS n_pieces
+FROM docs_t {joins}
+"""
+    )
+
+
+def bpe_roundtrip_oracle_sql(
+    n_merges: int = 3, sample_mod: int = 5, sample_rem: int = 0
+) -> str:
+    """Oracle for bpe_roundtrip_report: training replayed, then per token
+    the folded pieces are BOTH counted and decoded (array_to_string '')
+    and compared against the token — the identity check recomputed from
+    scratch in the second engine."""
+    folded = "string_split(tok, '')"
+    for k in range(1, n_merges + 1):
+        folded = f"string_split({_fold_sql(folded, f'm{k}')}, '|')"
+    joins = " ".join(f"CROSS JOIN m{k}" for k in range(1, n_merges + 1))
+    return (
+        _training_ctes(n_merges, sample_mod, sample_rem)
+        + f""",
+docs_t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
+)
+SELECT doc_id,
+       CAST(len(tl) AS INT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(tl, tok -> len({folded}))), 0) AS BIGINT)
+           AS n_pieces,
+       CAST(coalesce(len(list_filter(tl, tok -> array_to_string({folded}, '') <> tok)), 0) AS BIGINT)
+           AS n_mismatch
 FROM docs_t {joins}
 """
     )

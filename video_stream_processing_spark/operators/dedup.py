@@ -914,3 +914,132 @@ def decontaminate_pairs_bloom(
             F.round(F.col("shared") / F.col("n"), 4).alias("overlap_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup: maximal cross-doc repeated passages
+# ---------------------------------------------------------------------------
+
+
+def repeated_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram_len: int = 15,
+    max_gram_docs: int = 8,
+) -> DataFrame:
+    """EXACT substring-level dedup — the repeated-passage finder the
+    whole-doc (x01) and set-similarity (x02/x04) dedups both miss: two
+    documents sharing a verbatim run of >= ``gram_len`` tokens are
+    reported with the MAXIMAL shared run's offsets and length, the
+    passage-level recipe of the public train-data-dedup literature
+    (suffix-array substring dedup approximated by stride-1 token
+    L-grams + diagonal merge).
+
+    Emits (doc_a, doc_b, start_a, start_b, match_len): 0-based token
+    offsets of each maximal shared passage, match_len in tokens
+    (>= gram_len by construction). doc_a < doc_b.
+
+    Pipeline: stride-1 L-gram md5s per doc -> boilerplate guard (grams
+    in > max_gram_docs distinct docs are dropped — template/boilerplate
+    text otherwise fans out quadratically) -> per-gram bounded
+    occurrence sets grouped ONCE (x108's bounded-source-set shape; pair
+    generation is an in-row array transform, NOT a self-join shuffle)
+    -> matching (pos_a, pos_b) anchors merged into maximal runs by the
+    gaps-and-islands trick on the (doc_a, doc_b, pos_b - pos_a)
+    diagonal. Consecutive anchors on one diagonal differ by exactly 1
+    in pos_a, so island size k means a shared run of k + L - 1 tokens.
+
+    Scale: one corpus scan; one exchange on the gram hash (the grouped
+    occurrence sets); one exchange for the diagonal window. Per-gram
+    work is bounded by the boilerplate cap (cross-doc) times per-doc
+    repetition (bounded by doc length). 100 TB posture: the gram table
+    is the store-and-append artifact (like x106's band index), and the
+    cap is the knob that keeps hot boilerplate from exploding."""
+    from video_stream_processing_spark.operators.text import tokens_col
+
+    grams = (
+        docs.select("doc_id", tokens_col(text_col).alias("t"))
+        .where(F.size("t") >= gram_len)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - gram_len),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, F.lit(gram_len)))
+                    ),
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    occs = (
+        grams.groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("os"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .where((F.col("nd") >= 2) & (F.col("nd") <= max_gram_docs))
+    )
+    # cross-doc anchor pairs from each bounded occurrence list (in-row
+    # array transform; sorted by (doc_id, pos) so doc_a < doc_b holds)
+    pairs = occs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(os, a -> transform("
+                "filter(os, b -> b.doc_id > a.doc_id), "
+                "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "a.pos AS pos_a, b.pos AS pos_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_b") - F.col("pos_a")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        pairs.select("doc_a", "doc_b", "pos_a", "pos_b", diag)
+        .withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + gram_len - 1).alias("match_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
+    )
+
+
+def repeated_passages_oracle_sql(gram_len: int = 15, max_gram_docs: int = 8) -> str:
+    """DuckDB replay of repeated_passages: same stride-1 md5 grams, same
+    boilerplate cap, pairs via plain self-join (set-identical to the
+    bounded in-row generation), same gaps-and-islands merge."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {gram_len}
+),
+grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         md5(array_to_string(t[u.i : u.i + {gram_len} - 1], ' ')) AS g
+  FROM toks,
+       unnest(list_transform(range(1, len(t) - {gram_len} + 2), x -> {{'i': x}})) AS s(u)
+),
+keep AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {max_gram_docs}
+),
+pruned AS (SELECT grams.* FROM grams JOIN keep USING (g)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pos_b - pos_a AS diag,
+         pos_a - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pos_b - pos_a ORDER BY pos_a) AS island
+  FROM pairs
+)
+SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       CAST(count(*) + {gram_len} - 1 AS BIGINT) AS match_len
+FROM isl GROUP BY doc_a, doc_b, diag, island
+"""

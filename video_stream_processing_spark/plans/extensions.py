@@ -4706,3 +4706,52 @@ def x113_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x114 — exact substring-level dedup (maximal repeated passages)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x114_repeated_passages",
+    oracle=D.repeated_passages_oracle_sql(gram_len=15, max_gram_docs=8),
+    tags=("extension", "dedup", "substring"),
+)
+def x114_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (VERDICT r7 task 6): maximal verbatim
+    cross-doc token runs >= 15 tokens, with offsets — the passage-level
+    recipe whole-doc hashing (x01) and set-similarity (x02/x04) both
+    miss (a doc quoting 80 tokens of another is invisible to both).
+    Stride-1 L-gram md5 anchors, boilerplate cap at 8 docs/gram, bounded
+    per-gram occurrence sets (no self-join), gaps-and-islands merge on
+    the (doc_a, doc_b) diagonal (operators/dedup.py:repeated_passages).
+    Planted-passage recovery pinned in tests/test_curation_ops.py."""
+    return D.repeated_passages(
+        load_table(spark, sf_dir, "documents"), gram_len=15, max_gram_docs=8
+    )
+
+
+# --------------------------------------------------------------------------
+# x115 — BPE decode + encode∘decode identity audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x115_bpe_roundtrip",
+    oracle=B.bpe_roundtrip_oracle_sql(n_merges=3, sample_mod=5, sample_rem=0),
+    tags=("extension", "text", "tokenizer", "bpe"),
+)
+def x115_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE decode + round-trip audit (VERDICT r7 task 7): tokenize the
+    corpus with the trained merges (x56/x57's exact training replay),
+    DECODE each token's pieces by concatenation, and report per doc the
+    token/piece counts plus the number of round-trip mismatches — the
+    oracle recomputes the identity check from scratch (n_mismatch = 0
+    everywhere is a RESULT both engines derive, not an assumption).
+    Same zero-shuffle scan -> project corpus pass as x57; hypothesis
+    property in tests/test_bpe.py covers arbitrary token/merge chains
+    (operators/bpe.py:bpe_roundtrip_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [m[:3] for m in B.train_bpe_merges(docs, n_merges=3, sample_mod=5, sample_rem=0)]
+    return B.bpe_roundtrip_report(docs, merges)
