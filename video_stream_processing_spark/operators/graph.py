@@ -180,6 +180,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     the convergence margin for chain-heavy graphs."""
     from video_stream_processing_spark.operators.dedup import dedup_clusters
 
+    # Materialize the caller's edge pipeline ONCE: pairs, nodes AND the
+    # engine's symmetrized edge table below all derive from it, and for
+    # a derived graph (x92's co-purchase self-join) the upstream is far
+    # more expensive than the |E|-sized checkpoint (measured 10.4 ->
+    # ~6 s at sf0.1; the iteration itself is 2 rounds on that graph).
+    edges = edges.localCheckpoint(eager=True)
     pairs = (
         edges.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))

@@ -1679,7 +1679,8 @@ SELECT doc_id, CAST(f AS INT) AS frame_id,
        CAST(((doc_id + 3*f) % 13) + 8 AS INT) AS height,
        CAST(2 * ((doc_id * 7 + f * 11) % 128) AS INT) AS px_min,
        CAST(2 * ((doc_id * 7 + f * 11) % 128) AS INT) AS px_max
-FROM (SELECT doc_id, unnest(range((doc_id % 4) + 2)) AS f FROM documents)
+FROM (SELECT doc_id, unnest(range((doc_id % 4) + 2)) AS f FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '5c')
 """,
     tags=("extension", "multimodal", "pandas_udf", "codec", "video"),
 )
@@ -1693,7 +1694,11 @@ def x53_mjpeg_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle predicts frame count, per-frame dimensions and
     exact decoded gray arithmetically, so the splitter AND the decoder
     are both differential-checked
-    (operators/multimodal.py:mjpeg_frames_stats)."""
+    (operators/multimodal.py:mjpeg_frames_stats). Bounded (r8) to a
+    deterministic md5 doc slice (< '5c' ~= 36%, oracle-mirrored, b37
+    pattern): the pure-Python codec work per doc is the point of the
+    proof, not its corpus-wide repetition — the slice keeps the sweep
+    budget fixed at any corpus size."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -1701,7 +1706,11 @@ def x53_mjpeg_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
     from video_stream_processing_spark.operators.multimodal import mjpeg_frames_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "5c")
+    )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
