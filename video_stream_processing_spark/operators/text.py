@@ -172,18 +172,47 @@ def _token_bits(w: str) -> np.ndarray:
 
 
 def simhash_udf(text_col: Column) -> Column:
+    """Arrow-batched SimHash. r8 vectorization (the last per-token Python
+    loop on a corpus path, VERDICT r7): md5 runs once per BATCH-UNIQUE
+    token (not per occurrence), the sign matrix is gathered for all
+    occurrences at once, and per-row sums are one np.add.reduceat over
+    row-contiguous segments — chunked at row boundaries so the gathered
+    temp stays bounded regardless of Arrow batch size. The md5 bit
+    contract and the integer summation are unchanged, so x04/x78 oracle
+    parity is preserved bit-for-bit."""
+
     @F.pandas_udf("string")
     def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = sorted(set((t or "").split()))
-            if not toks:
-                out.append("0" * SIMHASH_BITS)
-                continue
-            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-            for w in toks:
-                acc += 2 * _token_bits(w).astype(np.int64) - 1
-            out.append("".join("1" if v >= 0 else "0" for v in acc))
+        tok_lists = [sorted(set((t or "").split())) for t in texts]
+        out: list[str | None] = ["0" * SIMHASH_BITS] * len(tok_lists)
+        rows = [i for i, tl in enumerate(tok_lists) if tl]
+        if rows:
+            flat = np.asarray(
+                [w for i in rows for w in tok_lists[i]], dtype=object
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            signs = np.empty((len(uniq), SIMHASH_BITS), dtype=np.int32)
+            for u, w in enumerate(uniq):
+                signs[u] = 2 * _token_bits(w).astype(np.int32) - 1
+            lens = np.fromiter(
+                (len(tok_lists[i]) for i in rows), dtype=np.int64, count=len(rows)
+            )
+            ends = np.cumsum(lens)
+            # chunk at row boundaries: gathered temp <= ~CHUNK x 64 int32
+            CHUNK = 1 << 18
+            r0 = 0
+            while r0 < len(rows):
+                r1 = int(np.searchsorted(ends, ends[r0] - lens[r0] + CHUNK)) + 1
+                r1 = min(max(r1, r0 + 1), len(rows))
+                base = ends[r0] - lens[r0]
+                starts = (ends[r0:r1] - lens[r0:r1] - base).astype(np.int64)
+                acc = np.add.reduceat(signs[inv[base : ends[r1 - 1]]], starts, axis=0)
+                chars = ((acc >= 0).astype(np.uint8) + 48).tobytes()
+                for k in range(r1 - r0):
+                    out[rows[r0 + k]] = chars[
+                        k * SIMHASH_BITS : (k + 1) * SIMHASH_BITS
+                    ].decode("ascii")
+                r0 = r1
         return pd.Series(out)
 
     return simhash(text_col)
