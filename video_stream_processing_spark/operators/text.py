@@ -420,3 +420,146 @@ def quality_prune_report(hist: DataFrame, keep_frac: float = 0.3) -> DataFrame:
             "quality_threshold",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram
+# importance weights; Xie et al. 2023, the public recipe behind
+# target-domain corpus selection for LLM pretraining)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+
+
+def _dsir_bucket(f: Column, n_buckets: int) -> Column:
+    """Feature -> hash bucket: first 8 md5 hex digits mod n_buckets
+    (engine-identical; the oracle uses ('0x'||substr(md5,1,8))::BIGINT)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, target_pred: Column, text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight: sum over the doc's hashed
+    unigram+bigram features of ln p_target(bucket) - ln p_raw(bucket),
+    with add-1 smoothing over the bucket space. Positive weight = the
+    doc looks more like the target domain than the raw corpus — the
+    resampling key for target-domain corpus selection.
+
+    Float parity discipline (the x51 pattern, NOT the x101 one): the
+    per-bucket log ratio stays a raw double and only the final per-doc
+    sum is rounded (4 dp). Rounding each bucket's ratio onto a fine
+    decimal grid first was tried and is WORSE: the rounded decimals sum
+    onto exact half-way points of the final grid, where the engines'
+    upstream double-rounding ulps (Spark HALF_UP on the exact binary vs
+    DuckDB nearbyint on the scaled double) surface as +-1e-6 flips (13
+    of 500 docs diverged). Raw doubles keep the noise at ~1e-14 (libm
+    ulp x feature count), ten orders below the 4-dp grid.
+
+    Scale: one corpus scan -> (doc, bucket) counts (one exchange);
+    bucket stats are a FIXED n_buckets-row table broadcast back (the
+    paper's hashed-feature trick is exactly what makes the model state
+    O(buckets), not O(vocab)); per-doc weight is one more keyed
+    aggregate. Docs with no features keep weight 0.
+    """
+    feats = F.concat(tokens_col(text_col), shingles(text_col, 2))
+    fx = (
+        docs.select(
+            "doc_id",
+            target_pred.alias("is_target"),
+            F.explode(feats).alias("f"),
+        )
+        .select("doc_id", "is_target", _dsir_bucket(F.col("f"), n_buckets).alias("b"))
+    )
+    doc_b = fx.groupBy("doc_id", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    raw = doc_b.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = doc_b.where(F.col("is_target")).groupBy("b").agg(F.sum("c").alias("ct"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(whole) + n_buckets)
+                )
+                - F.log(
+                    (F.col("cr") + 1)
+                    / (F.sum("cr").over(whole) + n_buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    w = (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr")).alias("w_sum"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", target_pred.alias("is_target"))
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.round(F.coalesce(F.col("w_sum"), F.lit(0.0)), 4).alias("log_weight"),
+            (F.round(F.coalesce(F.col("w_sum"), F.lit(0.0)), 4) > 0).alias("selected"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    target_sql: str = "lang = 'en'", n_buckets: int = DSIR_BUCKETS
+) -> str:
+    """DuckDB replay of dsir_weights: same md5 buckets, same add-1
+    smoothing, same round-then-DECIMAL log-ratio, same exact sum."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, ({target_sql}) AS is_target,
+           regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+fx AS (
+    SELECT doc_id, is_target,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % {n_buckets} AS b
+    FROM (
+        SELECT doc_id, is_target,
+               unnest(t || list_transform(range(1, greatest(len(t), 1)),
+                                          i -> t[i] || ' ' || t[i+1])) AS f
+        FROM toks
+    )
+),
+doc_b AS (
+    SELECT doc_id, is_target, b, count(*) AS c FROM fx GROUP BY doc_id, is_target, b
+),
+raw AS (SELECT b, sum(c) AS cr FROM doc_b GROUP BY b),
+tgt AS (SELECT b, sum(c) AS ct FROM doc_b WHERE is_target GROUP BY b),
+lr AS (
+    SELECT raw.b,
+           ln((coalesce(ct, 0) + 1)
+              / (sum(coalesce(ct, 0)) OVER () + {n_buckets}))
+           - ln((cr + 1) / (sum(cr) OVER () + {n_buckets})) AS lr
+    FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+w AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, sum(c * lr) AS w_sum
+    FROM doc_b JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, ({target_sql.replace('lang', 'd.lang')}) AS is_target,
+       coalesce(w.n_feats, 0) AS n_feats,
+       round(coalesce(w.w_sum, 0), 4) AS log_weight,
+       round(coalesce(w.w_sum, 0), 4) > 0 AS selected
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""

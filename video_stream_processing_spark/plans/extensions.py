@@ -4764,3 +4764,26 @@ def x115_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = [m[:3] for m in B.train_bpe_merges(docs, n_merges=3, sample_mod=5, sample_rem=0)]
     return B.bpe_roundtrip_report(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# x116 — DSIR importance resampling weights (target-domain data selection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x116_dsir_weights",
+    oracle=T.dsir_oracle_sql(target_sql="lang = 'en'"),
+    tags=("extension", "text", "quality", "selection"),
+)
+def x116_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-doc importance
+    log-weight of hashed unigram+bigram features under target (lang=en)
+    vs raw bucket distributions, add-1 smoothed — positive weight means
+    the doc resembles the target domain. Per-bucket log-ratios are
+    rounded once and DECIMAL-summed (x101 float-parity pattern) so both
+    engines produce identical sums. Model state is a FIXED 512-row
+    broadcast table at any corpus size; one corpus scan, two keyed
+    aggregates (operators/text.py:dsir_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dsir_weights(docs, F.col("lang") == "en")
