@@ -477,26 +477,25 @@ def dsir_weights(
     doc_b = fx.groupBy("doc_id", "is_target", "b").agg(
         F.count(F.lit(1)).alias("c")
     )
-    from pyspark.sql import Window
-
-    whole = Window.partitionBy()
-    raw = doc_b.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = doc_b.where(F.col("is_target")).groupBy("b").agg(F.sum("c").alias("ct"))
-    lr = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    / (F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(whole) + n_buckets)
-                )
-                - F.log(
-                    (F.col("cr") + 1)
-                    / (F.sum("cr").over(whole) + n_buckets)
-                )
-            ).alias("lr"),
+    # scalar totals broadcast back (the x51 shape) rather than a
+    # partition-less window over the bucket table — at 512 rows either
+    # works, but the repo bans the global-window shape on principle
+    # (it degenerates to one partition whenever the frame ISN'T bounded)
+    stats = (
+        doc_b.groupBy("b").agg(
+            F.sum("c").alias("cr"),
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
         )
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("tot_r"), F.sum("ct").alias("tot_t")
+    )
+    lr = stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tot_t") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("tot_r") + n_buckets))
+        ).alias("lr"),
     )
     w = (
         doc_b.join(F.broadcast(lr), "b")
