@@ -196,3 +196,43 @@ def test_repeated_passages_boilerplate_cap(spark):
     assert repeated_passages(docs, gram_len=15, max_gram_docs=8).count() == 0
     # raising the cap reinstates all 45 pairs
     assert repeated_passages(docs, gram_len=15, max_gram_docs=16).count() == 45
+
+
+def test_dsir_weights_planted_domains(spark):
+    """x116's operator: docs built from target-domain vocabulary score
+    positive log-weights, off-domain docs negative, and the weight is a
+    monotone signal of domain resemblance on a mixed doc."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.text import dsir_weights
+
+    tgt_text = "alpha beta gamma delta epsilon zeta eta theta"
+    off_text = "uno dos tres cuatro cinco seis siete ocho"
+    rows = (
+        [(i, tgt_text, "en") for i in range(6)]
+        + [(10 + i, off_text, "es") for i in range(6)]
+        + [(20, tgt_text, "es")]                      # target-looking raw doc
+        + [(21, tgt_text + " " + off_text, "es")]     # mixed doc
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # n_buckets=64: with the production 512 the add-1 smoothing mass
+    # (B added to each denominator) swamps a 14-doc corpus and every
+    # weight goes negative; the planted signal needs buckets ~ data size
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, F.col("lang") == "en", n_buckets=64).collect()
+    }
+    assert len(out) == len(rows)
+    # every doc written in the target vocabulary scores positive —
+    # including the raw-corpus doc 20 (that's the selection effect)
+    for i in list(range(6)) + [20]:
+        assert out[i]["log_weight"] > 0, i
+        assert out[i]["selected"]
+    # off-domain docs score negative
+    for i in range(10, 16):
+        assert out[i]["log_weight"] < 0, i
+        assert not out[i]["selected"]
+    # the mixed doc sits strictly between the pure docs' weights
+    assert out[10 + 0]["log_weight"] < out[21]["log_weight"] < out[20]["log_weight"]
+    # feature accounting: unigrams + bigrams of an 8-token doc = 8 + 7
+    assert out[0]["n_feats"] == 15
