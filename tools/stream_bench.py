@@ -114,10 +114,16 @@ def measure(spark, sf_dir: str, paths: tuple[str, ...] = ALL_PATHS) -> dict:
                 .outputMode("append")
                 .start()
             )
-            t0 = time.perf_counter()
-            q.processAllAvailable()
-            dt = time.perf_counter() - t0
-            q.stop()
+            try:
+                t0 = time.perf_counter()
+                q.processAllAvailable()
+                dt = time.perf_counter() - t0
+            finally:
+                # ALWAYS stop: an orphaned stream keeps running while the
+                # finally below rmtree's its checkpoint dir out from under
+                # it, spraying errors into the caller's stdout (bench.py's
+                # single-line output contract)
+                q.stop()
             results[name] = {
                 "sec": round(dt, 2),
                 "frames_per_sec": round(n_frames / dt, 1),

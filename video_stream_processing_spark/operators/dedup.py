@@ -243,7 +243,8 @@ def _bucket_join(
             + ", ".join(f"__n{d}" for d in range(1, neighbor_window + 1))
             + ") AS doc_b",
         )
-        return stacked.where(F.col("doc_b").isNotNull()).distinct()
+        pairs = stacked.where(F.col("doc_b").isNotNull())
+        return pairs.distinct() if distinct else pairs
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = a.join(

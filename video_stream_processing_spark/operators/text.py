@@ -523,7 +523,9 @@ def dsir_oracle_sql(
     target_sql: str = "lang = 'en'", n_buckets: int = DSIR_BUCKETS
 ) -> str:
     """DuckDB replay of dsir_weights: same md5 buckets, same add-1
-    smoothing, same round-then-DECIMAL log-ratio, same exact sum."""
+    smoothing, same raw-double log-ratio sum with the one final 4-dp
+    round (x51 pattern — see dsir_weights for why not per-bucket
+    decimals)."""
     return f"""
 WITH toks AS (
     SELECT doc_id, lang, ({target_sql}) AS is_target,

@@ -4780,9 +4780,10 @@ def x116_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): per-doc importance
     log-weight of hashed unigram+bigram features under target (lang=en)
     vs raw bucket distributions, add-1 smoothed — positive weight means
-    the doc resembles the target domain. Per-bucket log-ratios are
-    rounded once and DECIMAL-summed (x101 float-parity pattern) so both
-    engines produce identical sums. Model state is a FIXED 512-row
+    the doc resembles the target domain. Float parity is the x51
+    pattern: raw double log-ratios, ONE final 4-dp round absorbing the
+    ~1e-14 summation/libm noise (per-bucket decimal rounding was tried
+    and rejected — see dsir_weights). Model state is a FIXED 512-row
     broadcast table at any corpus size; one corpus scan, two keyed
     aggregates (operators/text.py:dsir_weights)."""
     docs = load_table(spark, sf_dir, "documents")

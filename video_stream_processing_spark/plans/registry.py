@@ -202,14 +202,28 @@ _DRIVER_VERIFIED_R05 = frozenset(
     ]
 )
 
+# x05/x53 changed SEMANTICS in round 8 (md5-prefix sampling added to both
+# the plan and the oracle — VERDICT r7 task 4's bounding), so their green
+# driver rows were recorded against the previous full-output oracles.
+# Demote them out of the current-verified tier (the a08-a10 precedent) so
+# the next capped pass re-certifies the sampled form.
+_SEMANTICS_CHANGED_R08 = frozenset(
+    ["x05_embedding_neardup", "x53_mjpeg_frame_split"]
+)
+
 _CURRENT_VERIFIED = (
-    (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
-) | _DRIVER_VERIFIED_R05
+    (
+        (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
+    )
+    | _DRIVER_VERIFIED_R05
+) - _SEMANTICS_CHANGED_R08
 
 
 def _driver_order(name: str) -> tuple[int, str]:
     # 0 = driver row exists but is STALE (recorded against older parquet or
-    # before the query's current oracle) — none at present;
+    # before the query's current oracle) — x05 since round 8's sampling
+    # change (x53's r05 row predates _DRIVER_VERIFIED's r01-r03 window, so
+    # it re-enters via tier 1 instead);
     # 1 = never driver-verified (the 42 round-5 additions x58-x99, plus
     # round 6's x106-x110; all pass the local harness) — these enumerate
     # first (47 names) so round 6's capped (~50-row) driver pass

@@ -236,8 +236,14 @@ def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     def render_bmp(vec_id, embedding):  # no hints: pd is a local import
         out = []
         for vid, e in zip(vec_id, embedding):
+            if e is None:
+                out.append(None)
+                continue
             v = np.asarray(e, dtype=np.float64)
-            if v.size == 0:
+            # validity gate (the stats.py _valid_vectors discipline): a
+            # null ELEMENT arrives as nan, and nan->uint8 casts are
+            # platform-undefined — render nothing, detector emits []
+            if v.ndim != 1 or v.size == 0 or not np.isfinite(v).all():
                 out.append(None)
                 continue
             h = 40 + int(vid) % 25
