@@ -236,3 +236,35 @@ def test_dsir_weights_planted_domains(spark):
     assert out[10 + 0]["log_weight"] < out[21]["log_weight"] < out[20]["log_weight"]
     # feature accounting: unigrams + bigrams of an 8-token doc = 8 + 7
     assert out[0]["n_feats"] == 15
+
+
+def test_winnowing_offset_robust_and_sparse(spark):
+    """x117's operator: the winnowing guarantee — docs sharing a run of
+    >= w+k-1 tokens share a fingerprint at ANY offset alignment — plus
+    the ~2/(w+1) density bound that makes it cheaper than stride-1
+    anchors."""
+    from video_stream_processing_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(12))  # > w+k-1 = 6 tokens
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, filler("a", 1) + " " + passage + " " + filler("b", 9)),
+            (2, filler("c", 6) + " " + passage + " " + filler("d", 2)),  # offset differs by 5
+            (3, filler("e", 30)),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnowing_match_pairs(docs, min_shared=1).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # found despite misaligned offsets; doc 3 clean
+    assert pairs[(1, 2)] >= 2  # a 12-token run spans several windows
+    # density: a doc with n grams selects at most ~2n/(w+1) + 1 fingerprints
+    n_fp = winnowing_fingerprints(docs.where("doc_id = 3")).count()
+    n_grams = 30 - 2  # 28 trigram shingles
+    assert 1 <= n_fp <= (2 * n_grams) // 5 + 2

@@ -1054,3 +1054,150 @@ SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
        CAST(count(*) + {gram_len} - 1 AS BIGINT) AS match_len
 FROM isl GROUP BY doc_a, doc_b, diag, island
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# local fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-token shingles feed the hash stream
+WINNOW_W = 4  # window width; fingerprint density ~ 2/(w+1)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-doc winnowing fingerprint set: (doc_id, fp) rows.
+
+    The MOSS algorithm: hash every k-gram, slide a w-hash window, keep
+    each window's MINIMUM hash, dedupe. (Classic winnowing's
+    rightmost-on-ties rule disambiguates selected POSITIONS; this
+    operator fingerprints by VALUE, where every tie-break selects the
+    same value — so the tie rule is vacuous and omitted.) Guarantees:
+    any shared run of >= w + k - 1 tokens shares at least one
+    fingerprint REGARDLESS of offset alignment — the grid-alignment
+    robustness stride-sampled grams lack (x114 uses stride-1 grams and
+    pays |doc| rows for it; winnowing pays ~2|doc|/(w+1)).
+
+    Implementation (three forms measured at sf0.1):
+    - transform-over-sequence + element_at: QUADRATIC per doc — every
+      window lambda re-inlines the whole hash-array expression (the
+      shingles() docstring trap); did not finish in 6 min.
+    - zip_with least-chain over w shifted slices (the shingles
+      construction): linear but each gram's md5 evaluates w times
+      (slices of an unmaterialized array) — 7.6 s.
+    - SHIPPED: posexplode the gram stream once (each md5 computed
+      ONCE), min over a per-doc ordered rows-frame window, keep full
+      windows only (positions 0..n-w; a doc shorter than w keeps
+      position 0, whose truncated frame is the whole doc) — 2.5 s.
+      One exchange on doc_id for the window + one for the per-doc
+      distinct; at 100 TB both partition by doc_id and stay balanced.
+    The oracle replays the equivalent per-row array form (identical
+    selected values)."""
+    from pyspark.sql import Window
+
+    from video_stream_processing_spark.operators.text import shingles
+
+    g = docs.select(
+        "doc_id", F.posexplode(shingles(text_col, k)).alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    whole_doc = Window.partitionBy("doc_id")
+    return (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(frame).alias("fp"),
+            F.count(F.lit(1)).over(whole_doc).alias("n"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_match_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_fp_docs: int = 8,
+) -> DataFrame:
+    """Cross-doc fingerprint matches — the MOSS similarity report:
+    (doc_a, doc_b, shared_fps) for pairs sharing >= min_shared selected
+    fingerprints. Same bounded-source-set shape as x113/x114: group the
+    fingerprint table once, drop boilerplate fingerprints present in
+    more than ``max_fp_docs`` docs, generate pairs in-row from the
+    bounded doc lists — never a fingerprint-stream self-join."""
+    fps = winnowing_fingerprints(docs, text_col, k, w)
+    occ = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_fp_docs))
+    )
+    pairs = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, a -> transform("
+                "filter(ds, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnowing_oracle_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, min_shared: int = 2, max_fp_docs: int = 8
+) -> str:
+    """DuckDB replay of winnowing_match_pairs: same k-gram md5-prefix
+    hashes, same rightmost-min window selection, same boilerplate cap
+    and pair semantics (plain joins replace the in-row generation)."""
+    assert k == 3, "oracle SQL written for k=3 shingles"
+    grams = (
+        "list_transform(range(1, greatest(len(t) - 1, 1)), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+hs AS (
+    SELECT doc_id,
+           list_transform({grams},
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS h
+    FROM toks WHERE len(t) >= {k}
+),
+sel AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(h) - {w}, 0) + 1),
+               i -> list_min(h[i+1 : i+{w}])
+           )) AS fps
+    FROM hs WHERE len(h) >= 1
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+occ AS (
+    SELECT fp FROM fp GROUP BY fp
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND {max_fp_docs}
+),
+pruned AS (SELECT fp.* FROM fp JOIN occ USING (fp)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM pairs GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}
+"""

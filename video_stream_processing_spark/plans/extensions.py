@@ -4788,3 +4788,27 @@ def x116_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (operators/text.py:dsir_weights)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.dsir_weights(docs, F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# x117 — winnowing fingerprint matches (MOSS local fingerprinting)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x117_winnowing_pairs",
+    oracle=D.winnowing_oracle_sql(),
+    tags=("extension", "dedup", "fingerprint"),
+)
+def x117_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matching (Schleimer et al. 2003, the MOSS
+    algorithm): per doc, keep each w-hash window's minimum k-gram hash
+    (rightmost on ties), then report doc pairs sharing >= 2 selected
+    fingerprints. Offset-robust where stride-sampled grams are not —
+    any shared run of >= w+k-1 tokens shares a fingerprint regardless
+    of alignment — at ~2/(w+1) the rows of x114's stride-1 anchors; the
+    sparse complement to x114's exact-offset report. Selection is pure
+    per-row array functions; matching reuses the bounded-source-set
+    shape (no fingerprint-stream self-join)
+    (operators/dedup.py:winnowing_match_pairs)."""
+    return D.winnowing_match_pairs(load_table(spark, sf_dir, "documents"))
