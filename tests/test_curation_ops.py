@@ -268,3 +268,28 @@ def test_winnowing_offset_robust_and_sparse(spark):
     n_fp = winnowing_fingerprints(docs.where("doc_id = 3")).count()
     n_grams = 30 - 2  # 28 trigram shingles
     assert 1 <= n_fp <= (2 * n_grams) // 5 + 2
+
+
+def test_gopher_rules_planted(spark):
+    """x118's operator: each Gopher rule fires on a doc constructed to
+    violate exactly it."""
+    from video_stream_processing_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps with vigor and grace over that lazy " \
+           "hound of mine " * 5  # 70 words, stopwords present, mean len ~4
+    rows = [
+        (1, good),                                            # passes all
+        (2, "short doc with the and of that"),                # < 50 words
+        (3, ("a " * 70).strip()),                             # mean len 1 < 3
+        (4, " ".join(["12345"] * 30 + ["the of and with that have be to"] * 5)),  # frac_alpha
+        (5, ("zz " * 70).strip()),                            # 0 stopwords
+        (6, good + " " + "#" * 20),                           # symbol ratio > 0.1
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["n_words"] < 50
+    assert not out[3]["keep"] and out[3]["mean_word_len"] < 3
+    assert not out[4]["keep"] and out[4]["frac_alpha_words"] < 0.8
+    assert not out[5]["keep"] and out[5]["n_stopwords"] == 0
+    assert not out[6]["keep"] and out[6]["symbol_ratio"] > 0.1

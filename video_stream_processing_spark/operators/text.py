@@ -564,3 +564,120 @@ SELECT d.doc_id, d.lang, ({target_sql.replace('lang', 'd.lang')}) AS is_target,
        round(coalesce(w.w_sum, 0), 4) > 0 AS selected
 FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1 — the named rule-based
+# document filter of the public LLM-curation literature)
+# --------------------------------------------------------------------------
+
+# the paper's required-stopword list (>= 2 must appear)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher rule report: the paper's document-level filters
+    computed faithfully — 50 <= words <= 100k, 3 <= mean word length
+    <= 10, symbol-to-word ratio ('#'/'...') <= 0.1, < 90% bulleted
+    lines, < 30% '...'-ending lines, >= 80% words containing an
+    alphabetic char, >= 2 required stopwords — and the conjunction as
+    ``keep``. On this corpus the length/stopword rules discriminate and
+    the symbol/line rules pass vacuously (no newlines or punctuation in
+    the synthetic text), but every rule is computed, not shortcut.
+
+    All codegen'd built-ins, one scan, zero exchanges — the same
+    filter-chain posture as x34; ratios rounded to 4 dp for engine
+    parity (pure per-row arithmetic, no summation-order exposure)."""
+    t = tokens_col(text_col)
+    wc = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    mean_wl = F.round(sum_len / wc, 4)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(t, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))) / wc, 4
+    )
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.round((n_hash + n_ellipsis) / wc, 4)
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    frac_bullet = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+                | F.startswith(F.ltrim(l), F.lit("*"))
+                | F.startswith(F.ltrim(l), F.lit("•")),
+            )
+        )
+        / n_lines,
+        4,
+    )
+    frac_ell_end = F.round(
+        F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))) / n_lines,
+        4,
+    )
+    keep = (
+        wc.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (sym_ratio <= 0.1)
+        & (frac_bullet < 0.9)
+        & (frac_ell_end < 0.3)
+        & (frac_alpha >= 0.8)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        wc.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_rules_oracle_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(t) AS wc,
+           round(list_sum(list_transform(t, w -> len(w))) * 1.0 / len(t), 4) AS mean_wl,
+           len(list_intersect(list_distinct(list_transform(t, w -> lower(w))),
+                              [{stops}])) AS n_stop,
+           round(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(t), 4) AS frac_alpha,
+           round(((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3.0) * 1.0 / len(t), 4) AS sym_ratio,
+           round(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                          OR starts_with(ltrim(l), '*')
+                                          OR starts_with(ltrim(l), chr(8226)))) * 1.0 / len(lines), 4) AS frac_bullet,
+           round(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) * 1.0 / len(lines), 4) AS frac_ell
+    FROM base
+)
+SELECT doc_id,
+       CAST(wc AS BIGINT) AS n_words,
+       mean_wl AS mean_word_len,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       frac_alpha AS frac_alpha_words,
+       sym_ratio AS symbol_ratio,
+       (wc BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+       AND sym_ratio <= 0.1 AND frac_bullet < 0.9 AND frac_ell < 0.3
+       AND frac_alpha >= 0.8 AND n_stop >= 2 AS keep
+FROM m
+"""

@@ -4812,3 +4812,25 @@ def x117_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (no fingerprint-stream self-join)
     (operators/dedup.py:winnowing_match_pairs)."""
     return D.winnowing_match_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# x118 — Gopher quality rules (the named rule-based document filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x118_gopher_rules",
+    oracle=T.gopher_rules_oracle_sql(),
+    tags=("extension", "text", "quality"),
+)
+def x118_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 Table A1) computed
+    faithfully per doc — word-count band, mean-word-length band,
+    symbol-to-word ratio, bulleted/ellipsis line fractions, alphabetic
+    word fraction, required-stopword count — with the conjunction as
+    the keep flag. Complements x11's generic composite score and x34's
+    ad-hoc chain with the literature's NAMED rule set. One scan, zero
+    exchanges, all codegen'd built-ins
+    (operators/text.py:gopher_rules)."""
+    return T.gopher_rules(load_table(spark, sf_dir, "documents"))
