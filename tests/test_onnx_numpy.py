@@ -361,3 +361,40 @@ def test_onnx_detector_numpy_backend(tmp_path):
         NumpyGraphSession(path).run(None, {"images": yolo.preprocess(img)})[0], 128, 96
     )
     assert out[0] == direct
+
+
+def test_avgpool_globalavgpool_clip_flatten_pad():
+    rng = np.random.default_rng(16)
+    X = rng.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    # AveragePool, no padding
+    (ap,) = _run_op("AveragePool", [X], kernel_shape=[2, 2], strides=[2, 2])
+    want = X.reshape(1, 2, 3, 2, 3, 2).mean(axis=(3, 5), dtype=np.float32)
+    np.testing.assert_allclose(ap, want, rtol=1e-6)
+    # padded AveragePool excludes pad cells from the divisor by default
+    (app,) = _run_op("AveragePool", [X], kernel_shape=[3, 3], strides=[3, 3],
+                     pads=[1, 1, 2, 2])
+    # corner window covers rows/cols 0..1 of the input (1 pad row/col)
+    np.testing.assert_allclose(
+        app[0, 0, 0, 0], X[0, 0, :2, :2].mean(dtype=np.float32), rtol=1e-5
+    )
+    # count_include_pad=1 divides by the full kernel area
+    (apf,) = _run_op("AveragePool", [X], kernel_shape=[3, 3], strides=[3, 3],
+                     pads=[1, 1, 2, 2], count_include_pad=1)
+    np.testing.assert_allclose(
+        apf[0, 0, 0, 0], X[0, 0, :2, :2].sum(dtype=np.float32) / 9, rtol=1e-5
+    )
+    (gap,) = _run_op("GlobalAveragePool", [X])
+    assert gap.shape == (1, 2, 1, 1)
+    np.testing.assert_allclose(gap[:, :, 0, 0], X.mean(axis=(2, 3), dtype=np.float32), rtol=1e-6)
+    # Clip: opset-11 input form and attribute form
+    (cl,) = _run_op("Clip", [X, np.float32(-0.5), np.float32(0.5)])
+    np.testing.assert_array_equal(cl, np.clip(X, -0.5, 0.5))
+    node = _node("Clip", ["x"], ["y"], min=0.0, max=6.0)
+    np.testing.assert_array_equal(_OPS["Clip"](node, [X])[0], np.clip(X, 0.0, 6.0))
+    (fl,) = _run_op("Flatten", [X], axis=1)
+    assert fl.shape == (1, 72)
+    np.testing.assert_array_equal(fl, X.reshape(1, -1))
+    (pd_,) = _run_op("Pad", [X, np.array([0, 0, 1, 1, 0, 0, 1, 1], dtype=np.int64)])
+    assert pd_.shape == (1, 2, 8, 8)
+    np.testing.assert_array_equal(pd_[:, :, 1:-1, 1:-1], X)
+    assert float(pd_[0, 0, 0, 0]) == 0.0

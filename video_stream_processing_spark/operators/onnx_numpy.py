@@ -12,9 +12,11 @@ so ``OnnxDetector(backend="numpy")`` (operators/detection.py) drives
 the identical decode -> preprocess -> run -> postprocess -> NMS chain.
 
 Implemented op set (ONNX opset 13-17 semantics, the subset a YOLO-style
-detector head needs): Conv, MaxPool, Sigmoid, Relu, Mul, Add, Sub, Div,
-Concat, Resize (nearest/asymmetric/floor — the torch Upsample export),
-Transpose, Reshape, Slice, Split, Softmax, MatMul, Gemm, Constant.
+detector head needs): Conv, MaxPool, AveragePool, GlobalAveragePool,
+Sigmoid, Relu, Clip, Mul, Add, Sub, Div, Concat, Resize
+(nearest/asymmetric/floor — the torch Upsample export), Transpose,
+Reshape, Flatten, Pad (constant), Slice, Split, Softmax, MatMul, Gemm,
+Constant.
 Everything is vectorized numpy (Conv/MaxPool via an explicit
 kH*kW-offset im2col + einsum); unsupported ops/attributes raise
 NotImplementedError rather than silently mis-executing.
@@ -282,6 +284,72 @@ def _op_gemm(node: NodeProto, inp: list) -> list:
     return [Y]
 
 
+def _op_avgpool(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    attrs = node.attrs()
+    _check_notset_autopad(attrs, "AveragePool")
+    if X.ndim != 4:
+        raise NotImplementedError("AveragePool: only 2-D (NCHW) pooling supported")
+    if _int(attrs, "ceil_mode", 0):
+        raise NotImplementedError("AveragePool: ceil_mode=1 not supported")
+    kH, kW = _ints(attrs, "kernel_shape")
+    sH, sW = _ints(attrs, "strides", [1, 1])
+    pads = _ints(attrs, "pads", [0, 0, 0, 0])
+    cip = _int(attrs, "count_include_pad", 0)
+    cols = _im2col(X, kH, kW, sH, sW, 1, 1, pads, 0.0)
+    if cip or pads == [0, 0, 0, 0]:
+        return [cols.mean(axis=(2, 3), dtype=X.dtype)]
+    # divisor = number of NON-PAD cells per window: pool a ones-mask
+    ones = _im2col(np.ones(X.shape[2:], dtype=X.dtype)[None, None], kH, kW, sH, sW, 1, 1, pads, 0.0)
+    return [cols.sum(axis=(2, 3)) / ones.sum(axis=(2, 3))]
+
+
+def _op_globalavgpool(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    return [X.mean(axis=tuple(range(2, X.ndim)), keepdims=True, dtype=X.dtype)]
+
+
+def _op_clip(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    attrs = node.attrs()
+    # opset 11+: min/max as optional inputs; opset <11: attributes
+    lo = inp[1] if len(inp) > 1 and inp[1] is not None else (
+        np.asarray(attrs["min"].f, dtype=X.dtype) if "min" in attrs else None
+    )
+    hi = inp[2] if len(inp) > 2 and inp[2] is not None else (
+        np.asarray(attrs["max"].f, dtype=X.dtype) if "max" in attrs else None
+    )
+    return [np.clip(X, lo, hi)]
+
+
+def _op_flatten(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    axis = _int(node.attrs(), "axis", 1) % (X.ndim + 1)
+    lead = int(np.prod(X.shape[:axis])) if axis else 1
+    return [X.reshape(lead, -1)]
+
+
+def _op_pad(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    attrs = node.attrs()
+    mode = _str(attrs, "mode", "constant")
+    if mode != "constant":
+        raise NotImplementedError(f"Pad: mode={mode!r} not supported")
+    pads = (
+        np.asarray(inp[1]).astype(np.int64)
+        if len(inp) > 1 and inp[1] is not None
+        else np.asarray(_ints(attrs, "pads"), dtype=np.int64)
+    )
+    value = (
+        float(np.asarray(inp[2]))
+        if len(inp) > 2 and inp[2] is not None
+        else (attrs["value"].f if "value" in attrs else 0.0)
+    )
+    half = len(pads) // 2
+    spec = [(int(pads[i]), int(pads[i + half])) for i in range(half)]
+    return [np.pad(X, spec, constant_values=value)]
+
+
 def _op_constant(node: NodeProto, inp: list) -> list:
     attrs = node.attrs()
     if "value" not in attrs or attrs["value"].t is None:
@@ -303,6 +371,11 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 _OPS: dict = {
     "Conv": _op_conv,
     "MaxPool": _op_maxpool,
+    "AveragePool": _op_avgpool,
+    "GlobalAveragePool": _op_globalavgpool,
+    "Clip": _op_clip,
+    "Flatten": _op_flatten,
+    "Pad": _op_pad,
     "Resize": _op_resize,
     "Reshape": _op_reshape,
     "Transpose": _op_transpose,
