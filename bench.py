@@ -142,6 +142,7 @@ def main() -> int:
     # via tools/stream_bench.measure. One number next to the headline
     # total; the per-path breakdown stays in tools/stream_bench.py.
     stream_fps = None
+    stream_err = None
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from stream_bench import measure as _stream_measure
@@ -149,7 +150,9 @@ def main() -> int:
         stream_res = _stream_measure(spark, sf_dir, paths=("full_detection_path",))
         stream_fps = stream_res["full_detection_path"]["frames_per_sec"]
     except Exception as e:  # pragma: no cover - bench must still emit its line
-        stream_fps = f"error: {str(e)[:80]}"
+        # keep the fps field numeric-or-null (consumers compare it as a
+        # float); the message goes to a separate error field
+        stream_err = str(e)[:80]
     # Per-query numbers and spread go to a side file: the driver captures
     # only a small stdout tail, and r05's 34-query single-line payload
     # overflowed it (BENCH_r05 "parsed": null).  The FINAL stdout line is
@@ -166,6 +169,7 @@ def main() -> int:
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
                 "stream_throughput_fps": stream_fps,
+                **({"stream_throughput_error": stream_err} if stream_err else {}),
             },
             fh,
             indent=1,
@@ -179,6 +183,7 @@ def main() -> int:
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
         "stream_throughput_fps": stream_fps,
+        **({"stream_throughput_error": stream_err} if stream_err else {}),
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:

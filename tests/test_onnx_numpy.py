@@ -394,6 +394,17 @@ def test_avgpool_globalavgpool_clip_flatten_pad():
     (fl,) = _run_op("Flatten", [X], axis=1)
     assert fl.shape == (1, 72)
     np.testing.assert_array_equal(fl, X.reshape(1, -1))
+    # negative axis per spec: axis=-1 on rank 4 means axis 3 (NOT a
+    # trailing (24,1) split — the round-8 `% (ndim+1)` bug)
+    (fln,) = _run_op("Flatten", [X], axis=-1)
+    assert fln.shape == (12, 6)
+    np.testing.assert_array_equal(fln, X.reshape(12, 6))
+    (fl0,) = _run_op("Flatten", [X], axis=0)
+    assert fl0.shape == (1, 72)
+    (flm,) = _run_op("Flatten", [X], axis=-4)  # -r -> axis 0
+    assert flm.shape == (1, 72)
+    with pytest.raises(NotImplementedError):
+        _run_op("Flatten", [X], axis=5)
     (pd_,) = _run_op("Pad", [X, np.array([0, 0, 1, 1, 0, 0, 1, 1], dtype=np.int64)])
     assert pd_.shape == (1, 2, 8, 8)
     np.testing.assert_array_equal(pd_[:, :, 1:-1, 1:-1], X)

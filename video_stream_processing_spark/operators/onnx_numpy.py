@@ -324,7 +324,13 @@ def _op_clip(node: NodeProto, inp: list) -> list:
 
 def _op_flatten(node: NodeProto, inp: list) -> list:
     X = inp[0]
-    axis = _int(node.attrs(), "axis", 1) % (X.ndim + 1)
+    axis = _int(node.attrs(), "axis", 1)
+    # ONNX spec: axis in [-r, r]; negative axis means axis + r (so axis=-1
+    # on rank 3 is axis 2, NOT the trailing split `% (r+1)` would give).
+    if not -X.ndim <= axis <= X.ndim:
+        raise NotImplementedError(f"Flatten: axis={axis} out of range for rank {X.ndim}")
+    if axis < 0:
+        axis += X.ndim
     lead = int(np.prod(X.shape[:axis])) if axis else 1
     return [X.reshape(lead, -1)]
 

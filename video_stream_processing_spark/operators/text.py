@@ -441,7 +441,7 @@ def _dsir_bucket(f: Column, n_buckets: int) -> Column:
 
 def dsir_weights(
     docs: DataFrame, target_pred: Column, text_col: str = "text",
-    n_buckets: int = DSIR_BUCKETS,
+    n_buckets: int = DSIR_BUCKETS, carry_cols: tuple = ("lang",),
 ) -> DataFrame:
     """Per-doc DSIR importance log-weight: sum over the doc's hashed
     unigram+bigram features of ln p_target(bucket) - ln p_raw(bucket),
@@ -505,12 +505,13 @@ def dsir_weights(
             F.sum(F.col("c") * F.col("lr")).alias("w_sum"),
         )
     )
+    carry = [c for c in carry_cols if c in docs.columns]
     return (
-        docs.select("doc_id", "lang", target_pred.alias("is_target"))
+        docs.select("doc_id", *carry, target_pred.alias("is_target"))
         .join(w, "doc_id", "left")
         .select(
             "doc_id",
-            "lang",
+            *carry,
             "is_target",
             F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
             F.round(F.coalesce(F.col("w_sum"), F.lit(0.0)), 4).alias("log_weight"),
@@ -525,12 +526,17 @@ def dsir_oracle_sql(
     """DuckDB replay of dsir_weights: same md5 buckets, same add-1
     smoothing, same raw-double log-ratio sum with the one final 4-dp
     round (x51 pattern — see dsir_weights for why not per-bucket
-    decimals)."""
+    decimals). ``target_sql`` is evaluated once, unqualified, inside a
+    ``base`` CTE over ``documents`` — never rewritten textually (a
+    substring replace would corrupt predicates naming e.g. ``language``)."""
     return f"""
-WITH toks AS (
-    SELECT doc_id, lang, ({target_sql}) AS is_target,
+WITH base AS (
+    SELECT doc_id, lang, ({target_sql}) AS is_target, text FROM documents
+),
+toks AS (
+    SELECT doc_id, lang, is_target,
            regexp_split_to_array(trim(text), '\\s+') AS t
-    FROM documents
+    FROM base
 ),
 fx AS (
     SELECT doc_id, is_target,
@@ -558,11 +564,11 @@ w AS (
     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, sum(c * lr) AS w_sum
     FROM doc_b JOIN lr USING (b) GROUP BY doc_id
 )
-SELECT d.doc_id, d.lang, ({target_sql.replace('lang', 'd.lang')}) AS is_target,
+SELECT d.doc_id, d.lang, d.is_target,
        coalesce(w.n_feats, 0) AS n_feats,
        round(coalesce(w.w_sum, 0), 4) AS log_weight,
        round(coalesce(w.w_sum, 0), 4) > 0 AS selected
-FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+FROM base d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
