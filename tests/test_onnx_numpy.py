@@ -409,3 +409,140 @@ def test_avgpool_globalavgpool_clip_flatten_pad():
     assert pd_.shape == (1, 2, 8, 8)
     np.testing.assert_array_equal(pd_[:, :, 1:-1, 1:-1], X)
     assert float(pd_[0, 0, 0, 0]) == 0.0
+
+
+# --------------------------------------------------------------------------
+# make_yolov8n_skeleton: the REAL head geometry (round-9 close of the
+# u04 fidelity item — YOLODetector.java:180-206 reads [1,84,8400])
+# --------------------------------------------------------------------------
+
+SKELETON_SHA256 = "77ba8cbffbed187a771d972b1effec8b8c1b620ecffcff7984d2ef27b802143d"
+
+
+def _skeleton_session():
+    from video_stream_processing_spark.operators.onnx_numpy import (
+        make_yolov8n_skeleton,
+    )
+
+    return NumpyGraphSession(make_yolov8n_skeleton()), make_yolov8n_skeleton()
+
+
+def test_yolov8n_skeleton_bytes_pinned():
+    from video_stream_processing_spark.operators.onnx_numpy import (
+        make_yolov8n_skeleton,
+    )
+
+    b1 = make_yolov8n_skeleton().serialize()
+    b2 = make_yolov8n_skeleton().serialize()
+    assert b1 == b2
+    assert hashlib.sha256(b1).hexdigest() == SKELETON_SHA256
+    # parse round-trip survives
+    assert oproto.ModelProto.parse(b1).serialize() == b1
+
+
+def test_yolov8n_skeleton_topology():
+    """Every architectural element of the real export is present: SiLU
+    conv blocks, C2f Split/Concat, an SPPF MaxPool(5) stack, two PAN
+    Resize upsamples, the DFL Softmax + frozen-arange Conv, and the
+    fused [1,84,8400] output over strides 8/16/32."""
+    from collections import Counter
+
+    from video_stream_processing_spark.operators.onnx_numpy import (
+        make_yolov8n_skeleton,
+    )
+
+    m = make_yolov8n_skeleton()
+    ops = Counter(n.op_type for n in m.graph.node)
+    assert ops["Resize"] == 2  # PAN top-down x2
+    assert ops["MaxPool"] == 3  # SPPF stack
+    assert ops["Softmax"] == 1 and ops["Transpose"] == 1  # DFL
+    assert ops["Split"] >= 10  # 9 C2f blocks + head/dist splits
+    assert ops["Sigmoid"] == ops["Mul"]  # every SiLU is Sigmoid x Mul (+cls/d2b pairs)
+    # SPPF pools are k=5 s=1 p=2
+    sppf = [n for n in m.graph.node if n.op_type == "MaxPool"]
+    for n in sppf:
+        a = n.attrs()
+        assert list(a["kernel_shape"].ints) == [5, 5]
+        assert list(a["strides"].ints) == [1, 1]
+        assert list(a["pads"].ints) == [2, 2, 2, 2]
+    # DFL conv weights are frozen arange(16)
+    inits = {t.name: tensor_to_numpy(t) for t in m.graph.initializer}
+    np.testing.assert_array_equal(
+        inits["dfl_w"].reshape(-1), np.arange(16, dtype=np.float32)
+    )
+    # anchor grid: x inner / y outer per scale, +0.5 centers, strides fused
+    anchors, strides = inits["anchors"], inits["strides"]
+    assert anchors.shape == (1, 2, 8400) and strides.shape == (1, 1, 8400)
+    assert anchors[0, 0, 0] == 0.5 and anchors[0, 0, 1] == 1.5  # x advances
+    assert anchors[0, 1, 0] == 0.5 and anchors[0, 1, 80] == 1.5  # y advances per row
+    assert strides[0, 0, 0] == 8 and strides[0, 0, 6400] == 16 and strides[0, 0, 8000] == 32
+    out = m.graph.output[0]
+    assert [d.dim_value for d in out.dims] == [1, 84, 8400]
+
+
+def test_yolov8n_skeleton_dfl_and_dist2bbox_replayed():
+    """The graph's DFL + dist2bbox tail equals a manual numpy replay of
+    the published math (softmax over 16 bins -> expectation; anchor
+    lt/rb decode -> cxcywh -> stride scale)."""
+    sess, _ = _skeleton_session()
+    img = _gradient_bgr(96, 128)
+    x = yolo.preprocess(img)
+    dist_raw, dfl_sm, dist, box, out0 = sess.run(
+        ["dist_raw", "dfl_sm", "dist", "box", "output0"], {"images": x}
+    )
+    assert dist_raw.shape == (1, 64, 8400) and dist.shape == (1, 4, 8400)
+    # DFL: reshape->transpose->softmax->E[bin]
+    t = dist_raw.reshape(1, 4, 16, 8400).transpose(0, 2, 1, 3)
+    m = t.max(axis=1, keepdims=True)
+    e = np.exp(t - m)
+    sm = e / e.sum(axis=1, keepdims=True)
+    np.testing.assert_array_equal(sm.astype(np.float32), dfl_sm)
+    mdist = (sm * np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)).sum(
+        axis=1, dtype=np.float32
+    ).reshape(1, 4, 8400)
+    np.testing.assert_allclose(mdist, dist, atol=1e-5)
+    # dist2bbox over the constant anchor grid
+    ax, ay, astr = [], [], []
+    for s, g in ((8, 80), (16, 40), (32, 20)):
+        xs = np.arange(g, dtype=np.float32) + 0.5
+        ax.append(np.tile(xs, g))
+        ay.append(np.repeat(xs, g))
+        astr.append(np.full(g * g, s, dtype=np.float32))
+    anchors = np.stack([np.concatenate(ax), np.concatenate(ay)])[None]
+    lt, rb = dist[:, :2], dist[:, 2:]
+    x1y1 = anchors - lt
+    x2y2 = anchors + rb
+    mbox = np.concatenate([(x1y1 + x2y2) / 2.0, x2y2 - x1y1], axis=1)
+    mbox = mbox * np.concatenate(astr).reshape(1, 1, 8400)
+    np.testing.assert_allclose(mbox, box, atol=1e-4)
+    # output0 rows 0..3 are the box; rows 4.. are sigmoids in (0,1)
+    np.testing.assert_array_equal(out0[:, :4], box.astype(np.float32))
+    cls = out0[0, 4:]
+    assert cls.shape == (80, 8400)
+    assert float(cls.min()) > 0.0 and float(cls.max()) < 1.0
+
+
+def test_yolov8n_skeleton_end_to_end_pinned():
+    """Full chain at true candidate scale, deterministic: preprocess ->
+    218-node graph -> postprocess over 8400 candidates -> NMS."""
+    sess, _ = _skeleton_session()
+    img = _gradient_bgr(96, 128)
+    x = yolo.preprocess(img)
+    out = sess.run(None, {"images": x})[0]
+    assert out.shape == (1, 84, 8400) and out.dtype == np.float32
+    out2 = sess.run(None, {"images": x})[0]
+    assert out.tobytes() == out2.tobytes()
+    pre = yolo.postprocess(out, 128, 96)
+    dets = yolo.detect_from_output(out, 128, 96)
+    assert len(pre) == 109  # sparse tail of 8400 clears conf 0.5
+    assert len(dets) == 7  # after greedy per-class NMS
+    assert [d["object_class"] for d in dets[:3]] == ["chair", "spoon", "chair"]
+    assert round(dets[0]["confidence"], 4) == 0.5544
+    bb = dets[0]["bbox"]
+    assert (round(bb["x1"], 2), round(bb["y1"], 2), round(bb["x2"], 2), round(bb["y2"], 2)) == (
+        73.32, 81.7, 97.91, 96.0,
+    )
+    for d in dets:
+        assert d["confidence"] >= 0.5
+        assert 0 <= d["bbox"]["x1"] < d["bbox"]["x2"] <= 128
+        assert 0 <= d["bbox"]["y1"] < d["bbox"]["y2"] <= 96

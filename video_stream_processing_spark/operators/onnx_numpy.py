@@ -27,10 +27,14 @@ OrtSession per subtask in open(), VideoProcessFunction.java:60-66); the
 weights live in the worker, never in a Spark row, and inference stays
 inside the pandas-UDF batch loop.
 
-``make_tiny_detector`` builds the deterministic fixture model
+``make_tiny_detector`` builds the small deterministic fixture model
 (tests/test_onnx_numpy.py pins its serialized bytes and the end-to-end
 detection output) covering every mandated op on the real [1,3,640,640]
--> [1,84,N] wire shape.
+-> [1,84,N] wire shape. ``make_yolov8n_skeleton`` builds the
+full-geometry fixture: the actual YOLOv8 topology (C2f/SPPF backbone,
+PAN neck, decoupled DFL head) fused to the reference's true
+[1,84,8400] output contract (YOLODetector.java:180-206), with seeded
+weights — u04 runs it end-to-end at true candidate scale.
 """
 
 from __future__ import annotations
@@ -48,7 +52,7 @@ from video_stream_processing_spark.functions.onnxproto import (
     tensor_to_numpy,
 )
 
-__all__ = ["NumpyGraphSession", "make_tiny_detector"]
+__all__ = ["NumpyGraphSession", "make_tiny_detector", "make_yolov8n_skeleton"]
 
 
 # --------------------------------------------------------------------------
@@ -574,5 +578,228 @@ def make_tiny_detector(seed: int = 7, num_classes: int = 80) -> ModelProto:
         initializer=inits,
         input=[ValueInfoProto.make("images", [1, 3, 640, 640])],
         output=[ValueInfoProto.make("output0", [1, 4 + nc, 1600])],
+    )
+    return ModelProto(graph=graph)
+
+
+def make_yolov8n_skeleton(
+    seed: int = 11,
+    num_classes: int = 80,
+    gain_mult: float = 1.7,
+    cls_gain: float = 5.0,
+    cls_bias: float = -0.75,
+) -> ModelProto:
+    """Structurally faithful YOLOv8 detector at the reference's REAL head
+    geometry (S/processor/YOLODetector.java:180-206 reads output0
+    [1, 84, 8400]; src/main/resources/models/yolo_export.py exports
+    yolov8n at opset 12): input "images" [1,3,640,640], three detection
+    scales (stride 8/16/32 -> 80x80 + 40x40 + 20x20 = 8400 candidates)
+    fused to output0 [1, 4+num_classes, 8400] with rows 0..3 =
+    (cx, cy, w, h) in 640-space and rows 4.. = sigmoid class scores.
+
+    Every architectural element of the ultralytics graph is present and
+    runs through this module's op table:
+
+    - Conv + SiLU (Sigmoid x Mul) blocks throughout;
+    - C2f blocks: 1x1 cv1 -> Split(h,h) -> 3x3/3x3 bottleneck (+residual
+      Add when shortcut) -> 3-way Concat -> 1x1 cv2;
+    - SPPF: 1x1 -> three stacked MaxPool(k=5, s=1, p=2) -> 4-way Concat
+      -> 1x1;
+    - PAN neck: two nearest/asymmetric/floor Resize x2 upsamples with
+      lateral Concats, then two stride-2 Conv downsamples with Concats;
+    - decoupled head per scale (box and cls towers), per-scale Reshape
+      to [1,144,hw] and cross-scale Concat on the anchor axis;
+    - DFL: Reshape [1,4,16,8400] -> Transpose -> Softmax(axis=1) ->
+      1x1 Conv with frozen arange(16) weights -> Reshape [1,4,8400];
+    - dist2bbox: Split(lt,rb) -> anchor Sub/Add -> center/size
+      Add/Div/Sub -> Concat -> per-anchor stride Mul (anchor grid and
+      stride row are Constant-folded initializers, as in the static
+      opset-12 export);
+    - Sigmoid over the 80 class logits, final Concat to [1,84,8400].
+
+    What is NOT real: the weights (seeded PCG64 noise — no network access
+    to fetch yolov8n.pt) and the channel widths (4..32 vs 16..256, so the
+    pure-numpy graph stays ~1e8 MACs/image). Gains are fan-in scaled so
+    activations neither die nor blow up through the 30-conv depth; the
+    cls tower's final bias sits low enough that only a sparse tail of the
+    8400 candidates clears the 0.5 confidence gate, exercising
+    postprocess + per-class NMS at true candidate scale.
+    """
+    rng = np.random.default_rng(seed)
+    nc = num_classes
+    inits: list = []
+    nodes: list = []
+
+    def const(name: str, arr: np.ndarray) -> str:
+        inits.append(numpy_to_tensor(name, np.ascontiguousarray(arr)))
+        return name
+
+    def weight(name: str, *shape: int, gain: float) -> str:
+        return const(name, (rng.standard_normal(shape) * gain).astype(np.float32))
+
+    def node(op_type: str, inputs: list, outputs: list, name: str, **attrs):
+        alist = []
+        for k, v in attrs.items():
+            if isinstance(v, int):
+                alist.append(AttributeProto.make_int(k, v))
+            elif isinstance(v, float):
+                alist.append(AttributeProto.make_float(k, v))
+            elif isinstance(v, str):
+                alist.append(AttributeProto.make_string(k, v))
+            elif isinstance(v, list):
+                alist.append(AttributeProto.make_ints(k, v))
+            else:  # pragma: no cover - fixture-internal
+                raise TypeError(f"attr {k}: {type(v)}")
+        nodes.append(
+            NodeProto(op_type=op_type, name=name, input=inputs, output=outputs, attribute=alist)
+        )
+
+    # SiLU attenuates variance by ~0.36 for zero-mean input; 1.7/sqrt(fan_in)
+    # holds activation scale roughly flat through the stack.
+    def conv(x: str, cin: int, cout: int, k: int, s: int, tag: str,
+             act: bool = True, bias_shift: float = 0.0, gmult: float | None = None) -> str:
+        gain = (gain_mult if gmult is None else gmult) / float(np.sqrt(cin * k * k))
+        wn = weight(f"w_{tag}", cout, cin, k, k, gain=gain)
+        b = (rng.standard_normal(cout) * 0.02 + bias_shift).astype(np.float32)
+        bn = const(f"b_{tag}", b)
+        p = k // 2
+        node("Conv", [x, wn, bn], [f"{tag}_c"], tag,
+             kernel_shape=[k, k], strides=[s, s], pads=[p, p, p, p])
+        if not act:
+            return f"{tag}_c"
+        node("Sigmoid", [f"{tag}_c"], [f"{tag}_s"], f"{tag}_sig")
+        node("Mul", [f"{tag}_c", f"{tag}_s"], [tag], f"{tag}_silu")
+        return tag
+
+    def c2f(x: str, cin: int, cout: int, tag: str, shortcut: bool) -> str:
+        h = cout // 2
+        y = conv(x, cin, cout, 1, 1, f"{tag}_cv1")
+        node("Split", [y, const(f"{tag}_hh", np.array([h, h], dtype=np.int64))],
+             [f"{tag}_a", f"{tag}_b"], f"{tag}_sp", axis=1)
+        m = conv(f"{tag}_b", h, h, 3, 1, f"{tag}_m1")
+        m = conv(m, h, h, 3, 1, f"{tag}_m2")
+        if shortcut:
+            node("Add", [f"{tag}_b", m], [f"{tag}_mr"], f"{tag}_add")
+            m = f"{tag}_mr"
+        node("Concat", [f"{tag}_a", f"{tag}_b", m], [f"{tag}_cat"], f"{tag}_cc", axis=1)
+        return conv(f"{tag}_cat", 3 * h, cout, 1, 1, f"{tag}_cv2")
+
+    def sppf(x: str, c: int, tag: str) -> str:
+        h = c // 2
+        y = conv(x, c, h, 1, 1, f"{tag}_cv1")
+        prev = y
+        pools = []
+        for i in (1, 2, 3):
+            node("MaxPool", [prev], [f"{tag}_p{i}"], f"{tag}_mp{i}",
+                 kernel_shape=[5, 5], strides=[1, 1], pads=[2, 2, 2, 2])
+            pools.append(f"{tag}_p{i}")
+            prev = f"{tag}_p{i}"
+        node("Concat", [y] + pools, [f"{tag}_cat"], f"{tag}_cc", axis=1)
+        return conv(f"{tag}_cat", 4 * h, c, 1, 1, f"{tag}_cv2")
+
+    def upsample(x: str, tag: str) -> str:
+        node("Resize", [x, "", "up2_scales"], [tag], f"{tag}_rs",
+             mode="nearest", coordinate_transformation_mode="asymmetric",
+             nearest_mode="floor")
+        return tag
+
+    const("up2_scales", np.array([1, 1, 2, 2], dtype=np.float32))
+
+    # ---- backbone (yolov8n topology, depth 1, skeleton widths) ----
+    c1, c2, c3, c4, c5 = 4, 8, 16, 24, 32
+    x = conv("images", 3, c1, 3, 2, "bb0")            # P1 320x320
+    x = conv(x, c1, c2, 3, 2, "bb1")                  # P2 160x160
+    x = c2f(x, c2, c2, "bb2", shortcut=True)
+    x = conv(x, c2, c3, 3, 2, "bb3")                  # P3 80x80
+    p3 = c2f(x, c3, c3, "bb4", shortcut=True)
+    x = conv(p3, c3, c4, 3, 2, "bb5")                 # P4 40x40
+    p4 = c2f(x, c4, c4, "bb6", shortcut=True)
+    x = conv(p4, c4, c5, 3, 2, "bb7")                 # P5 20x20
+    x = c2f(x, c5, c5, "bb8", shortcut=True)
+    p5 = sppf(x, c5, "bb9")
+
+    # ---- PAN neck ----
+    u5 = upsample(p5, "nk_u5")                        # 32 @ 40x40
+    node("Concat", [u5, p4], ["nk_cat54"], "nk_cc54", axis=1)
+    n4 = c2f("nk_cat54", c5 + c4, c4, "nk12", shortcut=False)
+    u4 = upsample(n4, "nk_u4")                        # 24 @ 80x80
+    node("Concat", [u4, p3], ["nk_cat43"], "nk_cc43", axis=1)
+    n3 = c2f("nk_cat43", c4 + c3, c3, "nk15", shortcut=False)   # head in, stride 8
+    d3 = conv(n3, c3, c3, 3, 2, "nk16")               # 16 @ 40x40
+    node("Concat", [d3, n4], ["nk_cat34"], "nk_cc34", axis=1)
+    n4b = c2f("nk_cat34", c3 + c4, c4, "nk18", shortcut=False)  # head in, stride 16
+    d4 = conv(n4b, c4, c4, 3, 2, "nk19")              # 24 @ 20x20
+    node("Concat", [d4, p5], ["nk_cat45"], "nk_cc45", axis=1)
+    n5 = c2f("nk_cat45", c4 + c5, c5, "nk21", shortcut=False)   # head in, stride 32
+
+    # ---- decoupled head per scale ----
+    reg_max, ch_head = 16, 16
+
+    def head(x: str, cin: int, hw: int, tag: str) -> str:
+        b = conv(x, cin, ch_head, 3, 1, f"{tag}_b1")
+        b = conv(b, ch_head, ch_head, 3, 1, f"{tag}_b2")
+        box = conv(b, ch_head, 4 * reg_max, 1, 1, f"{tag}_box", act=False)
+        c = conv(x, cin, ch_head, 3, 1, f"{tag}_c1")
+        c = conv(c, ch_head, ch_head, 3, 1, f"{tag}_c2")
+        # low bias: sigmoid(logit) clears 0.5 only on the sparse tail
+        cls = conv(c, ch_head, nc, 1, 1, f"{tag}_cls", act=False,
+                   bias_shift=cls_bias, gmult=cls_gain)
+        node("Concat", [box, cls], [f"{tag}_bc"], f"{tag}_cc", axis=1)
+        node("Reshape",
+             [f"{tag}_bc", const(f"{tag}_shape",
+                                 np.array([1, 4 * reg_max + nc, hw], dtype=np.int64))],
+             [f"{tag}_flat"], f"{tag}_rs")
+        return f"{tag}_flat"
+
+    h3 = head(n3, c3, 80 * 80, "hd8")
+    h4 = head(n4b, c4, 40 * 40, "hd16")
+    h5 = head(n5, c5, 20 * 20, "hd32")
+    node("Concat", [h3, h4, h5], ["fused"], "fuse", axis=2)   # [1,144,8400]
+    node("Split", ["fused", const("sp_box_cls",
+                                  np.array([4 * reg_max, nc], dtype=np.int64))],
+         ["dist_raw", "cls_raw"], "sp_head", axis=1)
+
+    # ---- DFL (ultralytics nn.modules.block.DFL as exported) ----
+    na = 80 * 80 + 40 * 40 + 20 * 20  # 8400
+    node("Reshape", ["dist_raw", const("dfl_view",
+                                       np.array([1, 4, reg_max, na], dtype=np.int64))],
+         ["dfl_r"], "dfl_reshape")
+    node("Transpose", ["dfl_r"], ["dfl_t"], "dfl_transpose", perm=[0, 2, 1, 3])
+    node("Softmax", ["dfl_t"], ["dfl_sm"], "dfl_softmax", axis=1)
+    node("Conv", ["dfl_sm", const("dfl_w",
+                                  np.arange(reg_max, dtype=np.float32).reshape(1, reg_max, 1, 1))],
+         ["dfl_c"], "dfl_conv", kernel_shape=[1, 1], strides=[1, 1], pads=[0, 0, 0, 0])
+    node("Reshape", ["dfl_c", const("dist_view", np.array([1, 4, na], dtype=np.int64))],
+         ["dist"], "dist_reshape")
+
+    # ---- dist2bbox over the constant-folded anchor grid ----
+    ax, ay, astr = [], [], []
+    for s, g in ((8, 80), (16, 40), (32, 20)):
+        xs = np.arange(g, dtype=np.float32) + 0.5
+        ax.append(np.tile(xs, g))          # x inner (row-major flatten of h,w)
+        ay.append(np.repeat(xs, g))        # y outer
+        astr.append(np.full(g * g, s, dtype=np.float32))
+    anchors = np.stack([np.concatenate(ax), np.concatenate(ay)])[None]  # [1,2,8400]
+    const("anchors", anchors.astype(np.float32))
+    const("strides", np.concatenate(astr).reshape(1, 1, na))
+    const("two", np.array(2.0, dtype=np.float32))
+    node("Split", ["dist", const("sp_ltrb", np.array([2, 2], dtype=np.int64))],
+         ["lt", "rb"], "sp_dist", axis=1)
+    node("Sub", ["anchors", "lt"], ["x1y1"], "d2b_sub")
+    node("Add", ["anchors", "rb"], ["x2y2"], "d2b_add")
+    node("Add", ["x1y1", "x2y2"], ["xysum"], "d2b_sum")
+    node("Div", ["xysum", "two"], ["cxy"], "d2b_div")
+    node("Sub", ["x2y2", "x1y1"], ["wh"], "d2b_wh")
+    node("Concat", ["cxy", "wh"], ["box_grid"], "d2b_cat", axis=1)
+    node("Mul", ["box_grid", "strides"], ["box"], "d2b_scale")
+    node("Sigmoid", ["cls_raw"], ["cls"], "cls_sigmoid")
+    node("Concat", ["box", "cls"], ["output0"], "out", axis=1)
+
+    graph = GraphProto(
+        name="yolov8n-skeleton",
+        node=nodes,
+        initializer=inits,
+        input=[ValueInfoProto.make("images", [1, 3, 640, 640])],
+        output=[ValueInfoProto.make("output0", [1, 4 + nc, na])],
     )
     return ModelProto(graph=graph)

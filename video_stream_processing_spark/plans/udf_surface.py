@@ -197,10 +197,10 @@ def _u04_detector():
         from video_stream_processing_spark.operators.detection import OnnxDetector
         from video_stream_processing_spark.operators.onnx_numpy import (
             NumpyGraphSession,
-            make_tiny_detector,
+            make_yolov8n_skeleton,
         )
 
-        _U04_DET = OnnxDetector(session=NumpyGraphSession(make_tiny_detector()))
+        _U04_DET = OnnxDetector(session=NumpyGraphSession(make_yolov8n_skeleton()))
         return _U04_DET
 
 
@@ -211,16 +211,22 @@ def _u04_detector():
 )
 def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> preprocess -> ONNX graph (numpy executor) -> postprocess
-    -> NMS on REAL image bytes: each sampled embedding is rendered into a
-    deterministic BMP, and OnnxDetector runs the seed-pinned fixture
-    model through operators/onnx_numpy.NumpyGraphSession — the complete
-    YOLODetector.detect(byte[]) chain (YOLODetector.java:92-175) with the
-    graph itself executing in this container. rows_only: a conv graph is
-    not ANSI-SQL-expressible; the numerics are instead pinned end-to-end
-    by tests/test_onnx_numpy.py (byte-reproducible output, hand-checked
-    kernels). Scale posture: md5-deterministic ~8% sample bounds work per
-    run; repartition BEFORE binary synthesis so image bytes never cross a
-    shuffle; one session per worker reused across Arrow batches."""
+    -> NMS on REAL image bytes AT THE REAL HEAD GEOMETRY: each sampled
+    embedding is rendered into a deterministic BMP, and OnnxDetector runs
+    the seed-pinned make_yolov8n_skeleton fixture — the reference's
+    actual topology (C2f Split/Concat blocks, SPPF MaxPool stack, PAN
+    neck, decoupled DFL head with Softmax+frozen-arange Conv, anchor
+    dist2bbox) fused to the true [1,84,8400] output contract
+    (YOLODetector.java:180-206, yolo_export.py) — so postprocess (argmax
+    rows 4..83, 0.5 gate, rescale, clamp) and per-class NMS run at true
+    8400-candidate scale per image. rows_only: a conv graph is not
+    ANSI-SQL-expressible; the numerics are instead pinned end-to-end by
+    tests/test_onnx_numpy.py (sha256-pinned bytes, DFL/dist2bbox replayed
+    manually, hand-checked kernels). Scale posture: md5-deterministic ~8%
+    sample bounds work per run; repartition BEFORE binary synthesis so
+    image bytes never cross a shuffle; one session per worker reused
+    across Arrow batches (~0.1 s/image, ~1e8 MACs through skeleton
+    widths)."""
     import numpy as np
     import pandas as pd
 
