@@ -293,3 +293,42 @@ def test_gopher_rules_planted(spark):
     assert not out[4]["keep"] and out[4]["frac_alpha_words"] < 0.8
     assert not out[5]["keep"] and out[5]["n_stopwords"] == 0
     assert not out[6]["keep"] and out[6]["symbol_ratio"] > 0.1
+
+
+def test_quality_classifier_planted_separable(spark):
+    """x119's operator: on a lexically separable corpus (curated docs
+    drawn from one vocabulary, junk from another), the NB-init +
+    gradient-refined classifier ranks every curated doc above every
+    junk doc, and the per-source selection budget recovers exactly the
+    curated slice. The model never sees the label rule directly — only
+    hashed presence features."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.text import quality_classifier
+
+    good = "alpha beta gamma delta epsilon zeta"
+    junk = "uno dos tres cuatro cinco seis"
+    rows = (
+        [(i, good + f" filler{i % 3}", "srcA") for i in range(5)]
+        + [(10 + i, junk + f" filler{i % 3}", "srcA") for i in range(15)]
+        + [(30 + i, good, "srcB") for i in range(3)]
+        + [(40 + i, junk, "srcB") for i in range(9)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    curated = F.array_contains(F.split(F.trim(F.col("text")), r"\s+"), "alpha")
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(docs, curated, select_frac=0.25).collect()
+    }
+    assert len(out) == len(rows)
+    good_ids = set(range(5)) | {30, 31, 32}
+    # perfect separation: min curated score > max junk score
+    min_good = min(out[i]["score"] for i in good_ids)
+    max_junk = max(out[i]["score"] for i in out if i not in good_ids)
+    assert min_good > max_junk
+    # the 25% budget per source selects exactly the curated docs:
+    # ceil(0.25*20)=5 of srcA, ceil(0.25*12)=3 of srcB
+    kept = {i for i in out if out[i]["keep"]}
+    assert kept == good_ids
+    for i in good_ids:
+        assert out[i]["is_curated"]

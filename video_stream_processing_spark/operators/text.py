@@ -687,3 +687,209 @@ SELECT doc_id,
        AND frac_alpha >= 0.8 AND n_stop >= 2 AS keep
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# Trained model-based quality classifier (the GPT-3 appendix-A stage:
+# a logistic model over hashed text features, trained on a curated
+# positive slice, scored over the whole corpus)
+# --------------------------------------------------------------------------
+
+QC_BUCKETS = 64
+QC_LR = 0.3
+QC_GD_ROUNDS = 2
+QC_SELECT_FRAC = 0.2
+
+
+def quality_classifier(
+    docs: DataFrame,
+    curated_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = QC_BUCKETS,
+    gd_rounds: int = QC_GD_ROUNDS,
+    lr: float = QC_LR,
+    select_frac: float = QC_SELECT_FRAC,
+) -> DataFrame:
+    """Model-based quality filter: logistic scorer over hashed unigram
+    PRESENCE features (+ intercept), trained against a curated positive
+    slice and scored over the whole corpus — the named classifier stage
+    of the public LLM-curation pipelines (GPT-3 appendix A trains a
+    logistic regression on hashed word features of a curated positive
+    class; CCNet/LLaMA use the same shape with a fastText model) next to
+    the rule-based filters (x34/x118).
+
+    Training is FULLY ORACLE-REPLAYABLE (quality_classifier_oracle_sql
+    reruns it in DuckDB SQL):
+
+    1. init = naive-Bayes log-count-ratio weights (Wang & Manning 2012's
+       NB-LR baseline): per hashed bucket, add-1-smoothed presence-rate
+       log ratio curated-vs-rest, intercept ln(n_pos/n_neg) — closed
+       form from EXACT integer counts (the x74 discipline);
+    2. ``gd_rounds`` full-batch logistic gradient steps refine it:
+       w_b += lr * sum((y - sigmoid(w.x)) * x_b) / N, each round's
+       weights rounded to 6 dp on both engines so the ~1e-13
+       summation-order noise never crosses a grid boundary (the x116
+       float-parity pattern, applied per round).
+
+    Selection is a PER-SOURCE budget — keep the top ``select_frac`` of
+    each source by (score desc, doc_id) — the realistic curation quota
+    (absolute sigmoid cuts are miscalibrated under class imbalance);
+    rank ties are impossible (doc_id breaks them), so the flag is
+    deterministic on both engines.
+
+    Scale posture: model state is <= n_buckets+1 weights at ANY corpus
+    size (the hashing trick, as in x116); per-round work is one pass
+    over the checkpointed (doc, bucket) presence table + a 65-row
+    collect; scoring is zero-Python (a literal-array Catalyst
+    expression, the similarity.py codebook pattern); the final window
+    is partitioned by source, never corpus-wide.
+    """
+    import math
+
+    t = tokens_col(text_col)
+    base = docs.select(
+        "doc_id", "source", curated_pred.cast("double").alias("y"), t.alias("t")
+    )
+    pres = (
+        base.select("doc_id", "y", F.explode(F.array_distinct("t")).alias("tok"))
+        .select("doc_id", "y", _dsir_bucket(F.col("tok"), n_buckets).alias("b"))
+        .distinct()
+        .withColumn("c", F.lit(1.0))
+    )
+    fx = pres.unionByName(
+        base.select(
+            "doc_id", "y", F.lit(-1).cast("long").alias("b"), F.lit(1.0).alias("c")
+        )
+    ).localCheckpoint(eager=True)
+
+    tot = base.agg(
+        F.sum("y").alias("np"), F.sum(F.lit(1.0) - F.col("y")).alias("nq")
+    ).first()
+    n_pos, n_neg = float(tot["np"]), float(tot["nq"])
+    n_docs = n_pos + n_neg
+
+    nb = pres.groupBy("b").agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("c")).otherwise(0.0)).alias("cp"),
+        F.sum(F.when(F.col("y") == 0.0, F.col("c")).otherwise(0.0)).alias("cq"),
+    ).collect()
+    w = {
+        int(r["b"]): round(
+            math.log((r["cp"] + 1) / (n_pos + 2)) - math.log((r["cq"] + 1) / (n_neg + 2)),
+            6,
+        )
+        for r in nb
+    }
+    w[-1] = round(math.log(n_pos / n_neg), 6)
+
+    def w_expr() -> str:
+        # literal-Catalyst weight lookup (one generated SQL string — the
+        # similarity.py codebook pattern; py4j-per-Column would be ~350x
+        # slower to build): bucket b in [-1, n_buckets) -> index b+2
+        vals = ",".join(
+            f"CAST('{w.get(b, 0.0)!r}' AS DOUBLE)" for b in range(-1, n_buckets)
+        )
+        return f"element_at(array({vals}), cast(b as int) + 2)"
+
+    for _ in range(gd_rounds):
+        s = (
+            fx.withColumn("wv", F.expr(w_expr()))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("wv")).alias("s"), F.first("y").alias("y"))
+            .withColumn("r", F.expr("y - 1/(1+exp(-s))"))
+        )
+        g = (
+            fx.join(s.select("doc_id", "r"), "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("c") * F.col("r")).alias("g"))
+            .collect()
+        )
+        for row in g:
+            b = int(row["b"])
+            w[b] = round(w[b] + lr * float(row["g"]) / n_docs, 6)
+
+    scored = (
+        fx.withColumn("wv", F.expr(w_expr()))
+        .groupBy("doc_id")
+        .agg(F.round(F.expr("1/(1+exp(-sum(c*wv)))"), 4).alias("score"))
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    cnt_win = Window.partitionBy("source")
+    return (
+        base.select("doc_id", "source", (F.col("y") == 1.0).alias("is_curated"))
+        .join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(win))
+        .withColumn("ns", F.count(F.lit(1)).over(cnt_win))
+        .select(
+            "doc_id",
+            "source",
+            "is_curated",
+            "score",
+            (F.col("rk") <= F.ceil(F.lit(select_frac) * F.col("ns"))).alias("keep"),
+        )
+    )
+
+
+def quality_classifier_oracle_sql(
+    curated_sql: str,
+    n_buckets: int = QC_BUCKETS,
+    gd_rounds: int = QC_GD_ROUNDS,
+    lr: float = QC_LR,
+    select_frac: float = QC_SELECT_FRAC,
+) -> str:
+    """DuckDB replay of quality_classifier: identical md5 presence
+    buckets, identical NB init from exact integer counts, the same
+    ``gd_rounds`` 6-dp-rounded gradient steps, the same per-source
+    budgeted selection. ``curated_sql`` is evaluated once over the
+    tokenized ``base`` CTE (column ``t`` holds the token array), never
+    rewritten textually."""
+    chain = []
+    prev = "w0"
+    for i in range(1, gd_rounds + 1):
+        chain.append(f""",
+s{i} AS (SELECT doc_id, y, sum(c*w) s FROM fx JOIN {prev} USING (b) GROUP BY doc_id, y),
+g{i} AS (SELECT fx.b, sum((fx.y - 1/(1+exp(-s{i}.s)))*fx.c)/(SELECT n FROM nn) g
+         FROM fx JOIN s{i} USING (doc_id) GROUP BY fx.b),
+w{i} AS (SELECT {prev}.b, round({prev}.w + {lr!r}*g{i}.g, 6) w
+         FROM {prev} JOIN g{i} ON {prev}.b = g{i}.b)""")
+        prev = f"w{i}"
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t,
+           CASE WHEN ({curated_sql}) THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+),
+pres AS (
+    SELECT DISTINCT doc_id, y,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_buckets} AS b, 1.0 AS c
+    FROM (SELECT doc_id, y, unnest(list_distinct(t)) AS tok FROM base)
+),
+fx AS (
+    SELECT doc_id, y, b, c FROM pres
+    UNION ALL SELECT doc_id, y, -1 AS b, 1.0 AS c FROM base
+),
+nn AS (SELECT count(*)::DOUBLE n FROM base),
+cnt AS (SELECT sum(y) np, sum(1-y) nq FROM base),
+nb AS (
+    SELECT b,
+           round(ln((sum(CASE WHEN y = 1 THEN c ELSE 0 END) + 1) / ((SELECT np FROM cnt) + 2))
+               - ln((sum(CASE WHEN y = 0 THEN c ELSE 0 END) + 1) / ((SELECT nq FROM cnt) + 2)), 6) w
+    FROM pres GROUP BY b
+),
+w0 AS (
+    SELECT b, w FROM nb
+    UNION ALL SELECT -1 AS b, round(ln((SELECT np FROM cnt) / (SELECT nq FROM cnt)), 6) AS w
+){"".join(chain)},
+sfin AS (
+    SELECT doc_id, y, round(1/(1+exp(-sum(c*w))), 4) score
+    FROM fx JOIN {prev} USING (b) GROUP BY doc_id, y
+),
+rk AS (
+    SELECT b.doc_id, b.source, s.y = 1.0 AS is_curated, s.score,
+           row_number() OVER (PARTITION BY b.source ORDER BY s.score DESC, s.doc_id) r,
+           count(*) OVER (PARTITION BY b.source) ns
+    FROM sfin s JOIN base b ON s.doc_id = b.doc_id
+)
+SELECT doc_id, source, is_curated, score,
+       r <= CAST(ceil({select_frac!r} * ns) AS BIGINT) AS keep
+FROM rk
+"""
