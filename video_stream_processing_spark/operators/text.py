@@ -893,3 +893,176 @@ SELECT doc_id, source, is_curated, score,
        r <= CAST(ceil({select_frac!r} * ns) AS BIGINT) AS keep
 FROM rk
 """
+
+
+# --------------------------------------------------------------------------
+# Self-trained char-trigram naive-Bayes language ID (the CLD/CCNet-style
+# statistical model, superseding the fixed-marker heuristic of x12)
+# --------------------------------------------------------------------------
+
+NBLID_BUCKETS = 256
+
+
+def nb_langid(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = NBLID_BUCKETS,
+) -> DataFrame:
+    """Character-trigram naive-Bayes language identification, trained on
+    the labeled corpus itself and scored back over it (the CLD2/CCNet
+    shape: per-language character-n-gram log-probability tables; x12's
+    hand-picked digraph markers replaced by a LEARNED model).
+
+    Training: trigrams are hashed into ``n_buckets`` md5 buckets (the
+    x116 hashing trick — the model is a fixed langs x buckets table at
+    ANY corpus size); per-language bucket counts are EXACT integers;
+    log-probs are add-1 smoothed ln((c+1)/(C_lang+n_buckets)) computed
+    identically in both engines from those integers. Prior =
+    ln(n_docs_lang/n_docs).
+
+    Prediction: argmax over languages of prior + sum(c_bucket * logp),
+    the per-(doc,lang) sum ROUNDED to 4 dp before the argmax so the
+    ~1e-12 cross-engine summation-order noise cannot flip a comparison
+    (ties then break deterministically to the lexicographically LAST
+    language — Spark's struct array_max rule, mirrored in the oracle
+    with a composite max_by key).
+
+    Scale: one corpus scan -> (doc, bucket) counts (one exchange); the
+    complete model grid (distinct buckets x languages, <= n_buckets x L
+    rows) broadcasts back; scoring is one keyed aggregate. Zero Python.
+    """
+    txt = F.col(text_col)
+    tris = F.when(
+        F.length(txt) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 2),
+            lambda i: txt.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fx = (
+        docs.select("doc_id", F.col(lang_col).alias("labeled_lang"), F.explode(tris).alias("tri"))
+        .select("doc_id", "labeled_lang", _dsir_bucket(F.col("tri"), n_buckets).alias("b"))
+        .groupBy("doc_id", "labeled_lang", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    # sentinel zero-count feature per doc: guarantees every doc scores
+    # against every language (a doc too short for any trigram falls back
+    # to the prior argmax instead of vanishing from the output)
+    fx = fx.unionByName(
+        docs.select(
+            "doc_id",
+            F.col(lang_col).alias("labeled_lang"),
+            F.lit(-1).cast("long").alias("b"),
+            F.lit(0.0).alias("c"),
+        )
+    )
+    mc = fx.groupBy(F.col("labeled_lang").alias("lang"), "b").agg(
+        F.sum("c").alias("mc")
+    )
+    totals = mc.groupBy("lang").agg(F.sum("mc").alias("cl"))
+    langs = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    n_total = langs.agg(F.sum("nd").alias("n"))
+    prior = langs.crossJoin(F.broadcast(n_total)).select(
+        "lang", F.log(F.col("nd") / F.col("n")).alias("lp")
+    )
+    grid = (
+        fx.select("b")
+        .where(F.col("b") >= 0)
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .join(mc, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.log(
+                (F.coalesce(F.col("mc"), F.lit(0.0)) + 1)
+                / (F.col("cl") + F.lit(float(n_buckets)))
+            ).alias("logp"),
+        )
+    )
+    # sentinel bucket contributes 0 to every language's score
+    grid = grid.unionByName(
+        langs.select("lang", F.lit(-1).cast("long").alias("b"), F.lit(0.0).alias("logp"))
+    )
+    scored = (
+        fx.join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "labeled_lang", F.col("lang").alias("cand"))
+        .agg(F.sum(F.col("c") * F.col("logp")).alias("ll"))
+        .join(F.broadcast(prior), F.col("cand") == F.col("lang"))
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "cand",
+            F.round(F.col("ll") + F.col("lp"), 4).alias("s4"),
+        )
+    )
+    best = scored.groupBy("doc_id", "labeled_lang").agg(
+        F.max(F.struct(F.col("s4"), F.col("cand"))).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        "labeled_lang",
+        F.col("m.cand").alias("predicted_lang"),
+        (F.col("m.cand") == F.col("labeled_lang")).alias("is_match"),
+        F.col("m.s4").alias("top_logprob"),
+    )
+
+
+def nb_langid_oracle_sql(n_buckets: int = NBLID_BUCKETS) -> str:
+    """DuckDB replay of nb_langid: identical md5 trigram buckets, the
+    same exact-integer counts and add-1 smoothed logs, the same 4-dp
+    round before argmax; ties resolve to the lexicographically LAST
+    language (ORDER BY s4 DESC, cand DESC — the mirror of Spark's
+    struct max rule)."""
+    return f"""
+WITH base AS (SELECT doc_id, lang AS labeled_lang, text FROM documents),
+tris AS (
+    SELECT doc_id, labeled_lang,
+           ('0x' || substr(md5(tri), 1, 8))::BIGINT % {n_buckets} AS b
+    FROM (
+        SELECT doc_id, labeled_lang,
+               unnest(list_transform(range(1, greatest(len(text) - 1, 1)),
+                                     i -> substr(text, i, 3))) AS tri
+        FROM base
+    )
+),
+fx AS (
+    SELECT doc_id, labeled_lang, b, count(*)::DOUBLE c
+    FROM tris GROUP BY doc_id, labeled_lang, b
+    UNION ALL SELECT doc_id, labeled_lang, -1 AS b, 0.0 AS c FROM base
+),
+mc AS (SELECT labeled_lang AS lang, b, sum(c) mc FROM fx GROUP BY 1, 2),
+totals AS (SELECT lang, sum(mc) cl FROM mc GROUP BY lang),
+langs AS (SELECT labeled_lang AS lang, count(*)::DOUBLE nd FROM base GROUP BY 1),
+prior AS (SELECT lang, ln(nd / (SELECT sum(nd) FROM langs)) lp FROM langs),
+grid AS (
+    SELECT t.lang, bb.b,
+           ln((coalesce(m.mc, 0) + 1) / (t.cl + {n_buckets})) logp
+    FROM (SELECT DISTINCT b FROM fx WHERE b >= 0) bb
+    CROSS JOIN totals t
+    LEFT JOIN mc m ON m.lang = t.lang AND m.b = bb.b
+    UNION ALL SELECT lang, -1 AS b, 0.0 AS logp FROM langs
+),
+scored AS (
+    SELECT fx.doc_id, fx.labeled_lang, g.lang AS cand,
+           round(sum(fx.c * g.logp) + any_value(p.lp), 4) s4
+    FROM fx JOIN grid g USING (b) JOIN prior p ON p.lang = g.lang
+    GROUP BY fx.doc_id, fx.labeled_lang, g.lang
+),
+best AS (
+    SELECT doc_id, labeled_lang, cand AS predicted_lang, s4 AS top_logprob
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s4 DESC, cand DESC) rn
+        FROM scored
+    )
+    WHERE rn = 1
+)
+SELECT doc_id, labeled_lang, predicted_lang,
+       CAST(predicted_lang = labeled_lang AS BOOLEAN) AS is_match,
+       top_logprob
+FROM best
+"""

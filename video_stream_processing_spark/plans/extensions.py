@@ -4865,3 +4865,29 @@ def x119_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T.tokens_col("text")
     curated = F.array_contains(t, "spark") & ~F.array_contains(t, "slow")
     return T.quality_classifier(docs, curated)
+
+
+# --------------------------------------------------------------------------
+# x120 — self-trained char-trigram naive-Bayes language ID
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x120_nb_langid",
+    oracle=T.nb_langid_oracle_sql(),
+    tags=("extension", "text", "langid", "model"),
+)
+def x120_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language ID (CLD/CCNet shape): char-trigram
+    naive-Bayes with per-language hashed log-prob tables trained on the
+    labeled corpus and scored back over it — the LEARNED successor to
+    x12's fixed digraph markers. Training is exact integer counts +
+    add-1 smoothed logs, fully replayed by the oracle; prediction
+    rounds each (doc, lang) log-likelihood to 4 dp before the argmax
+    (the x116 float-parity discipline) with ties to the
+    lexicographically last language. Agreement with the label is
+    REPORTED, not assumed (the synthetic corpus shares one vocabulary
+    across langs, so trigram signal is weak here by construction — the
+    planted multilingual pytest proves real discrimination)
+    (operators/text.py:nb_langid)."""
+    return T.nb_langid(load_table(spark, sf_dir, "documents"))
