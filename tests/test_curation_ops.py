@@ -361,3 +361,37 @@ def test_nb_langid_planted_multilingual(spark):
     # log-likelihoods are negative and finite
     for r in out.values():
         assert r["top_logprob"] < 0
+
+
+def test_apply_passage_dedup_round_trip(spark):
+    """x121's operator: the cut corpus keeps the FIRST occurrence of
+    every planted passage intact, removes every later occurrence
+    (including overlap-merged and whole-doc spans), and leaves
+    untouched docs byte-identical after token reassembly."""
+    from video_stream_processing_spark.operators.dedup import apply_passage_dedup
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, filler("a", 5) + " " + passage + " " + filler("b", 6)),
+        (2, filler("c", 3) + " " + passage + " " + filler("d", 8)),
+        (3, filler("e", 40)),
+        (4, filler("f", 30)),
+        (5, filler("f", 30)),  # exact dup of doc 4 -> fully cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in apply_passage_dedup(docs, gram_len=15).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # first occurrences and unrelated docs untouched
+    for d, txt in [(1, rows[0][1]), (3, rows[2][1]), (4, rows[3][1])]:
+        assert out[d]["n_removed"] == 0
+        assert out[d]["cut_text"] == txt
+    # doc 2 loses exactly the 20-token passage, keeping its flanks
+    assert out[2]["n_removed"] == 20
+    assert out[2]["cut_text"] == filler("c", 3) + " " + filler("d", 8)
+    # doc 5 is an exact duplicate -> everything removed
+    assert out[5]["n_removed"] == 30 and out[5]["cut_text"] == ""
+    # token accounting: removed + kept == original everywhere
+    for r in out.values():
+        kept = len(r["cut_text"].split()) if r["cut_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]

@@ -1201,3 +1201,130 @@ pairs AS (
 SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_fps
 FROM pairs GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# Apply-side substring dedup: materialize the cut corpus from x114's
+# repeated-passage spans (x121) — as x17 (apply) is to x02 (report)
+# ---------------------------------------------------------------------------
+
+
+def apply_passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram_len: int = 15,
+    max_gram_docs: int = 8,
+) -> DataFrame:
+    """The APPLY half of passage-level dedup: every maximal shared run
+    reported by :func:`repeated_passages` keeps its FIRST occurrence
+    (the span lives in doc_a — always the lower doc_id — untouched) and
+    is CUT from every later occurrence (the doc_b side), the
+    keep-first-occurrence recipe of the public substring-dedup
+    literature. Output is the materialized cut corpus: one row per doc
+    with the surviving token stream reassembled.
+
+    Pipeline: spans -> per-doc removal intervals [start_b,
+    start_b+match_len) -> overlapping/touching intervals merged by the
+    running-max gaps-and-islands sweep (one doc-keyed window) -> tokens
+    dropped by an IN-ROW indexed filter against the doc's merged
+    interval list (no per-token shuffle; the interval array is tiny) ->
+    ``cut_text`` = kept tokens joined by single spaces (both engines
+    reassemble from tokens, so whitespace is normalized identically).
+
+    Scale: everything x114 says, plus one doc-keyed window over the
+    CHANGE-SIZED interval table (rows = spans, not tokens) and one
+    broadcast-able left join of intervals back onto the corpus scan.
+    Untouched docs pass through with n_removed = 0."""
+    from pyspark.sql import Window
+
+    from video_stream_processing_spark.operators.text import tokens_col
+
+    spans = repeated_passages(docs, text_col, gram_len, max_gram_docs)
+    rem = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        rem.withColumn(
+            "brk",
+            (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))).cast("int"),
+        )
+        .withColumn("gid", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    base = docs.select("doc_id", tokens_col(text_col).alias("t"))
+    out = (
+        base.join(ivs, "doc_id", "left")
+        .withColumn(
+            "ivs", F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:long,e:long>>"))
+        )
+        .withColumn(
+            "kept",
+            F.filter(
+                "t",
+                lambda x, i: ~F.exists(
+                    "ivs", lambda v: (i >= v["s"]) & (i < v["e"])
+                ),
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.col("kept")).alias("cut_text"),
+    )
+
+
+def apply_passage_dedup_oracle_sql(gram_len: int = 15, max_gram_docs: int = 8) -> str:
+    """DuckDB replay of apply_passage_dedup: the x114 span pipeline as a
+    subquery, the same running-max interval merge, the same indexed
+    token filter (DuckDB lambda indices are 1-based; the comparison
+    shifts by one to match Spark's 0-based positions)."""
+    spans = repeated_passages_oracle_sql(gram_len, max_gram_docs)
+    return f"""
+WITH spans AS (SELECT * FROM ({spans})),
+rem AS (SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e FROM spans),
+swept AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS brk
+    FROM rem
+),
+grp AS (
+    SELECT doc_id, s, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS gid
+    FROM swept
+),
+merged AS (SELECT doc_id, gid, min(s) s, max(e) e FROM grp GROUP BY doc_id, gid),
+ivs AS (SELECT doc_id, list({{'s': s, 'e': e}}) ivl FROM merged GROUP BY doc_id),
+base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+cut AS (
+    SELECT b.doc_id, b.t,
+           list_filter(b.t, (x, i) -> len(list_filter(coalesce(v.ivl, []),
+               iv -> i - 1 >= iv.s AND i - 1 < iv.e)) = 0) AS kept
+    FROM base b LEFT JOIN ivs v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS cut_text
+FROM cut
+"""

@@ -4891,3 +4891,23 @@ def x120_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted multilingual pytest proves real discrimination)
     (operators/text.py:nb_langid)."""
     return T.nb_langid(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# x121 — apply-side substring dedup (materialized cut corpus from x114)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x121_passage_dedup_apply",
+    oracle=D.apply_passage_dedup_oracle_sql(),
+    tags=("extension", "dedup", "apply"),
+)
+def x121_passage_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of exact passage dedup (as x17 is to x02): cut
+    every repeated passage found by x114 from all but its first
+    occurrence (lowest doc_id keeps the span) and materialize the cut
+    corpus — per doc the surviving token stream, with removal intervals
+    union-merged by a gaps-and-islands sweep before slicing. Untouched
+    docs pass through intact (operators/dedup.py:apply_passage_dedup)."""
+    return D.apply_passage_dedup(load_table(spark, sf_dir, "documents"))
