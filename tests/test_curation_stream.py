@@ -277,3 +277,68 @@ def test_lsh_index_refresh_stream(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).collect()
     }
     assert again == full
+
+
+@pytest.mark.slow
+def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
+    """Round-9 twins: the gopher_keep flag and the DSIR log-weight that
+    curation_stream emits per doc are EQUAL to the batch x118/x116
+    outputs on the same corpus — the model is fit offline
+    (dsir_fit_log_ratios) and scored statelessly in-stream."""
+    from video_stream_processing_spark.operators.text import (
+        dsir_fit_log_ratios,
+        dsir_weights,
+        gopher_rules,
+    )
+    from video_stream_processing_spark.streaming.pipeline import curation_stream
+
+    gopher_good = (
+        "the be to of and that have with "
+        + " ".join(f"word{i}" for i in range(52))
+    )  # 60 words, >=2 stopwords, mean len in band -> gopher keep
+    gopher_bad = "the " + " ".join(f"tok{i}" for i in range(39))  # 1 stopword
+    rows = [
+        (1, BASE, gopher_good),
+        (2, BASE + 1_000, gopher_bad),
+        (3, BASE + 2_000, gopher_good + " extra trailing words here now"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, ts_ms long, text string").select(
+        "doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text"
+    )
+    model = dsir_fit_log_ratios(batch, F.col("doc_id") <= 1)
+    b_gopher = {r["doc_id"]: r["keep"] for r in gopher_rules(batch).collect()}
+    b_dsir = {
+        r["doc_id"]: (r["log_weight"], r["selected"])
+        for r in dsir_weights(batch, F.col("doc_id") <= 1).collect()
+    }
+
+    d = str(tmp_path / "docs")
+    _write(spark, d, rows, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        curation_stream(stream, watermark="10 minutes", dsir_model=model)
+        .writeStream.format("memory")
+        .queryName("curation_twins")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curation_twins").collect()}
+    finally:
+        q.stop()
+    assert set(got) == {1, 2, 3}  # all pass the curation filter, none dup
+    # planted gopher outcome: good docs keep, the 1-stopword doc fails
+    assert got[1]["gopher_keep"] and got[3]["gopher_keep"]
+    assert not got[2]["gopher_keep"]
+    for i in (1, 2, 3):
+        assert got[i]["gopher_keep"] == b_gopher[i], i
+        assert got[i]["dsir_log_weight"] == b_dsir[i][0], i
+        assert got[i]["dsir_selected"] == b_dsir[i][1], i
+    # the fixed-model stream scores rank the fit's target slice (and its
+    # vocabulary twin, doc 3) above the off-vocabulary doc; absolute
+    # positivity needs buckets ~ corpus size (see the x116 planted test —
+    # 512-bucket smoothing swamps a 3-doc fit, by design)
+    assert got[1]["dsir_log_weight"] > got[2]["dsir_log_weight"]
+    assert got[3]["dsir_log_weight"] > got[2]["dsir_log_weight"]

@@ -572,6 +572,71 @@ FROM base d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
+
+def dsir_fit_log_ratios(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> list[float]:
+    """Batch fit of the DSIR bucket model ALONE: the per-bucket
+    target-vs-raw log ratios (same features, hashing, and add-1
+    smoothing as dsir_weights) collected as a plain ``n_buckets``-long
+    list — the broadcastable model state for streaming/stateless
+    scoring (dsir_score_col). Buckets unseen in the fit corpus keep the
+    pure-smoothing ratio ln(1/(tot_t+B)) - ln(1/(tot_r+B))."""
+    import math
+
+    feats = F.concat(tokens_col(text_col), shingles(text_col, 2))
+    fx = docs.select(
+        target_pred.alias("is_target"), F.explode(feats).alias("f")
+    ).select("is_target", _dsir_bucket(F.col("f"), n_buckets).alias("b"))
+    stats = fx.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    rows = stats.collect()
+    tot_r = float(sum(r["cr"] for r in rows))
+    tot_t = float(sum(r["ct"] for r in rows))
+    by_b = {int(r["b"]): (float(r["cr"]), float(r["ct"])) for r in rows}
+    out = []
+    for b in range(n_buckets):
+        cr, ct = by_b.get(b, (0.0, 0.0))
+        out.append(
+            math.log((ct + 1) / (tot_t + n_buckets))
+            - math.log((cr + 1) / (tot_r + n_buckets))
+        )
+    return out
+
+
+def dsir_score_col(
+    lr: list[float], text_col: str = "text", n_buckets: int = DSIR_BUCKETS
+) -> Column:
+    """Stateless per-row DSIR log-weight under a FIXED (batch-fit)
+    model: one literal-Catalyst array lookup per feature inside a
+    single F.aggregate — no explode, no join, no state, so it drops
+    straight into a streaming projection (the curation_stream twin of
+    x116). The 512-literal array is constant-folded once by Catalyst;
+    the 4-dp round matches dsir_weights' output grid. Matches the batch
+    log_weight whenever the model was fit on the same corpus (pinned in
+    tests/test_curation_stream.py)."""
+    if len(lr) != n_buckets:
+        raise ValueError(f"model has {len(lr)} buckets, expected {n_buckets}")
+    arr = F.expr(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in lr) + ")"
+    )
+    feats = F.concat(tokens_col(text_col), shingles(text_col, 2))
+    return F.round(
+        F.aggregate(
+            feats,
+            F.lit(0.0),
+            lambda acc, f: acc
+            + F.element_at(arr, (_dsir_bucket(f, n_buckets) + 1).cast("int")),
+        ),
+        4,
+    )
+
+
 # --------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, Table A1 — the named rule-based
 # document filter of the public LLM-curation literature)
@@ -581,19 +646,11 @@ FROM base d LEFT JOIN w ON d.doc_id = w.doc_id
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc Gopher rule report: the paper's document-level filters
-    computed faithfully — 50 <= words <= 100k, 3 <= mean word length
-    <= 10, symbol-to-word ratio ('#'/'...') <= 0.1, < 90% bulleted
-    lines, < 30% '...'-ending lines, >= 80% words containing an
-    alphabetic char, >= 2 required stopwords — and the conjunction as
-    ``keep``. On this corpus the length/stopword rules discriminate and
-    the symbol/line rules pass vacuously (no newlines or punctuation in
-    the synthetic text), but every rule is computed, not shortcut.
-
-    All codegen'd built-ins, one scan, zero exchanges — the same
-    filter-chain posture as x34; ratios rounded to 4 dp for engine
-    parity (pure per-row arithmetic, no summation-order exposure)."""
+def _gopher_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher rule expressions as pure per-row Columns — shared by
+    the batch report (gopher_rules/x118) and the streaming twin
+    (streaming/pipeline.py:curation_stream), one definition, two
+    surfaces."""
     t = tokens_col(text_col)
     wc = F.size(t)
     sum_len = F.aggregate(
@@ -642,14 +699,44 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (frac_alpha >= 0.8)
         & (n_stop >= 2)
     )
+    return {
+        "n_words": wc.cast("long"),
+        "mean_word_len": mean_wl,
+        "n_stopwords": n_stop.cast("long"),
+        "frac_alpha_words": frac_alpha,
+        "symbol_ratio": sym_ratio,
+        "keep": keep,
+    }
+
+
+def gopher_keep(text_col: str = "text") -> Column:
+    """The Gopher filter conjunction as a stateless per-row Column (the
+    streaming-twin surface of x118)."""
+    return _gopher_exprs(text_col)["keep"]
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher rule report: the paper's document-level filters
+    computed faithfully — 50 <= words <= 100k, 3 <= mean word length
+    <= 10, symbol-to-word ratio ('#'/'...') <= 0.1, < 90% bulleted
+    lines, < 30% '...'-ending lines, >= 80% words containing an
+    alphabetic char, >= 2 required stopwords — and the conjunction as
+    ``keep``. On this corpus the length/stopword rules discriminate and
+    the symbol/line rules pass vacuously (no newlines or punctuation in
+    the synthetic text), but every rule is computed, not shortcut.
+
+    All codegen'd built-ins, one scan, zero exchanges — the same
+    filter-chain posture as x34; ratios rounded to 4 dp for engine
+    parity (pure per-row arithmetic, no summation-order exposure)."""
+    e = _gopher_exprs(text_col)
     return docs.select(
         "doc_id",
-        wc.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        n_stop.cast("long").alias("n_stopwords"),
-        frac_alpha.alias("frac_alpha_words"),
-        sym_ratio.alias("symbol_ratio"),
-        keep.alias("keep"),
+        e["n_words"].alias("n_words"),
+        e["mean_word_len"].alias("mean_word_len"),
+        e["n_stopwords"].alias("n_stopwords"),
+        e["frac_alpha_words"].alias("frac_alpha_words"),
+        e["symbol_ratio"].alias("symbol_ratio"),
+        e["keep"].alias("keep"),
     )
 
 

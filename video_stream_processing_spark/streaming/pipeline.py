@@ -198,7 +198,11 @@ def attribution_join_stream(
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
 
 
-def curation_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def curation_stream(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    dsir_model: list | None = None,
+) -> DataFrame:
     """Streaming twin of the batch curation pipeline (x35) over a
     document stream (doc_id, ts, text): normalization and the rule
     filter are the SAME codegen'd expressions the batch query uses
@@ -210,20 +214,41 @@ def curation_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame
     analog at 100 TB: a forever-exact dedup belongs to the batch job
     (x01/x17) or an external keyed store, not to operator state.
 
-    Emits (doc_id, ts, text_hash, n_tokens) for kept, first-seen docs.
+    Round-9 twins (VERDICT r8 task 6) ride along as STATELESS per-row
+    projections on the incoming (pre-normalization) text — exactly the
+    columns the batch queries emit:
+
+    - ``gopher_keep``: x118's rule conjunction (operators/text.py:
+      gopher_keep — shared expression, zero state);
+    - ``dsir_log_weight`` / ``dsir_selected``: x116's importance weight
+      under a FIXED model fit offline by dsir_fit_log_ratios and passed
+      in as ``dsir_model`` (a 512-float broadcastable list; scoring is
+      one constant-folded literal-array lookup per feature — no join,
+      no state). Omitted when no model is supplied.
+
+    Emits (doc_id, ts, text_hash, n_tokens[, gopher_keep,
+    dsir_log_weight, dsir_selected]) for kept, first-seen docs.
     """
     from video_stream_processing_spark.operators.text import (
         curation_keep,
+        dsir_score_col,
+        gopher_keep,
         normalize_col,
         word_count,
     )
 
-    d2 = docs.select("doc_id", "ts", normalize_col().alias("text"))
+    extra = [gopher_keep("text").alias("gopher_keep")]
+    if dsir_model is not None:
+        w = dsir_score_col(dsir_model, "text")
+        extra += [w.alias("dsir_log_weight"), (w > 0).alias("dsir_selected")]
+    d2 = docs.select("doc_id", "ts", normalize_col().alias("text"), *extra)
     kept = d2.where(curation_keep()).select(
         "doc_id",
         "ts",
         F.md5("text").alias("text_hash"),
         word_count().alias("n_tokens"),
+        "gopher_keep",
+        *(["dsir_log_weight", "dsir_selected"] if dsir_model is not None else []),
     )
     return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
