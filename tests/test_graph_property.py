@@ -162,3 +162,37 @@ def test_personalized_pagerank_matches_brute_force(spark, und):
     # non-seed mass is strictly inflow: seeds always hold >= restart
     for s in seeds:
         assert got[s] >= 150_000
+
+
+def test_cc_star_logarithmic_on_chain(spark):
+    """Round-9 convergence bound (VERDICT r8 task 7): the large-star/
+    small-star engine resolves a 256-node CHAIN — the adversarial shape
+    for min-label propagation, which needed ~diameter/2 = 128 rounds —
+    in O(log n) alternations, with the correct single component."""
+    from video_stream_processing_spark.operators.dedup import cc_star
+    from pyspark.sql import functions as F
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    labels, rounds = cc_star(nodes, pairs, max_rounds=25)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # 2*log2(256) = 16 is the generous bound; propagation needed ~128
+    assert rounds <= 16, rounds
+
+
+def test_cc_star_isolated_and_multi_component(spark):
+    from video_stream_processing_spark.operators.dedup import cc_star
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [3, 5, 9, 20, 21, 42]], ["doc_id"])
+    labels, rounds = cc_star(nodes, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 42: 42}
+    assert rounds <= 4

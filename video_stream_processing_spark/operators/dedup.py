@@ -663,87 +663,110 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold}
 """
 
 
+def cc_star(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 25
+) -> tuple[DataFrame, int]:
+    """Two-phase star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the public
+    large-star/small-star algorithm): alternate
+
+    - LARGE-STAR: every node u links each LARGER neighbor v > u to
+      m = min(neighbors(u) + [u]);
+    - SMALL-STAR: every node u links each SMALLER-or-equal neighbor
+      (and itself) to the minimum of those;
+
+    until the edge set is stable, at which point the graph is a star
+    forest rooted at each component's minimum id. Converges in
+    O(log n) ALTERNATIONS on any graph — including chains, where plain
+    min-label propagation needs ~diameter/2 rounds (the round-5
+    COVERAGE note this replaces; pinned on a 256-chain in
+    tests/test_graph_property.py).
+
+    Each phase is one partitioned window over the edge list + a
+    distinct — two exchanges — and the per-round edge count never
+    exceeds the input edge count (the paper's invariant), so the
+    100 TB budget is ~2 log n edge-sized shuffles total. Per-round
+    localCheckpoint cuts the iterative lineage (the x92 lesson).
+
+    Returns (labels, rounds): labels = (doc_id, cluster_id = component
+    min), rounds = alternations executed.
+    """
+    from pyspark.sql import Window
+
+    E = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    if E.limit(1).count() > 0:
+        for _ in range(max_rounds):
+            # large-star over the symmetrized neighborhood of u
+            sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+                E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            wu = Window.partitionBy("u")
+            ls = (
+                sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+                .distinct()
+            )
+            # small-star over the canonical (a < b) orientation: node b's
+            # small neighborhood is exactly its a-side; link them (and b)
+            # to the minimum
+            wb = Window.partitionBy("b")
+            ssb = ls.withColumn("m", F.min("a").over(wb))
+            ss = (
+                ssb.select(F.col("m").alias("a"), F.col("a").alias("b"))
+                .unionAll(ssb.select(F.col("m").alias("a"), F.col("b").alias("b")))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            stable = (
+                ss.exceptAll(E).limit(1).count() == 0
+                and E.exceptAll(ss).limit(1).count() == 0
+            )
+            E = ss
+            if stable:
+                break
+    labels = (
+        nodes.join(
+            E.select(F.col("b").alias("doc_id"), F.col("a").alias("parent")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("parent"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return labels, rounds
+
+
 def dedup_clusters(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 40
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 25
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the 'choose a
     canonical doc per duplicate cluster' step: every doc gets
     cluster_id = min doc_id reachable via near-dup edges.
 
-    Iterative min-label propagation: each round joins labels across the
-    (undirected) edge list and keeps the per-node minimum; rounds needed
-    ~= diameter/2 with the pointer jump (near-dup clusters are shallow,
-    so the early-exit probe fires after 2-3 rounds; chain-heavy graphs
-    need the generous cap). Each round is one shuffle join + one aggregation — the
-    standard large-graph CC shape when a graph library isn't available.
-    Converges early via a driver-side fixpoint check on a count (cheap:
-    labels are already cached per round).
+    Engine: large-star/small-star (cc_star — O(log n) alternations on
+    ANY graph shape; supersedes the r5 min-label propagation whose
+    rounds scaled ~diameter/2 on chains). Shallow near-dup clusters
+    converge in 1-2 alternations; the cap is a safety margin, not a
+    convergence budget.
 
     ``nodes`` needs a doc_id column; ``pairs`` needs (doc_a, doc_b).
     """
-    # Materialize the edge list ONCE before iterating: ``edges`` is
-    # consumed by EVERY round's join, and without the checkpoint the
-    # whole upstream pair pipeline (LSH candidate generation for x15,
-    # the baskets self-join for x92) re-executes per round — measured
-    # 16.5 -> 3.4 s on x92 at sf0.1 (~12 rounds on the chain-heavy
-    # co-purchase graph). |E|-sized, the same budget as one round's
-    # shuffle. Initial labels likewise (used by 3 sub-jobs in round 1).
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("n_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-        )
-        # pointer jumping (label-of-label): compresses label-pointer
-        # chains so each round advances ~2 hops. Rounds-to-converge
-        # therefore scales with ~diameter/2, NOT log(diameter) — extra
-        # jumps per round don't help (measured on a 1.1k-node
-        # diameter-30 graph: 15 rounds with 1 jump, 14 with 4 — the
-        # bottleneck is the min label physically traveling neighbor
-        # hops). Hence the generous max_rounds default + early-exit
-        # probe: shallow graphs (near-dup clusters) exit in 2-3 rounds.
-        parents = new_labels.select(
-            F.col("doc_id").alias("cid"), F.col("cluster_id").alias("parent")
-        )
-        new_labels = (
-            new_labels.join(parents, new_labels.cluster_id == parents.cid, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("parent"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", "cluster_id")
+    labels, _ = cc_star(nodes, pairs, max_rounds=max_rounds)
+    return labels
+
 
 
 # ---------------------------------------------------------------------------

@@ -171,13 +171,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Connected components over a symmetric edge list; returns
     (node, component_id) with component_id = min node id reachable.
 
-    Delegates to the proven x15 engine (operators/dedup.dedup_clusters):
-    min-label propagation with pointer jumping — ~diameter/2 rounds
-    (measured; the jump compresses label chains but the min label still
-    travels neighbor hops), one shuffle join + one aggregate per round,
-    per-round checkpointed labels and a driver-side limit(1) fixpoint
-    probe that exits shallow graphs in 2-3 rounds. The generous cap is
-    the convergence margin for chain-heavy graphs."""
+    Delegates to the x15 engine (operators/dedup.cc_star): the
+    large-star/small-star MapReduce algorithm (Kiveris et al. 2014) —
+    O(log n) alternations on ANY graph shape, including the chain
+    graphs where the r5 min-label propagation needed ~diameter/2
+    rounds (convergence pinned on a 256-chain in
+    tests/test_graph_property.py). Two exchanges per phase, edge count
+    never grows past the input, per-round checkpoints cut lineage."""
     from video_stream_processing_spark.operators.dedup import dedup_clusters
 
     # Materialize the caller's edge pipeline ONCE: pairs, nodes AND the
