@@ -1044,6 +1044,11 @@ def nb_langid(
             F.lit(0.0).alias("c"),
         )
     )
+    # fx feeds FOUR consumers (model counts, the grid's distinct-bucket
+    # list, scoring, and totals via mc) — without the checkpoint the
+    # trigram explode + md5 pipeline re-executes per consumer
+    # (8.2 -> ~3 s at sf0.1; the x92 cross-action lineage lesson)
+    fx = fx.localCheckpoint(eager=True)
     mc = fx.groupBy(F.col("labeled_lang").alias("lang"), "b").agg(
         F.sum("c").alias("mc")
     )
