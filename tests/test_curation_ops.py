@@ -395,3 +395,36 @@ def test_apply_passage_dedup_round_trip(spark):
     for r in out.values():
         kept = len(r["cut_text"].split()) if r["cut_text"] else 0
         assert kept + r["n_removed"] == r["n_tokens"]
+
+
+def test_gopher_repetition_planted(spark):
+    """x122's operator: each repetition rule fires on a doc constructed
+    to violate exactly it, and a clean doc passes every rule."""
+    from video_stream_processing_spark.operators.text import gopher_repetition
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    # one 2-gram covering most characters
+    top2 = " ".join(["alpha beta"] * 12) + " tail"
+    # a long 5-gram repeated twice in 20 tokens
+    run5 = " ".join(f"r{i}" for i in range(5))
+    dup5 = run5 + " mid1 mid2 mid3 " + run5 + " end1 end2"
+    # duplicate lines
+    dup_lines = "\n".join(["same line of text"] * 4 + ["unique tail"])
+    rows = [(1, clean), (2, top2), (3, dup5), (4, dup_lines)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+
+    assert out[1]["keep"]
+    assert out[1]["dup_line_frac"] == 0.0 and out[1]["top_2gram_char_frac"] < 0.2
+
+    assert not out[2]["keep"]
+    assert out[2]["top_2gram_char_frac"] > 0.2  # "alpha beta" dominates
+
+    assert not out[3]["keep"]
+    assert out[3]["dup_5gram_char_frac"] > 0.15
+    # the planted 5-gram also makes 2 duplicate 5-gram occurrences only
+    assert out[3]["dup_line_frac"] == 0.0
+
+    assert not out[4]["keep"]
+    assert out[4]["dup_line_frac"] == 0.6  # 3 of 5 lines are repeats of one
+    assert out[4]["dup_line_char_frac"] > 0.2

@@ -1158,3 +1158,179 @@ SELECT doc_id, labeled_lang, predicted_lang,
        top_logprob
 FROM best
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher REPETITION rules (Rae et al. 2021, Table A1's second half —
+# the within-document repetition filters next to x118's quality rules)
+# --------------------------------------------------------------------------
+
+# (threshold, n) pairs straight from the paper: top n-gram char fraction
+# caps for n=2..4, duplicate n-gram char fraction caps for n=5..10
+GOPHER_TOP_NGRAM = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_DUP_NGRAM = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+GOPHER_DUP_LINE_FRAC = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher repetition report (Rae et al. 2021 Table A1,
+    second half): duplicate-line fraction and duplicate-line character
+    fraction (0.30/0.20 caps), top 2/3/4-gram character coverage
+    (0.20/0.18/0.16), duplicate 5..10-gram character coverage
+    (0.15..0.10), conjunction as ``keep`` — completing the paper's
+    named filter set next to x118's quality rules.
+
+    Formula notes (the deterministic variant, mirrored exactly in the
+    oracle): character fractions count every OCCURRENCE of a gram/line
+    at its string length over the total text length (the common
+    count*len implementation; positional overlap de-dup is not
+    relationally expressible and the threshold semantics survive);
+    "top n-gram" is the maximum coverage count*len over distinct grams
+    — a scalar max, so tie-handling cannot diverge. Paragraph rules
+    share the line mechanics on the line split (single-line corpus;
+    columns still computed, not shortcut).
+
+    Plan: ONE scan builds a single (level, value) array per doc —
+    lines at level 0, n-grams at levels 2..10 (shingles evaluated once
+    per level, never inside a per-element lambda — the x117 trap is a
+    nested filter-per-distinct, O(|grams|x|distinct|) per row) — then
+    one explode, one (doc, level, value) count aggregate, one per-doc
+    conditional-aggregation rollup: 2 exchanges total, linear in
+    corpus size."""
+    txt = F.col(text_col)
+    ns = [n for n, _ in list(GOPHER_TOP_NGRAM) + list(GOPHER_DUP_NGRAM)]
+    # x117 discipline: NEVER feed a computed multi-level array into
+    # explode (Generate re-evaluates its inlined child per OUTPUT row —
+    # the concat-of-9-shingle-levels form measured 19 s at sf0.1).
+    # Instead posexplode tokens ONCE and build every gram level from
+    # lead() over one (doc, pos) window: one exchange, each token
+    # evaluated once, stack() unpivots levels with a shuffle-free Expand.
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "w")
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [
+        F.lead("w", i).over(wspec) for i in range(1, max(ns))
+    ]
+    gram_cols = [
+        F.when(leads[n - 1].isNotNull(), F.concat_ws(" ", *leads[:n])).alias(f"g{n}")
+        for n in ns
+    ]
+    stack_args = ", ".join(f"{n}, g{n}" for n in ns)
+    fx_grams = (
+        toks.select("doc_id", *gram_cols)
+        .selectExpr("doc_id", f"stack({len(ns)}, {stack_args}) AS (n, v)")
+        .where(F.col("v").isNotNull())
+    )
+    fx_lines = docs.select(
+        "doc_id",
+        F.lit(0).alias("n"),
+        F.explode(F.split(txt, "\n")).alias("v"),
+    )
+    fx = (
+        fx_grams.unionByName(fx_lines)
+        .groupBy("doc_id", "n", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cov = F.col("c") * F.length("v").cast("long")
+    per_level = fx.groupBy("doc_id", "n").agg(
+        F.max(cov).alias("top_cov"),
+        F.sum(F.when(F.col("c") >= 2, cov).otherwise(F.lit(0))).alias("dup_cov"),
+        F.sum("c").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    def lv(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    rolled = per_level.groupBy("doc_id").agg(
+        F.round((lv(0, "n_items") - lv(0, "n_distinct")) / lv(0, "n_items"), 4).alias(
+            "dup_line_frac"
+        ),
+        lv(0, "dup_cov").alias("_line_dup_cov"),
+        *[
+            F.coalesce(lv(n, "top_cov"), F.lit(0)).alias(f"_top{n}")
+            for n, _ in GOPHER_TOP_NGRAM
+        ],
+        *[
+            F.coalesce(lv(n, "dup_cov"), F.lit(0)).alias(f"_dup{n}")
+            for n, _ in GOPHER_DUP_NGRAM
+        ],
+    )
+    base = docs.select(
+        "doc_id", F.greatest(F.length(txt), F.lit(1)).alias("_tc")
+    )
+    j = base.join(rolled, "doc_id")
+    cols = [
+        F.col("doc_id"),
+        F.col("dup_line_frac"),
+        F.round(F.col("_line_dup_cov") / F.col("_tc"), 4).alias("dup_line_char_frac"),
+    ]
+    keep = (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC) & (
+        F.round(F.col("_line_dup_cov") / F.col("_tc"), 4) <= GOPHER_DUP_LINE_CHAR_FRAC
+    )
+    for n, cap in GOPHER_TOP_NGRAM:
+        frac = F.round(F.col(f"_top{n}") / F.col("_tc"), 4)
+        cols.append(frac.alias(f"top_{n}gram_char_frac"))
+        keep = keep & (frac <= cap)
+    for n, cap in GOPHER_DUP_NGRAM:
+        frac = F.round(F.col(f"_dup{n}") / F.col("_tc"), 4)
+        cols.append(frac.alias(f"dup_{n}gram_char_frac"))
+        keep = keep & (frac <= cap)
+    cols.append(keep.alias("keep"))
+    return j.select(*cols)
+
+
+def gopher_repetition_oracle_sql() -> str:
+    """DuckDB replay of gopher_repetition: identical shingle
+    construction (space-joined token windows), identical count*len
+    coverage formulas, same 4-dp rounds and thresholds."""
+    pieces = []
+    keeps = [
+        f"dup_line_frac <= {GOPHER_DUP_LINE_FRAC}",
+        f"dup_line_char_frac <= {GOPHER_DUP_LINE_CHAR_FRAC}",
+    ]
+    for n, cap in GOPHER_TOP_NGRAM:
+        pieces.append(f"""
+           round(coalesce(list_max(list_transform(list_distinct(g{n}),
+               d -> len(list_filter(g{n}, x -> x = d)) * len(d))), 0)
+               * 1.0 / greatest(len(text), 1), 4) AS top_{n}gram_char_frac""")
+        keeps.append(f"top_{n}gram_char_frac <= {cap}")
+    for n, cap in GOPHER_DUP_NGRAM:
+        pieces.append(f"""
+           round(coalesce(list_sum(list_transform(list_distinct(g{n}),
+               d -> CASE WHEN len(list_filter(g{n}, x -> x = d)) >= 2
+                    THEN len(list_filter(g{n}, x -> x = d)) * len(d)
+                    ELSE 0 END)), 0)
+               * 1.0 / greatest(len(text), 1), 4) AS dup_{n}gram_char_frac""")
+        keeps.append(f"dup_{n}gram_char_frac <= {cap}")
+    grams = ",\n".join(
+        f"""           list_transform(range(1, greatest(len(t) - {n} + 2, 1)),
+               i -> array_to_string(t[i : i + {n} - 1], ' ')) AS g{n}"""
+        for n, _ in list(GOPHER_TOP_NGRAM) + list(GOPHER_DUP_NGRAM)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+),
+g AS (
+    SELECT doc_id, text, lines,
+{grams}
+    FROM base
+),
+m AS (
+    SELECT doc_id,
+           round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 4)
+               AS dup_line_frac,
+           round(list_sum(list_transform(lines,
+               l -> CASE WHEN len(list_filter(lines, x -> x = l)) >= 2
+                    THEN len(l) ELSE 0 END))
+               * 1.0 / greatest(len(text), 1), 4) AS dup_line_char_frac,
+           {",".join(pieces)}
+    FROM g
+)
+SELECT *, {" AND ".join(keeps)} AS keep FROM m
+"""

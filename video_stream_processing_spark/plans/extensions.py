@@ -4911,3 +4911,24 @@ def x121_passage_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-merged by a gaps-and-islands sweep before slicing. Untouched
     docs pass through intact (operators/dedup.py:apply_passage_dedup)."""
     return D.apply_passage_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# x122 — Gopher repetition rules (Table A1 second half; completes x118)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x122_gopher_repetition",
+    oracle=T.gopher_repetition_oracle_sql(),
+    tags=("extension", "text", "quality"),
+)
+def x122_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition filters (Rae et al. 2021 Table
+    A1, second half): duplicate-line fraction + char fraction, top
+    2/3/4-gram char coverage, duplicate 5..10-gram char coverage, with
+    the paper's thresholds conjoined as ``keep`` — completing the named
+    Gopher filter set next to x118's quality rules. One scan, zero
+    exchanges, all per-row array functions
+    (operators/text.py:gopher_repetition)."""
+    return T.gopher_repetition(load_table(spark, sf_dir, "documents"))
