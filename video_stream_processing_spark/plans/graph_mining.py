@@ -548,8 +548,18 @@ def b63_recursive_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: each recursion level is the same keyed
     edges-join-frontier shape as x82's iteration; the hop bound caps
     path multiplicity, and the closing GROUP BY collapses paths to
-    min-hop (the x15 pointer-jumping loop is the shipped pattern when
-    unbounded reachability is needed)."""
+    min-hop.
+
+    COST, measured and deliberate (r9 diagnosis): Spark's UnionLoop
+    executes the non-recursive CTEs FRESH on every iteration — the
+    3.4 s sbaskets/spairs base runs ~5x (seed subquery + 3 loop levels
+    + final), giving ~20 s at sf0.1, and NO one-SQL-text rewrite avoids
+    that (a cheaper base slice was tried in r9 and the recursion
+    machinery still dominates). That is exactly why this query exists:
+    it pins WITH RECURSIVE dialect parity verbatim, while the SHIPPED
+    pattern for iterative graph reach at scale is
+    checkpoint-the-edges-then-iterate (x92/x82/x15 — same graph, 6 s,
+    O(log n) rounds). Headline-excluded by contract."""
     from video_stream_processing_spark.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
