@@ -1011,3 +1011,30 @@ def test_source_overlap_matrix_planted_pair(spark, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("sA", "sB")
     assert r["shared_grams"] == 1
     assert abs(r["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_embedding_quantization_planted(spark):
+    """x123: exact INT8 round-trip on representable lanes, correct
+    saturation accounting, zero-vector and non-finite guards."""
+    from video_stream_processing_spark.operators.similarity import (
+        embedding_quantization,
+    )
+
+    rows = [
+        (1, [127.0, -127.0, 63.5, 0.0]),   # scale 1.0; 63.5 -> 64
+        (2, [0.0, 0.0, 0.0]),               # zero vector
+        (3, [1.0, float("nan")]),           # skipped (non-finite lane)
+        (4, [0.005, -0.0025, 0.01]),        # small-range vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_quantization(df).collect()}
+    assert set(out) == {1, 2, 4}  # vec 3 dropped by the validity gate
+    r1 = out[1]
+    assert r1["scale"] == 1.0 and r1["n_saturated"] == 2
+    # only the 63.5 lane reconstructs inexactly: floor(63.5+0.5)=64
+    assert r1["max_abs_err"] == 0.5 and r1["l2_err"] == 0.5
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["l2_err"] == 0.0 and r2["n_saturated"] == 0
+    r4 = out[4]
+    assert r4["n_saturated"] >= 1  # the max lane always saturates at 127
+    assert r4["max_abs_err"] <= r4["scale"] / 2 + 1e-12  # half-ulp bound

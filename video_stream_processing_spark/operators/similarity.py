@@ -1905,3 +1905,103 @@ ranked AS (
 SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# INT8 embedding quantization (x123) — the embedding-storage compression
+# path: symmetric per-vector scale quantization + reconstruction report
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantization(
+    embeddings: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization report — the standard
+    4x embedding-storage compression (scale = max|v|/127,
+    q = floor(v/scale + 0.5) clamped to [-127, 127]) with its
+    reconstruction-error audit: per vector the scale, the L2 and max
+    reconstruction errors, and the count of saturated lanes. This is
+    the decide-before-you-compress query a 100 TB embedding store runs
+    (PQ — x48 — is the aggressive follow-on; INT8 is the lossless-ish
+    first step).
+
+    Parity: rounding is written as floor(x + 0.5) in BOTH engines —
+    Spark's HALF_UP and DuckDB's nearest-even disagree on exact .5
+    lanes, floor does not; element folds run in identical array order
+    (F.aggregate == list_sum over list_transform, both sequential), so
+    errors are bit-identical before the final 6-dp round. Vectors with
+    any non-finite lane are skipped (the x109 validity discipline);
+    all-zero vectors quantize to zeros with error 0.
+
+    One scan, zero exchanges — pure per-row array math, codegen'd."""
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    finite = F.forall(
+        F.col(emb_col), lambda x: x.isNotNull() & ~F.isnan(x.cast("double"))
+    )
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)).cast("double")),
+            )
+        ),
+    )
+    err = F.zip_with(v, q, lambda a, b: a - b * scale)
+    l2_err = F.sqrt(
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    )
+    max_abs_err = F.array_max(F.transform(err, F.abs))
+    n_sat = F.size(F.filter(q, lambda x: F.abs(x) == 127.0))
+    return (
+        embeddings.where(F.col(emb_col).isNotNull() & finite)
+        .select(
+            "vec_id",
+            F.size(F.col(emb_col)).cast("long").alias("dim"),
+            F.round(scale, 6).alias("scale"),
+            F.round(l2_err, 6).alias("l2_err"),
+            F.round(max_abs_err, 6).alias("max_abs_err"),
+            n_sat.cast("long").alias("n_saturated"),
+        )
+    )
+
+
+def embedding_quantization_oracle_sql(emb_col: str = "embedding") -> str:
+    """DuckDB replay of embedding_quantization: identical floor(x+0.5)
+    rounding, identical sequential array folds, same 6-dp rounds."""
+    return f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform({emb_col}, x -> x::DOUBLE) AS v
+    FROM embeddings
+    WHERE {emb_col} IS NOT NULL
+      AND len(list_filter({emb_col}, x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM base
+),
+qd AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+               END) AS q
+    FROM s
+),
+e AS (
+    SELECT vec_id, scale, q,
+           list_transform(list_zip(v, q),
+                          p -> p[1] - p[2] * scale) AS err,
+           len(v) AS dim
+    FROM qd
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       round(scale, 6) AS scale,
+       round(sqrt(list_sum(list_transform(err, x -> x * x))), 6) AS l2_err,
+       round(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err,
+       CAST(len(list_filter(q, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated
+FROM e
+"""

@@ -4932,3 +4932,23 @@ def x122_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges, all per-row array functions
     (operators/text.py:gopher_repetition)."""
     return T.gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# x123 — INT8 embedding quantization report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x123_embedding_quantization",
+    oracle=S.embedding_quantization_oracle_sql(),
+    tags=("extension", "vector", "compression"),
+)
+def x123_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization + reconstruction audit —
+    the 4x embedding-storage compression decision query (scale, L2/max
+    reconstruction error, saturated lanes per vector). floor(x+0.5)
+    rounding on both engines sidesteps the HALF_UP-vs-nearest-even .5
+    divergence; one scan, zero exchanges
+    (operators/similarity.py:embedding_quantization)."""
+    return S.embedding_quantization(load_table(spark, sf_dir, "embeddings"))

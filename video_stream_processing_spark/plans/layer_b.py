@@ -2753,3 +2753,46 @@ def b71_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@register(
+    "b72_custdist",
+    oracle="""
+WITH percust AS (
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM percust GROUP BY c_count
+""",
+    tags=("layer_b", "join", "tpch_q13"),
+)
+def b72_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — the
+    LEFT OUTER JOIN with a join-riding predicate (non-urgent orders
+    stand in for Q13's `o_comment NOT LIKE`, which this fixture's
+    schema omits) followed by a two-level aggregation, keeping
+    zero-order customers in the c_count = 0 bucket (the part an inner
+    join silently loses).
+
+    Scale posture: the right side is pre-filtered before the join
+    (equivalent to the riding predicate under LEFT semantics, and it
+    pushes to the orders scan); first aggregate is keyed on c_custkey
+    (map-side combinable), second on the tiny c_count domain — one
+    broadcast-able dim join + two shrinking exchanges."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    percust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return percust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
