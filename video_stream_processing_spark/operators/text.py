@@ -1013,11 +1013,15 @@ def nb_langid(
     ~1e-12 cross-engine summation-order noise cannot flip a comparison
     (ties then break deterministically to the lexicographically LAST
     language — Spark's struct array_max rule, mirrored in the oracle
-    with a composite max_by key).
+    with a DESC composite ordering).
 
-    Scale: one corpus scan -> (doc, bucket) counts (one exchange); the
-    complete model grid (distinct buckets x languages, <= n_buckets x L
-    rows) broadcasts back; scoring is one keyed aggregate. Zero Python.
+    Scale: one corpus scan -> (doc, bucket) counts (one exchange,
+    checkpointed — it feeds training AND scoring); the model (<= langs
+    x n_buckets log-probs + priors) is collected once — bounded state —
+    and re-emitted as literal-Catalyst weight arrays (the x119/codebook
+    pattern), so scoring is ZERO joins: one element_at per language per
+    feature row, one keyed aggregate per doc, argmax in-row. Python
+    touches only the collected model; no per-row Python anywhere.
     """
     txt = F.col(text_col)
     tris = F.when(
@@ -1049,50 +1053,67 @@ def nb_langid(
     # trigram explode + md5 pipeline re-executes per consumer
     # (8.2 -> ~3 s at sf0.1; the x92 cross-action lineage lesson)
     fx = fx.localCheckpoint(eager=True)
-    mc = fx.groupBy(F.col("labeled_lang").alias("lang"), "b").agg(
-        F.sum("c").alias("mc")
+    import math
+
+    mc_rows = (
+        fx.groupBy(F.col("labeled_lang").alias("lang"), "b")
+        .agg(F.sum("c").alias("mc"))
+        .collect()
     )
-    totals = mc.groupBy("lang").agg(F.sum("mc").alias("cl"))
-    langs = docs.groupBy(F.col(lang_col).alias("lang")).agg(
-        F.count(F.lit(1)).cast("double").alias("nd")
+    lang_rows = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
     )
-    n_total = langs.agg(F.sum("nd").alias("n"))
-    prior = langs.crossJoin(F.broadcast(n_total)).select(
-        "lang", F.log(F.col("nd") / F.col("n")).alias("lp")
-    )
-    grid = (
-        fx.select("b")
-        .where(F.col("b") >= 0)
-        .distinct()
-        .crossJoin(F.broadcast(totals))
-        .join(mc, ["lang", "b"], "left")
-        .select(
-            "lang",
-            "b",
-            F.log(
-                (F.coalesce(F.col("mc"), F.lit(0.0)) + 1)
-                / (F.col("cl") + F.lit(float(n_buckets)))
-            ).alias("logp"),
+    # bounded model state (<= langs x n_buckets + langs), collected once
+    # and re-emitted as literal-Catalyst weight arrays — the x119/codebook
+    # pattern. Scoring is then ZERO joins: per fx row, one element_at per
+    # language; one keyed aggregate per doc. (The r9 first cut scored via
+    # a broadcast grid join -> 5x row expansion + 20 exchanges; this form
+    # is 2 training aggregates + 1 scoring exchange.)
+    n_total = float(sum(r["nd"] for r in lang_rows))
+    langs_sorted = sorted(r["lang"] for r in lang_rows)
+    prior = {
+        r["lang"]: math.log(float(r["nd"]) / n_total) for r in lang_rows
+    }
+    cl = {lang: 0.0 for lang in langs_sorted}
+    counts: dict = {}
+    seen_b = set()
+    for r in mc_rows:
+        if int(r["b"]) >= 0:
+            cl[r["lang"]] += float(r["mc"])
+            counts[(r["lang"], int(r["b"]))] = float(r["mc"])
+            seen_b.add(int(r["b"]))
+
+    def logp(lang: str, b: int) -> float:
+        return math.log(
+            (counts.get((lang, b), 0.0) + 1) / (cl[lang] + n_buckets)
         )
+
+    def arr_expr(lang: str) -> str:
+        # index 1 = sentinel bucket -1 (contributes 0); buckets never seen
+        # in the corpus cannot appear in fx, their slot value is unused
+        vals = ["CAST('0.0' AS DOUBLE)"] + [
+            f"CAST('{logp(lang, b)!r}' AS DOUBLE)" for b in range(n_buckets)
+        ]
+        return f"element_at(array({','.join(vals)}), cast(b as int) + 2)"
+
+    sums = [
+        F.sum(F.col("c") * F.expr(arr_expr(lang))).alias(f"_ll_{i}")
+        for i, lang in enumerate(langs_sorted)
+    ]
+    scored = fx.groupBy("doc_id", "labeled_lang").agg(*sums)
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(F.col(f"_ll_{i}") + F.lit(prior[lang]), 4).alias("s4"),
+                F.lit(lang).alias("cand"),
+            )
+            for i, lang in enumerate(langs_sorted)
+        ]
     )
-    # sentinel bucket contributes 0 to every language's score
-    grid = grid.unionByName(
-        langs.select("lang", F.lit(-1).cast("long").alias("b"), F.lit(0.0).alias("logp"))
-    )
-    scored = (
-        fx.join(F.broadcast(grid), "b")
-        .groupBy("doc_id", "labeled_lang", F.col("lang").alias("cand"))
-        .agg(F.sum(F.col("c") * F.col("logp")).alias("ll"))
-        .join(F.broadcast(prior), F.col("cand") == F.col("lang"))
-        .select(
-            "doc_id",
-            "labeled_lang",
-            "cand",
-            F.round(F.col("ll") + F.col("lp"), 4).alias("s4"),
-        )
-    )
-    best = scored.groupBy("doc_id", "labeled_lang").agg(
-        F.max(F.struct(F.col("s4"), F.col("cand"))).alias("m")
+    best = scored.select(
+        "doc_id", "labeled_lang", F.array_max(cand).alias("m")
     )
     return best.select(
         "doc_id",
