@@ -289,6 +289,8 @@ def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
         dsir_fit_log_ratios,
         dsir_weights,
         gopher_rules,
+        quality_classifier,
+        quality_classifier_fit,
     )
     from video_stream_processing_spark.streaming.pipeline import curation_stream
 
@@ -306,6 +308,13 @@ def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
         "doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text"
     )
     model = dsir_fit_log_ratios(batch, F.col("doc_id") <= 1)
+    qc_batch = batch.withColumn("source", F.lit("s"))
+    qc_pred = F.col("doc_id") <= 1
+    qc_model = quality_classifier_fit(qc_batch, qc_pred)
+    b_qc = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier(qc_batch, qc_pred).collect()
+    }
     b_gopher = {r["doc_id"]: r["keep"] for r in gopher_rules(batch).collect()}
     b_dsir = {
         r["doc_id"]: (r["log_weight"], r["selected"])
@@ -316,7 +325,8 @@ def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
     _write(spark, d, rows, "overwrite")
     stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
     q = (
-        curation_stream(stream, watermark="10 minutes", dsir_model=model)
+        curation_stream(stream, watermark="10 minutes", dsir_model=model,
+                        qc_model=qc_model)
         .writeStream.format("memory")
         .queryName("curation_twins")
         .option("checkpointLocation", str(tmp_path / "ck"))
@@ -342,3 +352,8 @@ def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
     # 512-bucket smoothing swamps a 3-doc fit, by design)
     assert got[1]["dsir_log_weight"] > got[2]["dsir_log_weight"]
     assert got[3]["dsir_log_weight"] > got[2]["dsir_log_weight"]
+    # x119 twin: the stream's qc_score equals the batch query's score
+    # column doc-for-doc (identical quality_score_col expression)
+    for i in (1, 2, 3):
+        assert got[i]["qc_score"] == b_qc[i], i
+    assert got[1]["qc_score"] > got[2]["qc_score"]  # target-slice doc ranks higher

@@ -788,6 +788,105 @@ QC_GD_ROUNDS = 2
 QC_SELECT_FRAC = 0.2
 
 
+def _qc_weight_expr(w: dict, n_buckets: int) -> str:
+    """Literal-Catalyst weight lookup for a trained model: bucket b in
+    [-1, n_buckets) -> index b+2 (one generated SQL string — the
+    similarity.py codebook pattern)."""
+    vals = ",".join(
+        f"CAST('{w.get(b, 0.0)!r}' AS DOUBLE)" for b in range(-1, n_buckets)
+    )
+    return f"element_at(array({vals}), cast(b as int) + 2)"
+
+
+def quality_classifier_fit(
+    docs: DataFrame,
+    curated_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = QC_BUCKETS,
+    gd_rounds: int = QC_GD_ROUNDS,
+    lr: float = QC_LR,
+) -> dict:
+    """Batch fit of the x119 quality model ALONE: NB log-count-ratio
+    init from exact integer presence counts + ``gd_rounds``
+    6-dp-rounded logistic gradient steps (see quality_classifier for
+    the full discipline). Returns {bucket: weight} with the intercept
+    at bucket -1 — the <= n_buckets+1-float broadcastable model for
+    stateless/streaming scoring (quality_score_col)."""
+    import math
+
+    base = docs.select("doc_id", curated_pred.cast("double").alias("y"), tokens_col(text_col).alias("t"))
+    pres = (
+        base.select("doc_id", "y", F.explode(F.array_distinct("t")).alias("tok"))
+        .select("doc_id", "y", _dsir_bucket(F.col("tok"), n_buckets).alias("b"))
+        .distinct()
+        .withColumn("c", F.lit(1.0))
+    )
+    fx = pres.unionByName(
+        base.select("doc_id", "y", F.lit(-1).cast("long").alias("b"), F.lit(1.0).alias("c"))
+    ).localCheckpoint(eager=True)
+    tot = base.agg(
+        F.sum("y").alias("np"), F.sum(F.lit(1.0) - F.col("y")).alias("nq")
+    ).first()
+    n_pos, n_neg = float(tot["np"]), float(tot["nq"])
+    n_docs = n_pos + n_neg
+    nb = pres.groupBy("b").agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("c")).otherwise(0.0)).alias("cp"),
+        F.sum(F.when(F.col("y") == 0.0, F.col("c")).otherwise(0.0)).alias("cq"),
+    ).collect()
+    w = {
+        int(r["b"]): round(
+            math.log((r["cp"] + 1) / (n_pos + 2)) - math.log((r["cq"] + 1) / (n_neg + 2)),
+            6,
+        )
+        for r in nb
+    }
+    w[-1] = round(math.log(n_pos / n_neg), 6)
+    for _ in range(gd_rounds):
+        s = (
+            fx.withColumn("wv", F.expr(_qc_weight_expr(w, n_buckets)))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("wv")).alias("s"), F.first("y").alias("y"))
+            .withColumn("r", F.expr("y - 1/(1+exp(-s))"))
+        )
+        g = (
+            fx.join(s.select("doc_id", "r"), "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("c") * F.col("r")).alias("g"))
+            .collect()
+        )
+        for row in g:
+            b = int(row["b"])
+            w[b] = round(w[b] + lr * float(row["g"]) / n_docs, 6)
+    return w
+
+
+def quality_score_col(
+    w: dict, text_col: str = "text", n_buckets: int = QC_BUCKETS
+) -> Column:
+    """Stateless per-row x119 quality score under a FIXED trained
+    model: sigmoid(intercept + sum over distinct-token presence buckets
+    of the literal weight) — no explode, no join, no state, so it drops
+    straight into a streaming projection (the curation_stream twin of
+    x119, same pattern as dsir_score_col). 4-dp round matches the
+    batch query's output grid."""
+    vals = ",".join(
+        f"CAST('{w.get(b, 0.0)!r}' AS DOUBLE)" for b in range(n_buckets)
+    )
+    arr = F.expr(f"array({vals})")
+    feats = F.array_distinct(
+        F.transform(
+            F.array_distinct(tokens_col(text_col)),
+            lambda t: _dsir_bucket(t, n_buckets),
+        )
+    )
+    s = F.aggregate(
+        feats,
+        F.lit(float(w.get(-1, 0.0))),
+        lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 4)
+
+
 def quality_classifier(
     docs: DataFrame,
     curated_pred: Column,
@@ -825,85 +924,24 @@ def quality_classifier(
     deterministic on both engines.
 
     Scale posture: model state is <= n_buckets+1 weights at ANY corpus
-    size (the hashing trick, as in x116); per-round work is one pass
-    over the checkpointed (doc, bucket) presence table + a 65-row
-    collect; scoring is zero-Python (a literal-array Catalyst
-    expression, the similarity.py codebook pattern); the final window
-    is partitioned by source, never corpus-wide.
+    size (the hashing trick, as in x116); training
+    (quality_classifier_fit) is per-round one pass over a checkpointed
+    (doc, bucket) presence table + a 65-row collect; scoring is the
+    STATELESS per-row quality_score_col (literal-array lookup, zero
+    Python, zero joins — the same column the streaming twin uses, so
+    batch and stream cannot drift); the final window is partitioned by
+    source, never corpus-wide.
     """
-    import math
-
-    t = tokens_col(text_col)
-    base = docs.select(
-        "doc_id", "source", curated_pred.cast("double").alias("y"), t.alias("t")
-    )
-    pres = (
-        base.select("doc_id", "y", F.explode(F.array_distinct("t")).alias("tok"))
-        .select("doc_id", "y", _dsir_bucket(F.col("tok"), n_buckets).alias("b"))
-        .distinct()
-        .withColumn("c", F.lit(1.0))
-    )
-    fx = pres.unionByName(
-        base.select(
-            "doc_id", "y", F.lit(-1).cast("long").alias("b"), F.lit(1.0).alias("c")
-        )
-    ).localCheckpoint(eager=True)
-
-    tot = base.agg(
-        F.sum("y").alias("np"), F.sum(F.lit(1.0) - F.col("y")).alias("nq")
-    ).first()
-    n_pos, n_neg = float(tot["np"]), float(tot["nq"])
-    n_docs = n_pos + n_neg
-
-    nb = pres.groupBy("b").agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("c")).otherwise(0.0)).alias("cp"),
-        F.sum(F.when(F.col("y") == 0.0, F.col("c")).otherwise(0.0)).alias("cq"),
-    ).collect()
-    w = {
-        int(r["b"]): round(
-            math.log((r["cp"] + 1) / (n_pos + 2)) - math.log((r["cq"] + 1) / (n_neg + 2)),
-            6,
-        )
-        for r in nb
-    }
-    w[-1] = round(math.log(n_pos / n_neg), 6)
-
-    def w_expr() -> str:
-        # literal-Catalyst weight lookup (one generated SQL string — the
-        # similarity.py codebook pattern; py4j-per-Column would be ~350x
-        # slower to build): bucket b in [-1, n_buckets) -> index b+2
-        vals = ",".join(
-            f"CAST('{w.get(b, 0.0)!r}' AS DOUBLE)" for b in range(-1, n_buckets)
-        )
-        return f"element_at(array({vals}), cast(b as int) + 2)"
-
-    for _ in range(gd_rounds):
-        s = (
-            fx.withColumn("wv", F.expr(w_expr()))
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("c") * F.col("wv")).alias("s"), F.first("y").alias("y"))
-            .withColumn("r", F.expr("y - 1/(1+exp(-s))"))
-        )
-        g = (
-            fx.join(s.select("doc_id", "r"), "doc_id")
-            .groupBy("b")
-            .agg(F.sum(F.col("c") * F.col("r")).alias("g"))
-            .collect()
-        )
-        for row in g:
-            b = int(row["b"])
-            w[b] = round(w[b] + lr * float(row["g"]) / n_docs, 6)
-
-    scored = (
-        fx.withColumn("wv", F.expr(w_expr()))
-        .groupBy("doc_id")
-        .agg(F.round(F.expr("1/(1+exp(-sum(c*wv)))"), 4).alias("score"))
-    )
+    w = quality_classifier_fit(docs, curated_pred, text_col, n_buckets, gd_rounds, lr)
     win = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     cnt_win = Window.partitionBy("source")
     return (
-        base.select("doc_id", "source", (F.col("y") == 1.0).alias("is_curated"))
-        .join(scored, "doc_id")
+        docs.select(
+            "doc_id",
+            "source",
+            (curated_pred.cast("double") == 1.0).alias("is_curated"),
+            quality_score_col(w, text_col, n_buckets).alias("score"),
+        )
         .withColumn("rk", F.row_number().over(win))
         .withColumn("ns", F.count(F.lit(1)).over(cnt_win))
         .select(

@@ -202,6 +202,7 @@ def curation_stream(
     docs: DataFrame,
     watermark: str = "10 minutes",
     dsir_model: list | None = None,
+    qc_model: dict | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch curation pipeline (x35) over a
     document stream (doc_id, ts, text): normalization and the rule
@@ -225,22 +226,36 @@ def curation_stream(
       in as ``dsir_model`` (a 512-float broadcastable list; scoring is
       one constant-folded literal-array lookup per feature — no join,
       no state). Omitted when no model is supplied.
+    - ``qc_score``: x119's trained-classifier quality score under a
+      FIXED model fit offline by quality_classifier_fit and passed in
+      as ``qc_model`` (same literal-array mechanics via
+      quality_score_col — the batch query scores through the IDENTICAL
+      column, so the two surfaces cannot drift). Omitted when no model
+      is supplied; the per-source selection budget stays a batch
+      concern (a quota needs the whole source, not a stream prefix).
 
     Emits (doc_id, ts, text_hash, n_tokens[, gopher_keep,
-    dsir_log_weight, dsir_selected]) for kept, first-seen docs.
+    dsir_log_weight, dsir_selected, qc_score]) for kept, first-seen
+    docs.
     """
     from video_stream_processing_spark.operators.text import (
         curation_keep,
         dsir_score_col,
         gopher_keep,
         normalize_col,
+        quality_score_col,
         word_count,
     )
 
     extra = [gopher_keep("text").alias("gopher_keep")]
+    extra_names = []
     if dsir_model is not None:
         w = dsir_score_col(dsir_model, "text")
         extra += [w.alias("dsir_log_weight"), (w > 0).alias("dsir_selected")]
+        extra_names += ["dsir_log_weight", "dsir_selected"]
+    if qc_model is not None:
+        extra.append(quality_score_col(qc_model, "text").alias("qc_score"))
+        extra_names.append("qc_score")
     d2 = docs.select("doc_id", "ts", normalize_col().alias("text"), *extra)
     kept = d2.where(curation_keep()).select(
         "doc_id",
@@ -248,7 +263,7 @@ def curation_stream(
         F.md5("text").alias("text_hash"),
         word_count().alias("n_tokens"),
         "gopher_keep",
-        *(["dsir_log_weight", "dsir_selected"] if dsir_model is not None else []),
+        *extra_names,
     )
     return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
