@@ -428,3 +428,32 @@ def test_gopher_repetition_planted(spark):
     assert not out[4]["keep"]
     assert out[4]["dup_line_frac"] == 0.6  # 3 of 5 lines are repeats of one
     assert out[4]["dup_line_char_frac"] > 0.2
+
+
+def test_classifier_auc_exact_values(spark):
+    """x124's metric kernel: AUC on hand-computable score/label sets,
+    including the tie half-credit correction."""
+    from video_stream_processing_spark.operators.text import classifier_auc
+
+    # perfect separation -> AUC 1; anti-separation -> 0; ties -> 0.5 credit
+    perfect = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "is_curated boolean, score double",
+    )
+    r = classifier_auc(perfect).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"], r["gini"]) == (2, 2, 1.0, 1.0)
+
+    inverted = spark.createDataFrame(
+        [(False, 0.9), (True, 0.1)], "is_curated boolean, score double"
+    )
+    assert classifier_auc(inverted).collect()[0]["auc"] == 0.0
+
+    # one tied pair at 0.5: U = 1*1 (pos 0.9 > neg 0.2) + 0.5 (tie)
+    # + 1 (pos 0.5 > neg 0.2) + 0 (pos 0.5 < neg 0.9)... recompute:
+    # pos = {0.9, 0.5}, neg = {0.5, 0.2}: pairs (0.9,0.5)=1 (0.9,0.2)=1
+    # (0.5,0.5)=0.5 (0.5,0.2)=1 -> U=3.5 / 4 = 0.875
+    tied = spark.createDataFrame(
+        [(True, 0.9), (True, 0.5), (False, 0.5), (False, 0.2)],
+        "is_curated boolean, score double",
+    )
+    assert classifier_auc(tied).collect()[0]["auc"] == 0.875

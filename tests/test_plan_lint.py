@@ -83,6 +83,9 @@ NESTED_LOOP_ALLOWED = {
     # scalar broadcast onto the vocab frame as x51; the three count
     # joins back onto the pair stream are keyed broadcast hash joins
     "x110_bigram_lm_logprob",
+    # DSIR: the bucket-stat TOTALS pair is the same ONE-ROW scalar
+    # broadcast onto the 512-bucket model table as x51's vocab total
+    "x116_dsir_weights",
 }
 
 # Queries whose plans contain a GLOBAL (partition-less) WindowExec — each
@@ -101,6 +104,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "x85_session_concurrency",  # carry over |hour buckets|
     "x91_psi_drift",  # over |bins|
     "x111_sequence_packing",  # carry over |shuffle-partition| buckets
+    "x124_classifier_auc",  # over |4-dp score grid| (<= 10001 rows)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -217,6 +221,10 @@ SCAN_MULTIPLICITY_ALLOWED = {
     "x79_split_leakage_report": {"documents": 4},
     # part is a dimension table: brand lookup + two endpoint joins
     "x97_brand_modularity": {"part": 3},
+    # gopher repetition: token posexplode branch + line-split branch +
+    # the per-doc text-length join — three PRUNED projections of one
+    # 2-column table, no derivation repeated
+    "x122_gopher_repetition": {"documents": 3},
 }
 
 

@@ -476,7 +476,8 @@ def dsir_weights(
     )
     doc_b = fx.groupBy("doc_id", "is_target", "b").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # feeds stats AND the per-doc weight agg
+    # (one corpus scan total; was 4 scans / 2 plan branches before r9)
     # scalar totals broadcast back (the x51 shape) rather than a
     # partition-less window over the bucket table — at 512 rows either
     # works, but the repo bans the global-window shape on principle
@@ -1392,4 +1393,71 @@ m AS (
     FROM g
 )
 SELECT *, {" AND ".join(keeps)} AS keep FROM m
+"""
+
+
+def classifier_auc(scored: DataFrame, label_col: str = "is_curated",
+                   score_col: str = "score") -> DataFrame:
+    """Exact ROC AUC of a scored corpus via the Mann-Whitney U statistic
+    over the 4-dp score grid — the model-evaluation metric for x119's
+    classifier, computed scale-safely: scores are ALREADY rounded to a
+    bounded grid (<= 10001 distinct values at 4 dp), so the per-score
+    aggregate is a constant-size table at any corpus size and the one
+    ordered window runs over |score grid| rows, never the corpus (the
+    x68/x91 bounded-histogram posture). Ties are handled exactly
+    (half-credit, the standard U-statistic correction): 2U = sum over
+    score buckets of p_s * (2 * negatives_below + n_s) — EXACT integers
+    until the single final division. Returns one row: n_pos, n_neg, auc
+    (6 dp), gini."""
+    by_s = scored.groupBy(score_col).agg(
+        F.sum(F.col(label_col).cast("long")).alias("p"),
+        F.sum((~F.col(label_col)).cast("long")).alias("n"),
+    )
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u2 = by_s.select(
+        "p",
+        "n",
+        (
+            F.col("p")
+            * (2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n"))
+        ).alias("u2"),
+    )
+    return u2.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.round(
+            F.sum("u2") / (2.0 * F.sum("p") * F.sum("n")), 6
+        ).alias("auc"),
+        F.round(
+            F.sum("u2") / (F.sum("p") * F.sum("n")) - 1.0, 6
+        ).alias("gini"),
+    )
+
+
+def classifier_auc_oracle_sql(scored_sql: str) -> str:
+    """DuckDB replay of classifier_auc over any subquery producing
+    (is_curated, score): same score-grid aggregate, same exact-integer
+    2U accumulation, same final rounds."""
+    return f"""
+WITH scored AS (SELECT * FROM ({scored_sql})),
+by_s AS (
+    SELECT score,
+           sum(CASE WHEN is_curated THEN 1 ELSE 0 END)::BIGINT p,
+           sum(CASE WHEN is_curated THEN 0 ELSE 1 END)::BIGINT n
+    FROM scored GROUP BY score
+),
+u AS (
+    SELECT p, n,
+           p * (2 * coalesce(sum(n) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + n) AS u2
+    FROM by_s
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       round(sum(u2) / (2.0 * sum(p) * sum(n)), 6) AS auc,
+       round(sum(u2) * 1.0 / (sum(p) * sum(n)) - 1.0, 6) AS gini
+FROM u
 """

@@ -4952,3 +4952,28 @@ def x123_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence; one scan, zero exchanges
     (operators/similarity.py:embedding_quantization)."""
     return S.embedding_quantization(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# x124 — exact ROC AUC of the trained quality classifier
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x124_classifier_auc",
+    oracle=T.classifier_auc_oracle_sql(
+        T.quality_classifier_oracle_sql(_X119_CURATED_SQL)
+    ),
+    tags=("extension", "text", "model", "evaluation"),
+)
+def x124_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (training-set) ROC AUC of x119's quality classifier via the
+    tie-corrected Mann-Whitney U over the 4-dp score grid — the
+    model-evaluation stage next to the model stage, exact integers
+    until one division, one |score-grid|-bounded window (never a corpus
+    window). The oracle replays the ENTIRE x119 training inside the AUC
+    replay (operators/text.py:classifier_auc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens_col("text")
+    curated = F.array_contains(t, "spark") & ~F.array_contains(t, "slow")
+    return T.classifier_auc(T.quality_classifier(docs, curated))
