@@ -148,6 +148,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     wrap with x15's probe-bounded loop to run to convergence."""
     edges = edges.localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n_alive = alive.count()
     for _ in range(rounds):
         ax = alive.select(F.col("node").alias("src"))
         ay = alive.select(F.col("node").alias("dst"))
@@ -159,6 +160,14 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)  # cut lineage per round
         )
+        # peeling only ever REMOVES nodes, so an unchanged count means an
+        # unchanged set — the fixpoint; remaining rounds are no-ops and
+        # skipping them is result-identical (count is free: alive is a
+        # just-materialized checkpoint)
+        n_new = alive.count()
+        if n_new == n_alive:
+            break
+        n_alive = n_new
     ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
         alive.select(F.col("node").alias("dst")), "dst"
     )

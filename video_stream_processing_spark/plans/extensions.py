@@ -4977,3 +4977,104 @@ def x124_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T.tokens_col("text")
     curated = F.array_contains(t, "spark") & ~F.array_contains(t, "slow")
     return T.classifier_auc(T.quality_classifier(docs, curated))
+
+
+# --------------------------------------------------------------------------
+# x125 — token-budget mixture sampling (pretraining-mix construction)
+# --------------------------------------------------------------------------
+
+# target mixture over sources (md5-of-source determinism keeps the demo
+# spec stable as sources come and go): weight 3 for sources hashing into
+# the top quarter, else 1 — any static dict works the same way
+_X125_TOTAL_BUDGET = 6000  # tokens at any SF (a budget is absolute, not scale-relative)
+
+
+@register(
+    "x125_token_budget_mix",
+    oracle=f"""
+WITH docs_t AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+),
+wts AS (
+    SELECT source,
+           CASE WHEN substr(md5(source), 1, 1) < '4' THEN 3.0 ELSE 1.0 END AS w
+    FROM (SELECT DISTINCT source FROM docs_t)
+),
+budgets AS (
+    SELECT source,
+           CAST(floor({_X125_TOTAL_BUDGET} * w / (SELECT sum(w) FROM wts)) AS BIGINT)
+               AS budget
+    FROM wts
+),
+cum AS (
+    SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+           sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.ord, d.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM docs_t d JOIN budgets b USING (source)
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= budget AS selected
+FROM cum
+""",
+    tags=("extension", "text", "mixing", "sampling"),
+)
+def x125_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the pretraining-mix construction
+    step the weight-only mixing queries (x36/x52) stop short of: each
+    source gets a TOKEN budget = total_budget x its mixture weight, and
+    docs fill it in a deterministic md5 order (greedy prefix by
+    (md5(doc_id), doc_id) until the per-source cumulative token count
+    exceeds the budget). Emits every doc with its running total and the
+    selected flag, so the mix is auditable, reproducible, and
+    incremental (append-only order keys).
+
+    Scale posture: one scan; the mixture weights/budgets are a
+    |sources|-row broadcast; the only window is PARTITIONED BY source
+    (the per-source prefix sum — at a 100 TB corpus a hot source would
+    get the x85/b71 range-partitioned carry treatment). Budgets are
+    exact integers (floor of weight share); selection compares exact
+    BIGINTs — no float boundary anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.word_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    wts = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.substring(F.md5("source"), 1, 1) < "4", F.lit(3.0))
+            .otherwise(F.lit(1.0))
+            .alias("w"),
+        )
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    budgets = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.lit(_X125_TOTAL_BUDGET) * F.col("w") / F.col("tw"))
+        .cast("long")
+        .alias("budget"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.join(F.broadcast(budgets), "source").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(win)
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= F.col("budget")).alias("selected"),
+    )
