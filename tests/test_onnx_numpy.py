@@ -546,3 +546,87 @@ def test_yolov8n_skeleton_end_to_end_pinned():
         assert d["confidence"] >= 0.5
         assert 0 <= d["bbox"]["x1"] < d["bbox"]["x2"] <= 128
         assert 0 <= d["bbox"]["y1"] < d["bbox"]["y2"] <= 96
+
+
+def test_plumbing_ops_match_numpy():
+    """r9 real-export plumbing kernels vs direct numpy reference."""
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((2, 3, 4)).astype(np.float32)
+
+    (c,) = _run_op("Cast", [X], to=7)
+    assert c.dtype == np.int64
+    np.testing.assert_array_equal(c, X.astype(np.int64))
+    with pytest.raises(NotImplementedError):
+        _run_op("Cast", [X], to=99)
+
+    (sh,) = _run_op("Shape", [X])
+    np.testing.assert_array_equal(sh, np.array([2, 3, 4], dtype=np.int64))
+
+    idx = np.array([2, 0], dtype=np.int64)
+    (g,) = _run_op("Gather", [X, idx], axis=1)
+    np.testing.assert_array_equal(g, np.take(X, idx, axis=1))
+
+    (u,) = _run_op("Unsqueeze", [X, np.array([0, -1], dtype=np.int64)])
+    assert u.shape == (1, 2, 3, 4, 1)
+    (sq,) = _run_op("Squeeze", [u, np.array([0], dtype=np.int64)])
+    assert sq.shape == (2, 3, 4, 1)
+    (sq2,) = _run_op("Squeeze", [u])
+    assert sq2.shape == (2, 3, 4)
+
+    (e,) = _run_op("Expand", [np.ones((3, 1), dtype=np.float32),
+                              np.array([2, 3, 4], dtype=np.int64)])
+    assert e.shape == (2, 3, 4)
+
+    a = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    np.testing.assert_array_equal(
+        _run_op("Where", [X > 0, X, a])[0], np.where(X > 0, X, a)
+    )
+    np.testing.assert_array_equal(_run_op("Equal", [X, X])[0], np.ones_like(X, dtype=bool))
+    np.testing.assert_array_equal(_run_op("Greater", [X, a])[0], X > a)
+    np.testing.assert_array_equal(_run_op("Less", [X, a])[0], X < a)
+    np.testing.assert_array_equal(_run_op("Neg", [X])[0], -X)
+    np.testing.assert_allclose(_run_op("Exp", [X])[0], np.exp(X), rtol=1e-6)
+    np.testing.assert_allclose(_run_op("Sqrt", [np.abs(X)])[0], np.sqrt(np.abs(X)), rtol=1e-6)
+    np.testing.assert_allclose(
+        _run_op("Pow", [np.abs(X), np.float32(2.0)])[0], np.abs(X) ** 2, rtol=1e-6
+    )
+    np.testing.assert_allclose(_run_op("Tanh", [X])[0], np.tanh(X), rtol=1e-6)
+    np.testing.assert_allclose(
+        _run_op("LeakyRelu", [X], alpha=0.1)[0],
+        np.where(X >= 0, X, 0.1 * X), rtol=1e-6,
+    )
+
+    # reductions: attr axes, input axes (opset 18), keepdims both ways
+    np.testing.assert_allclose(
+        _run_op("ReduceSum", [X, np.array([1], dtype=np.int64)])[0],
+        X.sum(axis=1, keepdims=True), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        _run_op("ReduceMax", [X], axes=[0, 2], keepdims=0)[0],
+        X.max(axis=(0, 2)), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        _run_op("ReduceMean", [X], axes=[-1])[0],
+        X.mean(axis=-1, keepdims=True), rtol=1e-5,
+    )
+    # no axes -> reduce over everything
+    np.testing.assert_allclose(
+        _run_op("ReduceMin", [X], keepdims=0)[0], X.min(), rtol=1e-6
+    )
+
+
+def test_batchnorm_inference_matches_manual():
+    rng = np.random.default_rng(18)
+    X = rng.standard_normal((2, 4, 5, 5)).astype(np.float32)
+    scale = rng.standard_normal(4).astype(np.float32)
+    bias = rng.standard_normal(4).astype(np.float32)
+    mean = rng.standard_normal(4).astype(np.float32)
+    var = np.abs(rng.standard_normal(4)).astype(np.float32) + 0.5
+    (got,) = _run_op("BatchNormalization", [X, scale, bias, mean, var], epsilon=1e-3)
+    want = (
+        (X - mean.reshape(1, 4, 1, 1))
+        / np.sqrt(var.reshape(1, 4, 1, 1) + np.float32(1e-3))
+        * scale.reshape(1, 4, 1, 1)
+        + bias.reshape(1, 4, 1, 1)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -16,7 +16,10 @@ detector head needs): Conv, MaxPool, AveragePool, GlobalAveragePool,
 Sigmoid, Relu, Clip, Mul, Add, Sub, Div, Concat, Resize
 (nearest/asymmetric/floor — the torch Upsample export), Transpose,
 Reshape, Flatten, Pad (constant), Slice, Split, Softmax, MatMul, Gemm,
-Constant.
+Constant — plus the real-export plumbing set (r9): Cast, Shape, Gather,
+Unsqueeze, Squeeze, Expand, Where, Equal/Greater/Less, Neg, Exp, Log,
+Sqrt, Pow, Tanh, LeakyRelu, ReduceMax/Min/Sum/Mean, BatchNormalization
+(inference form).
 Everything is vectorized numpy (Conv/MaxPool via an explicit
 kH*kW-offset im2col + einsum); unsupported ops/attributes raise
 NotImplementedError rather than silently mis-executing.
@@ -367,6 +370,94 @@ def _op_constant(node: NodeProto, inp: list) -> list:
     return [tensor_to_numpy(attrs["value"].t)]
 
 
+
+
+# ONNX TensorProto dtype codes -> numpy (the subset real exports emit)
+_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 6: np.int32, 7: np.int64,
+    9: np.bool_, 10: np.float16, 11: np.float64,
+}
+
+
+def _op_cast(node: NodeProto, inp: list) -> list:
+    to = _int(node.attrs(), "to", 0)
+    if to not in _DTYPES:
+        raise NotImplementedError(f"Cast: to={to} not supported")
+    return [inp[0].astype(_DTYPES[to])]
+
+
+def _op_gather(node: NodeProto, inp: list) -> list:
+    X, idx = inp[0], np.asarray(inp[1]).astype(np.int64)
+    axis = _int(node.attrs(), "axis", 0)
+    return [np.take(X, idx, axis=axis)]
+
+
+def _op_unsqueeze(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    axes = (
+        np.asarray(inp[1]).astype(np.int64).tolist()
+        if len(inp) > 1 and inp[1] is not None
+        else _ints(node.attrs(), "axes")
+    )
+    out_rank = X.ndim + len(axes)
+    axes = sorted(a + out_rank if a < 0 else a for a in axes)
+    for a in axes:
+        X = np.expand_dims(X, a)
+    return [X]
+
+
+def _op_squeeze(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    axes = (
+        np.asarray(inp[1]).astype(np.int64).tolist()
+        if len(inp) > 1 and inp[1] is not None
+        else _ints(node.attrs(), "axes", [])
+    )
+    if not axes:
+        return [np.squeeze(X)]
+    axes = tuple(a + X.ndim if a < 0 else a for a in axes)
+    return [np.squeeze(X, axis=axes)]
+
+
+def _op_expand(node: NodeProto, inp: list) -> list:
+    X, shape = inp[0], np.asarray(inp[1]).astype(np.int64).tolist()
+    # ONNX Expand is numpy broadcasting to the mutual broadcast shape
+    return [np.broadcast_to(X, np.broadcast_shapes(X.shape, tuple(shape))).copy()]
+
+
+def _reduce(np_fn):
+    def _op(node: NodeProto, inp: list) -> list:
+        X = inp[0]
+        attrs = node.attrs()
+        if len(inp) > 1 and inp[1] is not None:  # opset 18: axes as input
+            axes = np.asarray(inp[1]).astype(np.int64).tolist()
+        else:
+            axes = _ints(attrs, "axes", [])
+        keep = bool(_int(attrs, "keepdims", 1))
+        ax = tuple(a + X.ndim if a < 0 else a for a in axes) or None
+        return [np_fn(X, axis=ax, keepdims=keep).astype(X.dtype, copy=False)]
+
+    return _op
+
+
+def _op_batchnorm(node: NodeProto, inp: list) -> list:
+    X, scale, B, mean, var = inp[:5]
+    eps = node.attrs()["epsilon"].f if "epsilon" in node.attrs() else 1e-5
+    shape = (1, -1) + (1,) * (X.ndim - 2)
+    return [
+        (X - mean.reshape(shape))
+        / np.sqrt(var.reshape(shape) + np.asarray(eps, dtype=X.dtype))
+        * scale.reshape(shape)
+        + B.reshape(shape)
+    ]
+
+
+def _op_leakyrelu(node: NodeProto, inp: list) -> list:
+    X = inp[0]
+    alpha = node.attrs()["alpha"].f if "alpha" in node.attrs() else 0.01
+    return [np.where(X >= 0, X, X * np.asarray(alpha, dtype=X.dtype))]
+
+
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     # Branch on sign for overflow-free float32 (exp of a large positive
     # would warn/inf; both branches keep the input dtype).
@@ -402,6 +493,30 @@ _OPS: dict = {
     "Add": lambda node, inp: [inp[0] + inp[1]],
     "Sub": lambda node, inp: [inp[0] - inp[1]],
     "Div": lambda node, inp: [inp[0] / inp[1]],
+    # real-export plumbing ops (shape math, casts, reductions — present
+    # in non-constant-folded ultralytics/torch exports)
+    "Cast": _op_cast,
+    "Shape": lambda node, inp: [np.asarray(inp[0].shape, dtype=np.int64)],
+    "Gather": _op_gather,
+    "Unsqueeze": _op_unsqueeze,
+    "Squeeze": _op_squeeze,
+    "Expand": _op_expand,
+    "Where": lambda node, inp: [np.where(inp[0], inp[1], inp[2])],
+    "Equal": lambda node, inp: [inp[0] == inp[1]],
+    "Greater": lambda node, inp: [inp[0] > inp[1]],
+    "Less": lambda node, inp: [inp[0] < inp[1]],
+    "Neg": lambda node, inp: [-inp[0]],
+    "Exp": lambda node, inp: [np.exp(inp[0])],
+    "Log": lambda node, inp: [np.log(inp[0])],
+    "Sqrt": lambda node, inp: [np.sqrt(inp[0])],
+    "Pow": lambda node, inp: [np.power(inp[0], inp[1]).astype(inp[0].dtype, copy=False)],
+    "Tanh": lambda node, inp: [np.tanh(inp[0])],
+    "LeakyRelu": _op_leakyrelu,
+    "ReduceMax": _reduce(np.max),
+    "ReduceMin": _reduce(np.min),
+    "ReduceSum": _reduce(np.sum),
+    "ReduceMean": _reduce(np.mean),
+    "BatchNormalization": _op_batchnorm,
 }
 
 
