@@ -264,3 +264,71 @@ def test_streaming_job_on_real_jpeg_frames(spark, tmp_path):
     assert all(
         r["object_class"] == "car" and abs(r["confidence"] - 0.95) < 1e-4 for r in rows
     )
+
+
+@pytest.mark.slow
+def test_full_job_real_graph_detection(spark):
+    """r9: the reference hot path with NOTHING faked — real BMP bytes ->
+    real byte-histogram keyframe gate -> OnnxDetector running the REAL
+    [1,84,8400] YOLOv8-skeleton conv graph through the numpy executor ->
+    postprocess -> NMS -> explode. 6 keyframes x ~170 ms/image; the
+    same frame bytes must produce identical detections on both streams
+    (the executor is deterministic end-to-end)."""
+    from video_stream_processing_spark.operators.detection import (
+        DETECTIONS_TYPE,
+        OnnxDetector,
+    )
+    from video_stream_processing_spark.operators.scene import keyframe_gate_from_bytes
+
+    frames = _frames_df(spark, "bmp")
+    gated = keyframe_gate_from_bytes(
+        frames, min_interval_ms=25_000, scene_threshold=0.3, histogram="bytes"
+    )
+    keyframes = gated.select("stream_id", "frame_id", "ts").join(
+        frames.select("stream_id", "frame_id", "frame_data"),
+        ["stream_id", "frame_id"],
+    )
+
+    @F.pandas_udf(DETECTIONS_TYPE)
+    def detect(blobs: pd.Series) -> pd.Series:
+        # one session per worker call; weights are seed-deterministic so
+        # every worker materializes the identical graph (the u04 pattern)
+        from video_stream_processing_spark.operators.onnx_numpy import (
+            NumpyGraphSession,
+            make_yolov8n_skeleton,
+        )
+
+        det = OnnxDetector(session=NumpyGraphSession(make_yolov8n_skeleton()))
+        return det.detect_batch(blobs)
+
+    rows = (
+        keyframes.select(
+            "stream_id", "frame_id", F.explode(detect(F.col("frame_data"))).alias("d")
+        )
+        .select(
+            "stream_id",
+            "frame_id",
+            F.col("d.object_class").alias("cls"),
+            F.round(F.col("d.confidence").cast("double"), 4).alias("conf"),
+            F.round(F.col("d.bbox.x1").cast("double"), 2).alias("x1"),
+            F.round(F.col("d.bbox.y2").cast("double"), 2).alias("y2"),
+        )
+        .collect()
+    )
+    assert rows, "real-graph detection produced no rows"
+    by_frame: dict[tuple, list] = {}
+    for r in rows:
+        by_frame.setdefault((r["stream_id"], r["frame_id"]), []).append(
+            (r["cls"], r["conf"], r["x1"], r["y2"])
+        )
+    # every detection is valid
+    for dets in by_frame.values():
+        for cls, conf, x1, y2 in dets:
+            assert conf >= 0.5
+            assert 0 <= x1 <= 32 and 0 <= y2 <= 32  # frame is 32x32
+    # determinism across streams: cam1 and cam2 carry identical bytes
+    # per frame_id, so the detection sets must match exactly
+    for fid in (0, 20, 40):
+        a = sorted(by_frame.get(("cam1", fid), []))
+        b = sorted(by_frame.get(("cam2", fid), []))
+        assert a == b, fid
