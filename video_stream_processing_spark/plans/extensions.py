@@ -5078,3 +5078,81 @@ def x125_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         (F.col("cum_tokens") <= F.col("budget")).alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# x126 — CCNet perplexity buckets (head/middle/tail per language)
+# --------------------------------------------------------------------------
+
+
+
+@register(
+    "x126_ccnet_perplexity_buckets",
+    oracle="""
+WITH lm AS (SELECT * FROM (
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+pr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+    FROM d WHERE len(toks) >= 2
+),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+uni AS (SELECT unnest(toks) AS tok FROM d),
+unic AS (SELECT tok, count(*) AS cu, sum(count(*)) OVER () AS nt FROM uni GROUP BY tok),
+bic AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS cc FROM pairs GROUP BY w1),
+scored AS (
+    SELECT p.doc_id,
+           ln(0.7 * (b.cb * 1.0 / c.cc) + 0.3 * (u.cu * 1.0 / u.nt)) AS logp
+    FROM pairs p
+    JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN ctx c ON p.w1 = c.w1
+    JOIN unic u ON p.w2 = u.tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+)),
+j AS (
+    SELECT lm.doc_id, d.lang, lm.avg_logprob
+    FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+),
+b AS (
+    SELECT doc_id, lang, avg_logprob,
+           ntile(3) OVER (PARTITION BY lang
+                          ORDER BY avg_logprob DESC, doc_id) AS nt
+    FROM j
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b
+""",
+    tags=("extension", "text", "quality", "lm", "mixing"),
+)
+def x126_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): per language,
+    rank documents by the self-trained LM score (x110's interpolated
+    bigram log-prob standing in for the KenLM 5-gram this container
+    cannot hold) and split into head/middle/tail terciles — the named
+    selection stage CCNet/LLaMA used to pick the 'head' slice for
+    pretraining. Ranking on the 4-dp-rounded score with doc_id
+    tie-break keeps ntile deterministic on both engines; the window is
+    PARTITIONED BY lang (never corpus-wide). Composes x110 verbatim —
+    one definition of the LM, two surfaces."""
+    lm = x110_bigram_lm_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    win = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        lm.join(docs, "doc_id")
+        .withColumn("nt", F.ntile(3).over(win))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
