@@ -86,6 +86,9 @@ NESTED_LOOP_ALLOWED = {
     # DSIR: the bucket-stat TOTALS pair is the same ONE-ROW scalar
     # broadcast onto the 512-bucket model table as x51's vocab total
     "x116_dsir_weights",
+    # composes x110 verbatim, inheriting its documented ONE-ROW
+    # corpus-total scalar broadcast
+    "x126_ccnet_perplexity_buckets",
 }
 
 # Queries whose plans contain a GLOBAL (partition-less) WindowExec — each

@@ -5039,6 +5039,9 @@ def x125_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     get the x85/b71 range-partitioned carry treatment). Budgets are
     exact integers (floor of weight share); selection compares exact
     BIGINTs — no float boundary anywhere."""
+    import hashlib as _hashlib
+    import math as _math
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -5046,22 +5049,18 @@ def x125_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.word_count("text").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("ord"),
     )
-    wts = (
-        d.select("source")
-        .distinct()
-        .select(
-            "source",
-            F.when(F.substring(F.md5("source"), 1, 1) < "4", F.lit(3.0))
-            .otherwise(F.lit(1.0))
-            .alias("w"),
-        )
-    )
-    tot = wts.agg(F.sum("w").alias("tw"))
-    budgets = wts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.floor(F.lit(_X125_TOTAL_BUDGET) * F.col("w") / F.col("tw"))
-        .cast("long")
-        .alias("budget"),
+    # the source dimension is bounded: collect it once, derive budgets
+    # driver-side (exact integers), re-emit as a broadcast dim — zero
+    # crossJoins, one scan fewer than the window/scalar-agg form
+    srcs = sorted(r["source"] for r in d.select("source").distinct().collect())
+    wts = {
+        s: 3.0 if _hashlib.md5(s.encode()).hexdigest()[0] < "4" else 1.0
+        for s in srcs
+    }
+    tw = sum(wts.values())
+    budgets = spark.createDataFrame(
+        [(s, int(_math.floor(_X125_TOTAL_BUDGET * wts[s] / tw))) for s in srcs],
+        "source string, budget long",
     )
     win = (
         Window.partitionBy("source")
