@@ -212,7 +212,10 @@ def _u04_detector():
 def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> preprocess -> ONNX graph (numpy executor) -> postprocess
     -> NMS on REAL image bytes AT THE REAL HEAD GEOMETRY: each sampled
-    embedding is rendered into a deterministic BMP, and OnnxDetector runs
+    embedding is rendered into a deterministic baseline JPEG — the
+    reference's ACTUAL wire format (VideoStreamMockProducer.java:211-218),
+    encoded and decoded by the engine's own pure-numpy codec
+    (functions/jpegcodec.py) — and OnnxDetector runs
     the seed-pinned make_yolov8n_skeleton fixture — the reference's
     actual topology (C2f Split/Concat blocks, SPPF MaxPool stack, PAN
     neck, decoupled DFL head with Softmax+frozen-arange Conv, anchor
@@ -230,7 +233,7 @@ def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
     from video_stream_processing_spark.operators.detection import DETECTIONS_TYPE
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -239,7 +242,7 @@ def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(32, "vec_id")
 
     @F.pandas_udf("binary")
-    def render_bmp(vec_id, embedding):  # no hints: pd is a local import
+    def render_jpeg(vec_id, embedding):  # no hints: pd is a local import
         out = []
         for vid, e in zip(vec_id, embedding):
             if e is None:
@@ -256,14 +259,14 @@ def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = 56 + int(vid) % 31
             span = float(v.max() - v.min()) or 1.0
             px = np.resize(((v - v.min()) / span * 255.0), h * w * 3)
-            out.append(encode_bmp(np.rint(px).astype(np.uint8).reshape(h, w, 3)))
+            out.append(encode_jpeg(np.rint(px).astype(np.uint8).reshape(h, w, 3)))
         return pd.Series(out, dtype=object)
 
     @F.pandas_udf(DETECTIONS_TYPE)
     def detect(blobs):  # no hints: pd is a local import
         return _u04_detector().detect_batch(blobs)
 
-    d = F.explode(detect(render_bmp("vec_id", "embedding")).alias("dets")).alias("d")
+    d = F.explode(detect(render_jpeg("vec_id", "embedding")).alias("dets")).alias("d")
     return (
         sel.select("vec_id", d)
         .select(
