@@ -1038,3 +1038,34 @@ def test_embedding_quantization_planted(spark):
     r4 = out[4]
     assert r4["n_saturated"] >= 1  # the max lane always saturates at 127
     assert r4["max_abs_err"] <= r4["scale"] / 2 + 1e-12  # half-ulp bound
+
+
+def test_embedding_quantization_property(spark):
+    """x123 invariants on random vectors: reconstruction error is within
+    half a quantization step on every lane (no saturation beyond the max
+    lane is possible under symmetric max-scaling), and the max lane
+    always reconstructs exactly (q = +-127)."""
+    import numpy as np
+
+    from video_stream_processing_spark.operators.similarity import (
+        embedding_quantization,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, (rng.standard_normal(16) * rng.uniform(0.01, 100)).astype(float).tolist())
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_quantization(df).collect()}
+    assert set(out) == set(range(25))
+    for i, emb in rows:
+        r = out[i]
+        v = np.asarray(emb, dtype=np.float32).astype(np.float64)
+        scale = float(np.abs(v).max()) / 127.0
+        # per-lane error bound: half a step (+ rounding of the report)
+        assert r["max_abs_err"] <= scale / 2 + 1e-6, i
+        # the max-|v| lane lands exactly on +-127 -> saturated count >= 1
+        assert r["n_saturated"] >= 1, i
+        # L2 error bounded by sqrt(dim) * step/2
+        assert r["l2_err"] <= (16 ** 0.5) * scale / 2 + 1e-6, i

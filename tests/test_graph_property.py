@@ -196,3 +196,37 @@ def test_cc_star_isolated_and_multi_component(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 42: 42}
     assert rounds <= 4
+
+
+@given(und=undirected_graphs())
+@_SETTINGS
+def test_cc_star_rounds_logarithmic(spark, und):
+    """cc_star's O(log n) alternation bound holds on arbitrary graphs,
+    not just the chain fixture: rounds <= 2*ceil(log2(n)) + 2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.dedup import cc_star
+
+    nodes = sorted({v for e in und for v in e})
+    pairs = spark.createDataFrame(und, ["doc_a", "doc_b"])
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    labels, rounds = cc_star(ndf, pairs, max_rounds=25)
+    assert rounds <= 2 * math.ceil(math.log2(max(len(nodes), 2))) + 2
+    # and the labels are a valid CC labeling: same count as union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in nodes}
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == expect
