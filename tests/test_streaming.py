@@ -239,3 +239,19 @@ def test_exact_segments_stream_tws_matches_apply_form(spark, frames_dir, tmp_pat
     # the trigger-inclusive close and the timer-flushed tail both present
     assert any(w == "size" for (_s, _a, _b, _c, w) in got)
     assert any(w == "timeout" for (_s, _a, _b, _c, w) in got)
+
+
+def test_exact_segments_stream_tws_plan_builds(spark, frames_dir):
+    """The TWS twin's plan constructs and analyzes in-container (schema
+    contract + streaming-ness) even though stream START needs protobuf —
+    so the path is exercised up to the environment boundary, like the
+    Kafka builder (no broker) and FFmpegEncoder (no ffmpeg)."""
+    from video_stream_processing_spark.streaming.stateful import (
+        SEGMENT_OUT_SCHEMA,
+        exact_segments_stream_tws,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    out = exact_segments_stream_tws(_stream(spark, frames_dir), duration_ms=SEG_MS)
+    assert out.isStreaming
+    assert out.schema == _parse_datatype_string(SEGMENT_OUT_SCHEMA)
