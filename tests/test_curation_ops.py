@@ -457,3 +457,22 @@ def test_classifier_auc_exact_values(spark):
         "is_curated boolean, score double",
     )
     assert classifier_auc(tied).collect()[0]["auc"] == 0.875
+
+
+def test_round6_away_matches_duckdb_round():
+    """ADVICE r9 (low): the classifier's gradient step must round
+    half-AWAY-from-zero (DuckDB's round() rule), not Python's
+    half-to-even — pinned against DuckDB itself on boundary values."""
+    import duckdb
+
+    from video_stream_processing_spark.operators.text import _round6_away
+
+    cases = [0.0000005, -0.0000005, 0.0000015, -0.0000015, 1.2345675,
+             -1.2345675, 0.1234565, 2.5e-7, 0.0, 1.0, -3.9999995]
+    con = duckdb.connect()
+    for x in cases:
+        (want,) = con.execute(f"SELECT round({x!r}::DOUBLE, 6)").fetchone()
+        assert _round6_away(x) == want, (x, _round6_away(x), want)
+    # and the specific divergence from Python round(): ties go away
+    # from zero, not to the even grid point
+    assert _round6_away(0.0000015) == 2e-6

@@ -1025,10 +1025,14 @@ def test_embedding_quantization_planted(spark):
         (2, [0.0, 0.0, 0.0]),               # zero vector
         (3, [1.0, float("nan")]),           # skipped (non-finite lane)
         (4, [0.005, -0.0025, 0.01]),        # small-range vector
+        (5, [1.0, float("inf")]),           # ADVICE r9: inf must be skipped
+        (6, [float("-inf"), 2.0]),          #   ... both signs
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r["vec_id"]: r for r in embedding_quantization(df).collect()}
-    assert set(out) == {1, 2, 4}  # vec 3 dropped by the validity gate
+    # vec 3 (NaN) and vecs 5/6 (+-inf -> scale=inf, NaN q/err garbage)
+    # are dropped by the validity gate
+    assert set(out) == {1, 2, 4}
     r1 = out[1]
     assert r1["scale"] == 1.0 and r1["n_saturated"] == 2
     # only the 63.5 lane reconstructs inexactly: floor(63.5+0.5)=64

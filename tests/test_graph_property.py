@@ -230,3 +230,39 @@ def test_cc_star_rounds_logarithmic(spark, und):
     expect = {v: find(v) for v in nodes}
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == expect
+
+
+def test_cc_star_cap_exhausted_warns_and_stays_consistent(spark):
+    """ADVICE r9 (medium): when max_rounds is exhausted before the star
+    forest stabilizes, cc_star must NOT silently emit duplicate doc_id
+    rows with conflicting cluster_ids — it warns (RuntimeWarning) and
+    collapses remaining multi-parent nodes to min(parent), so the
+    labeling is one row per node with every cluster_id a real member of
+    the node's component."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from video_stream_processing_spark.operators.dedup import cc_star
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels, rounds = cc_star(nodes, pairs, max_rounds=2)
+        rows = labels.collect()
+    assert rounds == 2
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "cc_star" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+    # exactly one row per node — the defect was duplicate doc_id rows
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == list(range(n))
+    # every label points at a node in the same (single) component and
+    # is never larger than the node itself (min-parent collapse)
+    for r in rows:
+        assert 0 <= r["cluster_id"] <= r["doc_id"]

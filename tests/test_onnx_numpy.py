@@ -614,6 +614,21 @@ def test_plumbing_ops_match_numpy():
         _run_op("ReduceMin", [X], keepdims=0)[0], X.min(), rtol=1e-6
     )
 
+    # ADVICE r9 (low): unsupported attributes RAISE rather than silently
+    # mis-executing — Shape's opset-15 start/end slice and the opset-18
+    # noop_with_empty_axes reduce flip.
+    with pytest.raises(NotImplementedError, match="start/end"):
+        _run_op("Shape", [X], start=1)
+    with pytest.raises(NotImplementedError, match="start/end"):
+        _run_op("Shape", [X], end=2)
+    with pytest.raises(NotImplementedError, match="noop_with_empty_axes"):
+        _run_op("ReduceSum", [X], noop_with_empty_axes=1)
+    # explicit 0 is the default behavior and must still work
+    np.testing.assert_allclose(
+        _run_op("ReduceSum", [X], noop_with_empty_axes=0, keepdims=0)[0],
+        X.sum(), rtol=1e-6,
+    )
+
 
 def test_batchnorm_inference_matches_manual():
     rng = np.random.default_rng(18)

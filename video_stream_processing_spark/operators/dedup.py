@@ -702,7 +702,9 @@ def cc_star(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    stable = True
     if E.limit(1).count() > 0:
+        stable = False
         for _ in range(max_rounds):
             # large-star over the symmetrized neighborhood of u
             sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -735,6 +737,28 @@ def cc_star(
             E = ss
             if stable:
                 break
+    if not stable:
+        # Cap exhausted before the star forest stabilized (alternations
+        # scale ~2*log2(n), so this means max_rounds < what the graph
+        # needs). A node may still carry several tentative parents; the
+        # final left join would then emit duplicate doc_id rows with
+        # conflicting cluster_ids. Collapse to one parent per node (the
+        # minimum — a sound upper-bound labeling: every emitted
+        # cluster_id is a real member of the node's component, merely
+        # possibly not yet the global minimum) and warn loudly so
+        # callers raise the cap instead of trusting a partial result.
+        import warnings
+
+        warnings.warn(
+            f"cc_star: edge set not stable after max_rounds={max_rounds} "
+            "alternations; collapsing remaining multi-parent nodes to "
+            "min(parent). Labels are consistent (one row per node) but "
+            "may not be fully converged — raise max_rounds "
+            "(~2*ceil(log2 n)+2 suffices for any graph).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        E = E.groupBy("b").agg(F.min("a").alias("a")).select("a", "b")
     labels = (
         nodes.join(
             E.select(F.col("b").alias("doc_id"), F.col("a").alias("parent")),

@@ -425,6 +425,16 @@ def _op_expand(node: NodeProto, inp: list) -> list:
     return [np.broadcast_to(X, np.broadcast_shapes(X.shape, tuple(shape))).copy()]
 
 
+def _op_shape(node: NodeProto, inp: list) -> list:
+    # Opset-15 added start/end slicing attributes; a real export using
+    # Shape(start=...) would silently get the FULL shape if we ignored
+    # them — raise instead (module contract).
+    attrs = node.attrs()
+    if "start" in attrs or "end" in attrs:
+        raise NotImplementedError("Shape: start/end attributes are not supported")
+    return [np.asarray(inp[0].shape, dtype=np.int64)]
+
+
 def _reduce(np_fn):
     def _op(node: NodeProto, inp: list) -> list:
         X = inp[0]
@@ -434,6 +444,13 @@ def _reduce(np_fn):
         else:
             axes = _ints(attrs, "axes", [])
         keep = bool(_int(attrs, "keepdims", 1))
+        if _int(attrs, "noop_with_empty_axes", 0):
+            # opset-18 attribute that flips the empty-axes meaning from
+            # "reduce all" to "identity" — raise rather than mis-execute
+            # (module contract: unsupported attributes are errors).
+            raise NotImplementedError(
+                f"{node.op_type}: noop_with_empty_axes=1 is not supported"
+            )
         ax = tuple(a + X.ndim if a < 0 else a for a in axes) or None
         return [np_fn(X, axis=ax, keepdims=keep).astype(X.dtype, copy=False)]
 
@@ -496,7 +513,7 @@ _OPS: dict = {
     # real-export plumbing ops (shape math, casts, reductions — present
     # in non-constant-folded ultralytics/torch exports)
     "Cast": _op_cast,
-    "Shape": lambda node, inp: [np.asarray(inp[0].shape, dtype=np.int64)],
+    "Shape": _op_shape,
     "Gather": _op_gather,
     "Unsqueeze": _op_unsqueeze,
     "Squeeze": _op_squeeze,

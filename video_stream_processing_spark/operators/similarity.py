@@ -1936,7 +1936,10 @@ def embedding_quantization(
     One scan, zero exchanges — pure per-row array math, codegen'd."""
     v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     finite = F.forall(
-        F.col(emb_col), lambda x: x.isNotNull() & ~F.isnan(x.cast("double"))
+        F.col(emb_col),
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
     )
     maxabs = F.array_max(F.transform(v, F.abs))
     scale = maxabs / F.lit(127.0)
@@ -1977,7 +1980,7 @@ WITH base AS (
            list_transform({emb_col}, x -> x::DOUBLE) AS v
     FROM embeddings
     WHERE {emb_col} IS NOT NULL
-      AND len(list_filter({emb_col}, x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+      AND len(list_filter({emb_col}, x -> x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0
 ),
 s AS (
     SELECT vec_id, v,

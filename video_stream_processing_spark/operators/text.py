@@ -12,6 +12,7 @@ the DuckDB oracle can recompute it exactly.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -789,6 +790,14 @@ QC_GD_ROUNDS = 2
 QC_SELECT_FRAC = 0.2
 
 
+def _round6_away(x: float) -> float:
+    """6-dp round, half-AWAY-from-zero — DuckDB's round() rule. Python's
+    built-in round() is half-to-even, so a weight landing within 1 ulp
+    of a 0.5e-6 boundary could snap to a different 6-dp grid point than
+    the oracle and then diverge through subsequent gradient rounds."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def _qc_weight_expr(w: dict, n_buckets: int) -> str:
     """Literal-Catalyst weight lookup for a trained model: bucket b in
     [-1, n_buckets) -> index b+2 (one generated SQL string — the
@@ -835,13 +844,12 @@ def quality_classifier_fit(
         F.sum(F.when(F.col("y") == 0.0, F.col("c")).otherwise(0.0)).alias("cq"),
     ).collect()
     w = {
-        int(r["b"]): round(
-            math.log((r["cp"] + 1) / (n_pos + 2)) - math.log((r["cq"] + 1) / (n_neg + 2)),
-            6,
+        int(r["b"]): _round6_away(
+            math.log((r["cp"] + 1) / (n_pos + 2)) - math.log((r["cq"] + 1) / (n_neg + 2))
         )
         for r in nb
     }
-    w[-1] = round(math.log(n_pos / n_neg), 6)
+    w[-1] = _round6_away(math.log(n_pos / n_neg))
     for _ in range(gd_rounds):
         s = (
             fx.withColumn("wv", F.expr(_qc_weight_expr(w, n_buckets)))
@@ -857,7 +865,11 @@ def quality_classifier_fit(
         )
         for row in g:
             b = int(row["b"])
-            w[b] = round(w[b] + lr * float(row["g"]) / n_docs, 6)
+            # Match the oracle's operation order exactly — g is divided
+            # by n_docs FIRST, then scaled by lr (the oracle's g{i} CTE
+            # carries sum(...)/n) — and round half-away-from-zero like
+            # DuckDB's round(), not Python's half-to-even.
+            w[b] = _round6_away(w[b] + lr * (float(row["g"]) / n_docs))
     return w
 
 
