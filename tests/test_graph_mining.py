@@ -280,11 +280,14 @@ def test_kcore_micro_graph_by_hand(spark):
     from video_stream_processing_spark.operators.graph import kcore_peel
 
     df_edges = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
-        r["node"]: r["core_deg"]
-        for r in kcore_peel(df_edges, k=K, rounds=ROUNDS).collect()
-    }
+    out, executed = kcore_peel(df_edges, k=K, rounds=ROUNDS, return_rounds=True)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
     assert got == expect
+    # r10 round accounting: round 1 (the plain degree pre-prune over the
+    # raw edges) peels BOTH chain nodes (deg(5)=2, deg(6)=1 < k=3);
+    # round 2 confirms the fixpoint and early-exits — the 5-round budget
+    # is never spent
+    assert executed == 2
 
 
 def test_kcore_monotone_against_degrees(spark):

@@ -136,25 +136,33 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, return_rounds: bool = False
+):
     """Bounded-round k-core peeling; returns (node, core_deg) for nodes
     surviving ``rounds`` peels, with their degree inside the surviving
     subgraph.
 
     Each round drops every node whose degree within the alive subgraph
-    is below k (two semi-joins + one aggregate); the alive set is
-    checkpointed per round so round r+1 never re-derives round r. The
-    exact core is the fixpoint, approached monotonically from above —
-    wrap with x15's probe-bounded loop to run to convergence."""
+    is below k, then SHRINKS the materialized edge table to the
+    surviving subgraph (r10: a peeled node can never re-enter, so
+    carrying its edges into later rounds only inflates every subsequent
+    join — round 1 is a plain degree prune over the raw edges, no
+    semi-joins at all, and each later round joins an ever-smaller
+    checkpointed edge set instead of the full one). Alive sets per
+    round are IDENTICAL to the unshrunk formulation — dead edges can
+    only touch dead nodes — so results are unchanged; only the work
+    per round drops. The exact core is the fixpoint, approached
+    monotonically from above — wrap with x15's probe-bounded loop to
+    run to convergence."""
     edges = edges.localCheckpoint(eager=True)
-    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n_alive = alive.count()
+    n_alive = edges.select("src").distinct().count()
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    executed = 0
     for _ in range(rounds):
-        ax = alive.select(F.col("node").alias("src"))
-        ay = alive.select(F.col("node").alias("dst"))
-        e_r = edges.join(ax, "src").join(ay, "dst")
+        executed += 1
         alive = (
-            e_r.groupBy("src")
+            edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= k)
             .select(F.col("src").alias("node"))
@@ -168,12 +176,18 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         if n_new == n_alive:
             break
         n_alive = n_new
+        edges = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .localCheckpoint(eager=True)
+        )
     ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
         alive.select(F.col("node").alias("dst")), "dst"
     )
-    return ef.groupBy(F.col("src").alias("node")).agg(
+    out = ef.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
+    return (out, executed) if return_rounds else out
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
