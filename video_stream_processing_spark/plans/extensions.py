@@ -5155,3 +5155,33 @@ def x126_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("bucket"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x127 — HTML/boilerplate main-text extraction (the stage before all
+# trained filters: CCNet/C4/RefinedWeb start from extracted text)
+# --------------------------------------------------------------------------
+
+from video_stream_processing_spark.operators import html as H  # noqa: E402
+
+
+@register(
+    "x127_html_extract",
+    oracle=H.html_extract_oracle_sql(),
+    tags=("extension", "text", "extraction", "html"),
+)
+def x127_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/trafilatura-style boilerplate removal: each document is
+    wrapped in deterministic markup (link-dense nav/promo/footer, a
+    script whose body embeds fake ``<p>`` markup, a style block — the
+    x65 synthesize-the-fixture pattern, since the corpus carries no
+    markup), then the extractor strips script/style, segments on
+    closing block tags, and classifies each block by word count and
+    jusText link density — emitting main_text plus the audit columns
+    (tag_fraction, link_density, kept_share, block counts). One corpus
+    scan, zero exchanges, zero Python — pure codegen'd Catalyst
+    string/array expressions (operators/html.py:html_extract)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", H.synth_markup_col().alias("html")
+    )
+    return H.html_extract(docs)
