@@ -74,6 +74,11 @@ HEADLINE = (
     "x82_pagerank_fixedpoint",  # checkpointed edges-join-ranks power iteration
     "x85_session_concurrency",  # two-level prefix-sum sweep line
     "b69_forecast_revenue_change",  # TPC-H Q6: the pure scan-pushdown tracker
+    # round-11 additions (VERDICT r10 task 7): the r10 perf-fix queries —
+    # nothing exceeds 10 s warm any more, the old exclusion contract is
+    # obsolete, and the headline should track these wins
+    "b63_recursive_bfs_reach",  # materialized-base recursive CTE (UnionLoop)
+    "x89_kcore_peel",  # degree-prune + shrinking-edge-set k-core
 )
 
 

@@ -357,3 +357,131 @@ def test_curation_stream_gopher_dsir_twins_match_batch(spark, tmp_path):
     for i in (1, 2, 3):
         assert got[i]["qc_score"] == b_qc[i], i
     assert got[1]["qc_score"] > got[2]["qc_score"]  # target-slice doc ranks higher
+
+
+@pytest.mark.slow
+def test_curation_stream_langid_twin_matches_batch(spark, tmp_path):
+    """Round-11 twin (VERDICT r10 task 3): the stream's predicted_lang
+    under a FIXED nb_langid_fit model equals the batch x120 query's
+    prediction doc-for-doc — same literal log-prob arrays, scored
+    statelessly per row — including across a micro-batch boundary."""
+    from video_stream_processing_spark.operators.text import (
+        nb_langid,
+        nb_langid_fit,
+    )
+    from video_stream_processing_spark.streaming.pipeline import curation_stream
+
+    # two planted "languages" with disjoint trigram profiles; every doc
+    # passes the curation filter (>= 40 words, clean ascii)
+    en = "the quick brown fox and the lazy dog " + " ".join(
+        f"word{i}" for i in range(40)
+    )
+    # "the" twice so the zz docs pass the stopword curation rule; the
+    # trigram mass stays overwhelmingly zq/zx so langid still separates
+    zz = "the zqx vzq the xqz zzv qzz " + " ".join(f"zq{i}x" for i in range(40))
+    rows1 = [(1, BASE, en, "en"), (2, BASE + 1_000, zz, "zz")]
+    rows2 = [(3, BASE + 2_000, en + " tail", "en"), (4, BASE + 3_000, zz + " zqt", "zz")]
+    all_rows = rows1 + rows2
+    batch = spark.createDataFrame(
+        all_rows, "doc_id long, ts_ms long, text string, lang string"
+    ).select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text", "lang")
+
+    model = nb_langid_fit(batch)
+    b_pred = {
+        r["doc_id"]: r["predicted_lang"] for r in nb_langid(batch).collect()
+    }
+    assert b_pred == {1: "en", 2: "zz", 3: "en", 4: "zz"}  # planted separation
+
+    def _w(rows, mode):
+        (
+            spark.createDataFrame(rows, "doc_id long, ts_ms long, text string, lang string")
+            .select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(str(tmp_path / "docs"))
+        )
+
+    _w(rows1, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(tmp_path / "docs")
+    )
+    q = (
+        curation_stream(stream, watermark="10 minutes", langid_model=model)
+        .writeStream.format("memory")
+        .queryName("langid_twin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w(rows2, "append")  # second micro-batch crosses a batch boundary
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["predicted_lang"]
+            for r in spark.sql("SELECT * FROM langid_twin").collect()
+        }
+    finally:
+        q.stop()
+    assert got == b_pred  # stream == batch, label-for-label
+
+
+@pytest.mark.slow
+def test_curation_stream_html_extracts_before_filters(spark, tmp_path):
+    """Round-11 (VERDICT r10 task 3 rider): with html_col set, the
+    stream runs x127's extractor FIRST — boilerplate nav/promo never
+    reaches the dedup hash or token count, and the emitted text_hash
+    equals md5(normalize(main_text)) computed in batch over the same
+    markup (shared main_text_col expression)."""
+    from video_stream_processing_spark.operators.html import (
+        main_text_col,
+        synth_markup_col,
+    )
+    from video_stream_processing_spark.operators.text import normalize_col
+    from video_stream_processing_spark.streaming.pipeline import curation_stream
+
+    body = "the " + " ".join(f"word{i}" for i in range(45))
+    rows = [(6, BASE, body), (7, BASE + 1_000, body + " more trailing words")]
+    base_df = spark.createDataFrame(rows, "doc_id long, ts_ms long, text string")
+    marked = base_df.select(
+        "doc_id",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        synth_markup_col().alias("html"),
+    )
+    # batch expectation: extract -> normalize -> md5, via the same exprs
+    expect = {
+        r["doc_id"]: (r["h"], r["main_text"])
+        for r in marked.select(
+            "doc_id",
+            main_text_col("html").alias("main_text"),
+        )
+        .select(
+            "doc_id",
+            "main_text",
+            F.md5(normalize_col("main_text")).alias("h"),
+        )
+        .collect()
+    }
+    for doc_id, (_, mt) in expect.items():
+        assert body in mt, doc_id  # the real paragraph survives
+        assert "Buy now" not in mt and "Home" not in mt  # boilerplate gone
+
+    d = str(tmp_path / "markup")
+    marked.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, html string").parquet(d)
+    q = (
+        curation_stream(stream, watermark="10 minutes", html_col="html")
+        .writeStream.format("memory")
+        .queryName("html_twin")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM html_twin").collect()}
+    finally:
+        q.stop()
+    assert set(got) == {6, 7}
+    for doc_id in (6, 7):
+        assert got[doc_id]["text_hash"] == expect[doc_id][0], doc_id

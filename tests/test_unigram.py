@@ -1,0 +1,96 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: Viterbi DP semantics,
+planted-corpus training outcomes, unk fallback, and encode∘decode
+identity (operators/unigram.py; x128/x129 are the registered queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.operators.unigram import (
+    train_unigram,
+    unigram_tokenize,
+    viterbi_best,
+)
+
+
+def _vm(d):
+    items = []
+    for k in sorted(d):
+        items += [F.lit(k), F.lit(d[k])]
+    return F.create_map(*items)
+
+
+def test_viterbi_picks_maximum_likelihood_segmentation(spark):
+    # 'a|bc' (-0.8) beats 'ab|c' (-1.3) and 'a|b|c' (-2.4)
+    vm = _vm({"a": -0.5, "b": -1.0, "c": -0.9, "ab": -0.4, "bc": -0.3})
+    df = spark.createDataFrame([("abc",), ("abcab",)], "tok string")
+    got = {
+        r["tok"]: (r["b"]["s"], r["b"]["g"])
+        for r in df.select("tok", viterbi_best(F.col("tok"), vm).alias("b")).collect()
+    }
+    assert got["abc"] == (-0.8, "a|bc")
+    assert got["abcab"][1] == "a|bc|ab"
+
+
+def test_viterbi_tie_breaks_to_lex_smallest_path(spark):
+    # both segmentations of 'ab' score -1.0; the tie rule keeps the
+    # lexicographically smallest PATH STRING — '|' (0x7C) sorts after
+    # every [a-z] char, so the single-piece 'ab' beats 'a|b' (fewer
+    # pieces win boundary ties; same rule in the DuckDB oracle)
+    vm = _vm({"a": -0.5, "b": -0.5, "ab": -1.0})
+    df = spark.createDataFrame([("ab",)], "tok string")
+    row = df.select(viterbi_best(F.col("tok"), vm).alias("b")).collect()[0]
+    assert row["b"]["g"] == "ab" and row["b"]["s"] == -1.0
+
+
+def test_viterbi_unreachable_token_returns_sentinel(spark):
+    vm = _vm({"a": -0.5})
+    df = spark.createDataFrame([("az",)], "tok string")
+    row = df.select(viterbi_best(F.col("tok"), vm).alias("b")).collect()[0]
+    assert row["b"]["s"] <= -1e17 and row["b"]["g"] == ""
+
+
+def test_train_learns_planted_frequent_piece(spark):
+    # corpus dominated by the word 'banana' -> 'an'/'na'/'ana'-family
+    # substrings dominate the seed counts and survive EM + the prune at
+    # the top of the multi-char vocab
+    rows = [(i, "banana banana banana bandana cabana") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = train_unigram(docs)
+    pieces = [p for p, _, _ in vocab]
+    multi = [p for p in pieces if len(p) > 1]
+    assert multi, "no multi-char pieces survived"
+    assert any(p in ("an", "na", "ana", "ban") for p in multi[:3])
+    # all chars of the sample are present (never pruned)
+    for ch in set("".join("banana bandana cabana".split())):
+        assert ch in pieces, ch
+    # vocab is emitted in (cnt DESC, piece ASC) rank order
+    keys = [(-c, p) for p, c, _ in vocab]
+    assert keys == sorted(keys)
+
+
+def test_tokenize_compresses_and_roundtrips(spark):
+    rows = [(i, "banana banana bandana cabana banana") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {p: lp for p, _, lp in train_unigram(docs)}
+    out = unigram_tokenize(docs, vocab).collect()
+    for r in out:
+        assert r["n_mismatch"] == 0  # encode∘decode identity everywhere
+        assert r["n_unk"] == 0  # sample chars cover the corpus
+        assert 0 < r["n_pieces"] < 6 * 5  # fewer pieces than chars: learned
+        assert r["n_tokens"] == 5
+
+
+def test_tokenize_unk_fallback_counts_chars(spark):
+    # doc_id 1 is NOT in the doc_id%5==0 training sample; its 'qqq' word
+    # contains a char the sample never sees -> unk, char-length fallback
+    rows = [(0, "banana banana banana"), (1, "banana qqq banana")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {p: lp for p, _, lp in train_unigram(docs)}
+    assert "q" not in vocab
+    out = {r["doc_id"]: r for r in unigram_tokenize(docs, vocab).collect()}
+    assert out[0]["n_unk"] == 0 and out[0]["n_mismatch"] == 0
+    assert out[1]["n_unk"] == 1
+    # the unk word contributes length('qqq') = 3 fallback pieces
+    banana_pieces = out[0]["n_pieces"] // 3
+    assert out[1]["n_pieces"] == 2 * banana_pieces + 3

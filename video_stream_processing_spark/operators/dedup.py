@@ -489,6 +489,7 @@ def minhash_lsh_oracle_sql(
     band_rows: int = BAND_ROWS,
     shingle_k: int | None = SHINGLE_K,
     neighbor_window: int | None = None,
+    source_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
     if shingle_k is None:
         feat = "regexp_split_to_array(trim(text), '\\s+')"
@@ -503,7 +504,7 @@ def minhash_lsh_oracle_sql(
     return f"""
 WITH toks AS (
     SELECT doc_id, list_sort(list_distinct({feat})) AS toks
-    FROM documents
+    FROM ({source_sql})
 ),
 tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM toks),
 halves AS (

@@ -141,7 +141,10 @@ def kcore_peel(
 ):
     """Bounded-round k-core peeling; returns (node, core_deg) for nodes
     surviving ``rounds`` peels, with their degree inside the surviving
-    subgraph.
+    subgraph. ``edges`` must be a SYMMETRIZED edge list (every (a, b)
+    also present as (b, a), as connected_components requires) — round 1
+    counts raw per-src degrees with no dst semi-join, which equals the
+    alive-subgraph degree only when every dst also appears as a src.
 
     Each round drops every node whose degree within the alive subgraph
     is below k, then SHRINKS the materialized edge table to the
@@ -150,9 +153,9 @@ def kcore_peel(
     join — round 1 is a plain degree prune over the raw edges, no
     semi-joins at all, and each later round joins an ever-smaller
     checkpointed edge set instead of the full one). Alive sets per
-    round are IDENTICAL to the unshrunk formulation — dead edges can
-    only touch dead nodes — so results are unchanged; only the work
-    per round drops. The exact core is the fixpoint, approached
+    round are IDENTICAL to the unshrunk formulation on symmetric input
+    — dead edges can only touch dead nodes — so results are unchanged;
+    only the work per round drops. The exact core is the fixpoint, approached
     monotonically from above — wrap with x15's probe-bounded loop to
     run to convergence."""
     edges = edges.localCheckpoint(eager=True)

@@ -76,20 +76,12 @@ def _btext(b: Column) -> Column:
     return F.trim(F.regexp_replace(F.regexp_replace(b, _RE_TAG, " "), _RE_WS, " "))
 
 
-def html_extract(
-    docs: DataFrame,
-    html_col: str = "html",
-    id_col: str = "doc_id",
-    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
-    min_words: int = DEFAULT_MIN_WORDS,
-) -> DataFrame:
-    """Extract main text + boilerplate audit columns from an HTML
-    column. See module docstring for the classifier semantics; the
-    DuckDB replay is html_extract_oracle_sql."""
-    H = F.coalesce(F.col(html_col), F.lit(""))
+def _block_stats(H: Column) -> Column:
+    """array<struct(t, l)>: non-empty block texts with their anchor-text
+    char counts (the jusText block features)."""
     clean = F.regexp_replace(F.regexp_replace(H, _RE_SCRIPT, " "), _RE_STYLE, " ")
     blocks = F.split(F.regexp_replace(clean, _RE_BLOCK_SEP, "\n"), "\n")
-    stats = F.filter(
+    return F.filter(
         F.transform(
             blocks,
             lambda b: F.struct(
@@ -103,11 +95,51 @@ def html_extract(
         ),
         lambda s: s["t"] != "",
     )
-    kept = F.filter(
+
+
+def _kept_blocks(
+    stats: Column,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> Column:
+    """The blocks classified as main content (word count + link
+    density thresholds)."""
+    return F.filter(
         stats,
         lambda s: (F.size(F.split(s["t"], " ")) >= F.lit(min_words))
         & (s["l"].cast("double") <= F.lit(max_link_density) * F.length(s["t"])),
     )
+
+
+def main_text_col(
+    html_col: str = "html",
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> Column:
+    """Just the extracted main text, as a standalone stateless Column —
+    the same expression html_extract emits, packaged so a STREAMING
+    projection can run extraction inline (curation_stream's html stage;
+    it is pure per-row string/array work, so it needs no state and no
+    twin semantics)."""
+    H = F.coalesce(F.col(html_col), F.lit(""))
+    kept = _kept_blocks(_block_stats(H), max_link_density, min_words)
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
+def html_extract(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> DataFrame:
+    """Extract main text + boilerplate audit columns from an HTML
+    column. See module docstring for the classifier semantics; the
+    DuckDB replay is html_extract_oracle_sql."""
+    H = F.coalesce(F.col(html_col), F.lit(""))
+    clean = F.regexp_replace(F.regexp_replace(H, _RE_SCRIPT, " "), _RE_STYLE, " ")
+    stats = _block_stats(H)
+    kept = _kept_blocks(stats, max_link_density, min_words)
     total_text = F.aggregate(stats, F.lit(0), lambda acc, s: acc + F.length(s["t"]))
     total_link = F.aggregate(stats, F.lit(0), lambda acc, s: acc + s["l"])
     text_chars = F.length(F.regexp_replace(clean, _RE_TAG, ""))
@@ -193,7 +225,7 @@ def synth_markup_col(id_col: str = "doc_id", text_col: str = "text") -> Column:
 
 
 def synth_markup_sql(table: str = "documents") -> str:
-    """The same synthesis as synth_markup_sql, as a DuckDB SELECT."""
+    """The same synthesis as synth_markup_col, as a DuckDB SELECT."""
     return f"""
 SELECT doc_id,
     '{_FRAG_HEAD}' || CAST(doc_id AS VARCHAR) || '</title>'
@@ -253,7 +285,7 @@ seg AS (
 kept AS (
     SELECT doc_id, html, clean, st,
         list_filter(st, s -> len(string_split(s.t, ' ')) >= {min_words}
-                         AND s.l <= {max_link_density!r} * length(s.t)) AS kp
+                         AND s.l <= {max_link_density!r}::DOUBLE * length(s.t)) AS kp
     FROM seg
 )
 SELECT doc_id,

@@ -742,13 +742,15 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_rules_oracle_sql() -> str:
+def gopher_rules_oracle_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return f"""
 WITH base AS (
     SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t,
            string_split(text, chr(10)) AS lines
-    FROM documents
+    FROM ({source_sql})
 ),
 m AS (
     SELECT doc_id,
@@ -1175,14 +1177,18 @@ def nb_langid(
     )
 
 
-def nb_langid_oracle_sql(n_buckets: int = NBLID_BUCKETS) -> str:
+def nb_langid_oracle_sql(
+    n_buckets: int = NBLID_BUCKETS,
+    source_sql: str = "SELECT doc_id, lang, text FROM documents",
+) -> str:
     """DuckDB replay of nb_langid: identical md5 trigram buckets, the
     same exact-integer counts and add-1 smoothed logs, the same 4-dp
     round before argmax; ties resolve to the lexicographically LAST
     language (ORDER BY s4 DESC, cand DESC — the mirror of Spark's
-    struct max rule)."""
+    struct max rule). ``source_sql`` must yield (doc_id, lang, text) —
+    the x130 chain feeds extracted main text through here."""
     return f"""
-WITH base AS (SELECT doc_id, lang AS labeled_lang, text FROM documents),
+WITH base AS (SELECT doc_id, lang AS labeled_lang, text FROM ({source_sql})),
 tris AS (
     SELECT doc_id, labeled_lang,
            ('0x' || substr(md5(tri), 1, 8))::BIGINT % {n_buckets} AS b
@@ -1473,3 +1479,103 @@ SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
        round(sum(u2) * 1.0 / (sum(p) * sum(n)) - 1.0, 6) AS gini
 FROM u
 """
+
+
+def nb_langid_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = NBLID_BUCKETS,
+) -> dict:
+    """Fit the x120 naive-Bayes langid model on a STATIC corpus and
+    package it as bounded plain state for stateless stream scoring
+    (the dsir_model/qc_model pattern): same md5 trigram buckets, same
+    exact integer counts, same add-1 smoothed ln((c+1)/(C+n_buckets))
+    log-probs and ln(n_lang/n) priors as nb_langid's in-query training
+    — so the literal weight arrays the stream scores with are the SAME
+    numbers the batch query inlines.
+
+    Returns {"n_buckets", "langs", "prior": {lang: f},
+    "logp": {lang: [f]*n_buckets}} — <= langs x n_buckets floats,
+    broadcastable driver-side metadata at any corpus size."""
+    import math
+
+    txt = F.col(text_col)
+    tris = F.when(
+        F.length(txt) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 2),
+            lambda i: txt.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tris).alias("tri"))
+        .select("lang", _dsir_bucket(F.col("tri"), n_buckets).alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("mc"))
+        .collect()
+    )
+    lang_rows = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
+    )
+    n_total = float(sum(r["nd"] for r in lang_rows))
+    langs = sorted(r["lang"] for r in lang_rows)
+    prior = {r["lang"]: math.log(float(r["nd"]) / n_total) for r in lang_rows}
+    counts: dict = {}
+    cl = {lang: 0.0 for lang in langs}
+    for r in bc:
+        counts[(r["lang"], int(r["b"]))] = float(r["mc"])
+        cl[r["lang"]] += float(r["mc"])
+    logp = {
+        lang: [
+            math.log((counts.get((lang, b), 0.0) + 1) / (cl[lang] + n_buckets))
+            for b in range(n_buckets)
+        ]
+        for lang in langs
+    }
+    return {"n_buckets": n_buckets, "langs": langs, "prior": prior, "logp": logp}
+
+
+def nb_langid_score_col(model: dict, text_col: str = "text") -> Column:
+    """Stateless per-row x120 prediction under a FIXED model from
+    nb_langid_fit: struct(s4, cand) = the argmax language, scored as
+    round(prior + sum over trigram occurrences of the literal
+    bucket log-prob, 4) with nb_langid's exact tie rule (array_max
+    breaks 4-dp score ties to the lexicographically LAST language).
+    No explode, no join, no state — drops straight into a streaming
+    projection (the x119 quality_score_col pattern)."""
+    n_buckets = model["n_buckets"]
+    txt = F.col(text_col)
+    tris = F.when(
+        F.length(txt) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 2),
+            lambda i: txt.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    def lang_sum(arr: Column) -> Column:
+        # closure, not a default arg: pyspark derives HOF arity from the
+        # lambda's parameter count, so `lambda acc, tri, arr=arr` would
+        # bind as a 3-arg lambda and fail analysis
+        return F.aggregate(
+            tris,
+            F.lit(0.0),
+            lambda acc, tri: acc
+            + F.element_at(arr, (_dsir_bucket(tri, n_buckets) + 1).cast("int")),
+        )
+
+    cands = []
+    for lang in model["langs"]:
+        vals = ",".join(
+            f"CAST('{v!r}' AS DOUBLE)" for v in model["logp"][lang]
+        )
+        s = lang_sum(F.expr(f"array({vals})"))
+        cands.append(
+            F.struct(
+                F.round(s + F.lit(model["prior"][lang]), 4).alias("s4"),
+                F.lit(lang).alias("cand"),
+            )
+        )
+    return F.array_max(F.array(*cands))

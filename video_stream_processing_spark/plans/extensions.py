@@ -5185,3 +5185,150 @@ def x127_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", H.synth_markup_col().alias("html")
     )
     return H.html_extract(docs)
+
+
+# --------------------------------------------------------------------------
+# x128/x129 — trained unigram-LM tokenizer (SentencePiece-style; the
+# top-down twin of the bottom-up BPE family x56/x57/x115)
+# --------------------------------------------------------------------------
+
+from video_stream_processing_spark.operators import unigram as UG  # noqa: E402
+
+
+@register(
+    "x128_unigram_train",
+    oracle=UG.unigram_vocab_oracle_sql(),
+    tags=("extension", "tokenizer", "unigram", "training"),
+)
+def x128_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM subword vocab on the deterministic corpus
+    sample (Kudo 2018, the SentencePiece algorithm): seed with counted
+    substrings up to length 3, run 2 hard-EM rounds (Viterbi E-step as
+    a Catalyst expression fold over DISTINCT sample words, exact
+    integer counts, 6-dp-rounded log-probs — the x116/x119 replay
+    discipline), prune to chars + top multi-char pieces. Output is the
+    tokenizer artifact (rank, piece, cnt, lp). The DuckDB oracle
+    replays training decision-for-decision in one statement — the EM
+    trajectory, not just the final counts, is differential-checked
+    (operators/unigram.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return UG.unigram_vocab_table(spark, docs)
+
+
+@register(
+    "x129_unigram_tokenize",
+    oracle=UG.unigram_tokenize_oracle_sql(),
+    tags=("extension", "tokenizer", "unigram"),
+)
+def x129_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the FULL corpus with the x128-trained unigram vocab:
+    per doc, word count, total Viterbi (maximum-likelihood) piece
+    count, unsegmentable-word count, and the encode-decode mismatch
+    count (0 by construction; the oracle recomputes it independently).
+    100 TB posture: training sees only the bounded sample; the corpus
+    pass inlines the trained vocab as a literal map and runs the DP
+    fold per row — scan -> project, zero shuffle, zero Python
+    (operators/unigram.py:unigram_tokenize)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = {p: lp for p, _, lp in UG.train_unigram(docs)}
+    return UG.unigram_tokenize(docs, vocab)
+
+
+# --------------------------------------------------------------------------
+# x130 — extract -> filter composition (the public-pipeline chain:
+# extraction output feeds langid + quality + near-dup directly)
+# --------------------------------------------------------------------------
+
+_X130_EX_SQL = (
+    "SELECT e.doc_id, d.lang, e.main_text AS text\n"
+    "FROM (" + H.extract_sql(H.synth_markup_sql()) + ") e\n"
+    "JOIN documents d USING (doc_id)"
+)
+
+
+def _x130_oracle() -> str:
+    from video_stream_processing_spark.operators.dedup import (
+        minhash_lsh_oracle_sql,
+    )
+    from video_stream_processing_spark.operators.text import (
+        gopher_rules_oracle_sql,
+        nb_langid_oracle_sql,
+    )
+
+    return f"""
+WITH lid AS (SELECT * FROM ({nb_langid_oracle_sql(source_sql=_X130_EX_SQL)})),
+gr AS (SELECT * FROM ({gopher_rules_oracle_sql(source_sql=_X130_EX_SQL)})),
+nd AS (SELECT * FROM ({minhash_lsh_oracle_sql(source_sql=_X130_EX_SQL)})),
+ndc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM (SELECT doc_a AS doc_id FROM nd UNION ALL SELECT doc_b AS doc_id FROM nd)
+    GROUP BY doc_id
+)
+SELECT l.doc_id, l.predicted_lang, l.is_match,
+       g.keep AS gopher_keep, g.n_words,
+       coalesce(nc.n_dup_pairs, 0) AS n_dup_pairs
+FROM lid l
+JOIN gr g ON l.doc_id = g.doc_id
+LEFT JOIN ndc nc ON l.doc_id = nc.doc_id
+"""
+
+
+@register(
+    "x130_extract_filter_chain",
+    oracle=_x130_oracle(),
+    tags=("extension", "text", "extraction", "composition"),
+)
+def x130_extract_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation chain the public pipelines actually run
+    (CCNet/C4/RefinedWeb): markup -> x127 main-text extraction ->
+    x120 trigram-NB langid + x118 Gopher quality rules + x02 MinHash
+    LSH near-dup, ALL over the EXTRACTED text (never the raw markup).
+    Emits one row per doc: prediction, label match, gopher keep flag,
+    word count, and the number of near-dup partners.
+
+    Proves the stages COMPOSE without re-tokenization blowups: the
+    extracted corpus is materialized ONCE (eager localCheckpoint — it
+    feeds three operator families, so without it the markup synthesis
+    + regex extraction would re-run per consumer; the x92/x120
+    cross-action lineage lesson), and each downstream stage keeps its
+    own certified plan shape. 100 TB: extraction stays a pure per-row
+    expression; the checkpoint becomes a persisted columnar intermediate
+    (exactly how production pipelines stage extract -> filter)."""
+    from video_stream_processing_spark.operators.dedup import (
+        minhash_lsh_neardups,
+    )
+    from video_stream_processing_spark.operators.text import (
+        gopher_rules,
+        nb_langid,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    marked = base.select("doc_id", "lang", H.synth_markup_col().alias("html"))
+    ex = marked.select(
+        "doc_id", "lang", H.main_text_col("html").alias("text")
+    ).localCheckpoint(eager=True)
+    lid = nb_langid(ex)
+    gr = gopher_rules(ex)
+    nd = minhash_lsh_neardups(ex)
+    ndc = (
+        nd.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(nd.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    return (
+        lid.select("doc_id", "predicted_lang", "is_match")
+        .join(
+            gr.select("doc_id", F.col("keep").alias("gopher_keep"), "n_words"),
+            "doc_id",
+        )
+        .join(ndc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "predicted_lang",
+            "is_match",
+            "gopher_keep",
+            "n_words",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("long")).alias("n_dup_pairs"),
+        )
+    )

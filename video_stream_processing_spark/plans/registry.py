@@ -68,194 +68,35 @@ def _load_all() -> None:
         importlib.import_module(mod)
 
 
-# Queries with a green row in the driver's CORRECTNESS_r01.json. The driver
-# appears to verify queries in dict order with a cap (~50), so query_map()
-# emits never-driver-verified names first; these already-green ones go last.
-_DRIVER_VERIFIED_R01 = frozenset(
-    [f"a{i:02d}{s}" for i, s in [
-        (1, "_scan_project_filter"), (2, "_keyframe_gate"), (3, "_flatten_explode"),
-        (4, "_zero_detection_drop"), (5, "_segment_windows"), (6, "_sink_partition_keys"),
-        (7, "_detection_fact_pipeline"), (8, "_segment_windows_exact"), (9, "_keyframe_gate_exact"),
-    ]]
-) | frozenset(
-    [
-        "b01_pricing_summary", "b02_topk_orders", "b03_broadcast_join", "b04_snowflake_join",
-        "b05_semi_join", "b06_anti_join", "b07_count_distinct", "b08_approx_count_distinct",
-        "b09_rollup", "b10_cube", "b11_grouping_sets", "b12_window_rank", "b13_window_lag_lead",
-        "b14_topk_per_group", "b15_running_sum", "b16_set_ops", "b17_string_functions",
-        "b18_date_functions", "b19_math_functions", "b20_json_functions", "b21_array_functions",
-        "b22_sessionization", "b23_tumbling_window", "b24_sliding_window", "b25_session_window",
-        "b26_pivot", "b27_percentiles", "b28_arg_extrema", "b29_statistical_aggs",
-        "b30_conditional_agg", "b31_correlated_subquery", "b32_distinct", "b33_asof_join",
-        "b34_range_join", "b35_map_functions", "b36_salted_join", "b37_hash_sample",
-        "b38_posexplode", "b39_multiset_ops", "b40_null_semantics", "b41_range_frame_window",
-    ]
+# The driver verifies queries in dict order with a cap (~50 rows per
+# round), so enumeration order decides which certifications refresh.
+# LAST_DRIVER_ROUND (generated from CORRECTNESS_r*.json by
+# tools/gen_driver_rounds.py) records each query's most recent driver
+# row; enumerating ascending by that round puts never-certified queries
+# first and the stalest green rows right behind them, so every round's
+# capped pass drains the oldest cohort (VERDICT r10 task 5) instead of
+# re-certifying last round's sample.
+from video_stream_processing_spark.plans.driver_rounds import LAST_DRIVER_ROUND
+
+# Queries whose ORACLE text (or semantics) changed after their latest
+# driver row was recorded — their green rows certify the OLD oracle, so
+# they re-enumerate as if never certified until a fresh row lands.
+# r11: b63's oracle became a single-statement MATERIALIZED CTE (the
+# ADVICE contract fix); x127's kept-filter gained ::DOUBLE (decimal vs
+# double boundary math, ADVICE medium).
+_ORACLE_CHANGED = frozenset(
+    ["b63_recursive_bfs_reach", "x127_html_extract"]
 )
-
-
-# Queries with a green row in the driver's CORRECTNESS_r02.json (the cap
-# meant b42+/u*/x* up to x34 got verified; x35-x38 and round-3 additions
-# still need rows, so they keep enumerating first).
-_DRIVER_VERIFIED_R02 = frozenset(
-    [
-        "a10_keyframes_from_bytes", "b42_shipping_priority", "b43_supplier_part_counts",
-        "b44_approx_percentile", "b45_ordered_list_agg", "b46_first_last_nth",
-        "b47_ntile_distribution", "b48_merge_upsert", "b49_unpivot",
-        "b50_customer_distribution", "b51_supplier_share_semijoin", "b52_timeseries_gapfill",
-        "b53_ewma", "flagship_segment_pipeline", "u01_stub_inference", "u02_nms",
-        "u03_detection_stats", "x01_exact_dedup", "x02_minhash_lsh_neardup",
-        "x03_ngram_jaccard_pairs", "x04_simhash", "x05_embedding_neardup", "x06_cosine_topk",
-        "x07_lsh_ann_topk", "x08_ivf_ann_topk", "x09_quantized_cosine_topk", "x10_token_stats",
-        "x11_quality_score", "x12_lang_id", "x13_fingerprint", "x14_tfidf_top_terms",
-        "x15_dedup_clusters", "x16_normalize_text", "x17_dedup_materialize",
-        "x18_lsh_multitable_topk", "x20_multimodal_decode", "x21_frame_sample",
-        "x22_frame_sample_op", "x23_stratified_sample", "x24_pii_scrub",
-        "x25_repetition_ratio", "x26_decontaminate", "x27_doc_chunking", "x28_batch_packing",
-        "x29_semantic_dedup", "x30_token_entropy", "x31_url_domain_stats", "x32_corpus_split",
-        "x33_global_trigram_topk", "x34_filter_chain",
-    ]
-)
-
-# Queries with a green row in the driver's CORRECTNESS_r03.json. The parquet
-# testdata was regenerated between r02 and r03, so r03 rows are the only ones
-# certified against the CURRENT data; queries whose latest driver row is
-# r01/r02 enumerate ahead of these so round 4's capped pass re-certifies them.
-_DRIVER_VERIFIED_R03 = frozenset(
-    [f"a{i:02d}{s}" for i, s in [
-        (1, "_scan_project_filter"), (2, "_keyframe_gate"), (3, "_flatten_explode"),
-        (4, "_zero_detection_drop"), (5, "_segment_windows"), (6, "_sink_partition_keys"),
-        (7, "_detection_fact_pipeline"), (8, "_segment_windows_exact"), (9, "_keyframe_gate_exact"),
-        (10, "_keyframes_from_bytes"),
-    ]]
-) | frozenset(
-    [
-        "b01_pricing_summary", "b02_topk_orders", "b03_broadcast_join", "b04_snowflake_join",
-        "b05_semi_join", "b06_anti_join", "b07_count_distinct", "b08_approx_count_distinct",
-        "b09_rollup", "b10_cube", "b11_grouping_sets", "b12_window_rank", "b13_window_lag_lead",
-        "b14_topk_per_group", "b15_running_sum", "b16_set_ops", "b17_string_functions",
-        "b18_date_functions", "b19_math_functions", "b20_json_functions", "b21_array_functions",
-        "b22_sessionization", "b23_tumbling_window", "b24_sliding_window", "b25_session_window",
-        "b26_pivot", "b27_percentiles", "b28_arg_extrema", "b29_statistical_aggs",
-        "b30_conditional_agg", "b31_correlated_subquery", "b32_distinct", "b33_asof_join",
-        "b34_range_join", "b35_map_functions", "b36_salted_join",
-        "x35_curation_pipeline", "x36_source_mixing", "x37_quality_classifier", "x38_span_dedup",
-    ]
-)
-
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
-
-# Queries with a green row in the driver's CORRECTNESS_r04.json (all against
-# the current regenerated parquet; 48 hash-exact + b44/x22 rows-only by
-# design).
-_DRIVER_VERIFIED_R04 = frozenset(
-    [
-        "b37_hash_sample", "b38_posexplode", "b39_multiset_ops", "b40_null_semantics",
-        "b41_range_frame_window", "b42_shipping_priority", "b43_supplier_part_counts",
-        "b44_approx_percentile", "b45_ordered_list_agg", "b46_first_last_nth",
-        "b47_ntile_distribution", "b48_merge_upsert", "b49_unpivot",
-        "b50_customer_distribution", "b51_supplier_share_semijoin", "b52_timeseries_gapfill",
-        "b53_ewma", "flagship_segment_pipeline", "u01_stub_inference", "u02_nms",
-        "u03_detection_stats", "x01_exact_dedup", "x02_minhash_lsh_neardup",
-        "x03_ngram_jaccard_pairs", "x04_simhash", "x05_embedding_neardup", "x06_cosine_topk",
-        "x07_lsh_ann_topk", "x08_ivf_ann_topk", "x09_quantized_cosine_topk", "x10_token_stats",
-        "x11_quality_score", "x12_lang_id", "x13_fingerprint", "x14_tfidf_top_terms",
-        "x15_dedup_clusters", "x16_normalize_text", "x17_dedup_materialize",
-        "x18_lsh_multitable_topk", "x20_multimodal_decode", "x21_frame_sample",
-        "x22_frame_sample_op", "x23_stratified_sample", "x24_pii_scrub",
-        "x25_repetition_ratio", "x26_decontaminate", "x27_doc_chunking", "x28_batch_packing",
-        "x29_semantic_dedup", "x30_token_entropy",
-    ]
-)
-
-# a08/a09/a10 gained DuckDB oracles in round 4 AFTER their last driver rows
-# were recorded (r03, kind=rows-only), so their oracle-checked status has no
-# driver row yet — demote them out of the current-verified tier so round 5's
-# capped pass certifies the upgrade.
-_ORACLE_UPGRADED_POST_R03 = frozenset(
-    ["a08_segment_windows_exact", "a09_keyframe_gate_exact", "a10_keyframes_from_bytes"]
-)
-
-# Queries with a green row in the driver's CORRECTNESS_r05.json (50/50
-# green: the rotation certified a08-a10's oracle upgrades, the stale
-# x31-x34 rows, and the first 43 round-5 additions). The remaining 42
-# round-5 additions (x58-x99 alphabetically) have no driver row ever and
-# stay tier 1 so round 6's capped pass drains them completely.
-_DRIVER_VERIFIED_R05 = frozenset(
-    [
-        "a08_segment_windows_exact", "a09_keyframe_gate_exact", "a10_keyframes_from_bytes",
-        "b54_scd2_intervals", "b55_funnel_steps", "b56_retention_cohorts", "b57_market_share",
-        "b58_idle_high_balance_customers", "b59_small_quantity_revenue",
-        "b60_disjunctive_predicate_revenue", "b61_nation_volume_shipping",
-        "b62_product_type_profit", "b63_recursive_bfs_reach", "b64_priority_late_orders",
-        "b65_returned_item_revenue", "b66_large_volume_customers", "b67_local_supplier_volume",
-        "b68_promo_revenue_share", "b69_forecast_revenue_change", "b70_fulfillment_latency",
-        "b71_abc_analysis", "x100_decayed_affinity", "x101_degree_powerlaw_slope",
-        "x102_event_overdispersion", "x103_lsh_quality_report", "x104_lsh_band_sweep",
-        "x105_session_type_pmi", "x31_url_domain_stats", "x32_corpus_split",
-        "x33_global_trigram_topk", "x34_filter_chain", "x39_minhash_lsh_bounded",
-        "x40_multimodal_real_roundtrip", "x41_ivf_multiprobe_topk", "x42_incremental_dedup",
-        "x43_jpeg_real_roundtrip", "x44_ivf_trained_topk", "x45_lsh_multitable_capped",
-        "x46_kmeans_cluster_profile", "x47_semantic_dedup_trained", "x48_ivfpq_topk",
-        "x49_decontaminate_bloom", "x50_rp_ann_topk", "x51_unigram_logprob",
-        "x52_temperature_mixing", "x53_mjpeg_frame_split", "x54_wav_clip_features",
-        "x55_wav_frame_energy", "x56_bpe_merges", "x57_bpe_piece_counts",
-    ]
-)
-
-# x05/x53 changed SEMANTICS in round 8 (md5-prefix sampling added to both
-# the plan and the oracle — VERDICT r7 task 4's bounding), so their green
-# driver rows were recorded against the previous full-output oracles.
-# Demote them out of the current-verified tier (the a08-a10 precedent) so
-# the next capped pass re-certifies the sampled form.
-_SEMANTICS_CHANGED_R08 = frozenset(
-    ["x05_embedding_neardup", "x53_mjpeg_frame_split"]
-)
-
-# u04 changed SEMANTICS in round 9: the fixture model went from the tiny
-# detector to the full-geometry YOLOv8 skeleton (different detections,
-# different row count), so its r08 rows-only row was recorded against the
-# old model. Demote so the next capped pass re-records it.
-_SEMANTICS_CHANGED_R09 = frozenset(["u04_onnx_numpy_detect"])
-
-_CURRENT_VERIFIED = (
-    (
-        (
-            (_DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04) - _ORACLE_UPGRADED_POST_R03
-        )
-        | _DRIVER_VERIFIED_R05
-    )
-    - _SEMANTICS_CHANGED_R08
-) - _SEMANTICS_CHANGED_R09
 
 
 def _driver_order(name: str) -> tuple[int, str]:
-    # 0 = driver row exists but is STALE (recorded against older parquet or
-    # before the query's current oracle) — x05 since round 8's sampling
-    # change (x53's r05 row predates _DRIVER_VERIFIED's r01-r03 window, so
-    # it re-enters via tier 1 instead);
-    # 1 = never driver-verified (the 42 round-5 additions x58-x99, plus
-    # round 6's x106-x110; all pass the local harness) — these enumerate
-    # first (47 names) so round 6's capped (~50-row) driver pass
-    # certifies every one of them;
-    # 1.5 (tier value 2) = rows-only-by-design queries (b08/b44/x22, no
-    # oracle) — their weaker driver rows refresh right after the backlog
-    # drains (VERDICT r5 item 2's parenthetical);
-    # 2 (tier value 3) = oracle-verified against the current parquet
-    # (free green, enumerate last). Round-6 discipline: new registrations
-    # capped at ~8 so the backlog drains instead of growing past the
-    # rotation again.
-    if name in _CURRENT_VERIFIED:
-        spec = _REGISTRY.get(name)
-        tier = 2 if (spec is not None and spec.oracle is None) else 3
-    elif name in _DRIVER_VERIFIED:
-        tier = 0
-    else:
-        tier = 1
-    return (tier, name)
+    rnd = 0 if name in _ORACLE_CHANGED else LAST_DRIVER_ROUND.get(name, 0)
+    return (rnd, name)
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """All registered queries, never-driver-verified first (see _DRIVER_VERIFIED_R01)."""
+    """All registered queries, stalest driver certification first (see
+    LAST_DRIVER_ROUND / _driver_order)."""
     _load_all()
     return {name: _REGISTRY[name] for name in sorted(_REGISTRY, key=_driver_order)}
 

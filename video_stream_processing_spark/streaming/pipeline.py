@@ -203,6 +203,8 @@ def curation_stream(
     watermark: str = "10 minutes",
     dsir_model: list | None = None,
     qc_model: dict | None = None,
+    langid_model: dict | None = None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch curation pipeline (x35) over a
     document stream (doc_id, ts, text): normalization and the rule
@@ -234,19 +236,41 @@ def curation_stream(
       is supplied; the per-source selection budget stays a batch
       concern (a quota needs the whole source, not a stream prefix).
 
+    Round-11 twins (VERDICT r10 tasks 3/6):
+
+    - ``predicted_lang``: x120's trigram naive-Bayes prediction under a
+      FIXED model fit offline by nb_langid_fit and passed in as
+      ``langid_model`` — the same literal log-prob arrays, scored as a
+      stateless per-row fold (operators/text.py:nb_langid_score_col),
+      so a streamed doc and the batch query agree label-for-label.
+      Omitted when no model is supplied; model TRAINING stays a batch
+      concern (it needs corpus-wide counts, not a stream prefix).
+    - ``html_col``: when given, the incoming column holds raw markup
+      and x127's extractor runs FIRST — main text is extracted inline
+      (operators/html.py:main_text_col, a pure stateless expression)
+      and every downstream stage (normalize, filters, models, dedup
+      hash) sees extracted text, exactly like the batch extract->filter
+      chain (x130).
+
     Emits (doc_id, ts, text_hash, n_tokens[, gopher_keep,
-    dsir_log_weight, dsir_selected, qc_score]) for kept, first-seen
-    docs.
+    dsir_log_weight, dsir_selected, qc_score, predicted_lang]) for
+    kept, first-seen docs.
     """
+    from video_stream_processing_spark.operators.html import main_text_col
     from video_stream_processing_spark.operators.text import (
         curation_keep,
         dsir_score_col,
         gopher_keep,
+        nb_langid_score_col,
         normalize_col,
         quality_score_col,
         word_count,
     )
 
+    if html_col is not None:
+        docs = docs.select(
+            "doc_id", "ts", main_text_col(html_col).alias("text")
+        )
     extra = [gopher_keep("text").alias("gopher_keep")]
     extra_names = []
     if dsir_model is not None:
@@ -256,6 +280,13 @@ def curation_stream(
     if qc_model is not None:
         extra.append(quality_score_col(qc_model, "text").alias("qc_score"))
         extra_names.append("qc_score")
+    if langid_model is not None:
+        extra.append(
+            nb_langid_score_col(langid_model, "text")["cand"].alias(
+                "predicted_lang"
+            )
+        )
+        extra_names.append("predicted_lang")
     d2 = docs.select("doc_id", "ts", normalize_col().alias("text"), *extra)
     kept = d2.where(curation_keep()).select(
         "doc_id",
