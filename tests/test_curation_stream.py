@@ -485,3 +485,46 @@ def test_curation_stream_html_extracts_before_filters(spark, tmp_path):
     assert set(got) == {6, 7}
     for doc_id in (6, 7):
         assert got[doc_id]["text_hash"] == expect[doc_id][0], doc_id
+
+
+@pytest.mark.slow
+def test_curation_stream_unigram_pieces_twin_matches_batch(spark, tmp_path):
+    """x129 twin: the stream's n_pieces under a FIXED x128-trained
+    vocab equals the batch unigram_tokenize count doc-for-doc (shared
+    unigram_pieces_col expression)."""
+    from video_stream_processing_spark.operators.unigram import (
+        train_unigram,
+        unigram_tokenize,
+    )
+    from video_stream_processing_spark.streaming.pipeline import curation_stream
+
+    body = "the banana bandana cabana " + " ".join(f"word{i}" for i in range(40))
+    rows = [(1, BASE, body), (2, BASE + 1_000, body + " banana banana")]
+    batch = spark.createDataFrame(rows, "doc_id long, ts_ms long, text string").select(
+        "doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text"
+    )
+    vocab = {p: lp for p, _, lp in train_unigram(batch, sample_mod=1)}
+    b_pieces = {
+        r["doc_id"]: r["n_pieces"] for r in unigram_tokenize(batch, vocab).collect()
+    }
+
+    d = str(tmp_path / "docs")
+    _write(spark, d, rows, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        curation_stream(stream, watermark="10 minutes", unigram_vocab=vocab)
+        .writeStream.format("memory")
+        .queryName("unigram_twin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["n_pieces"]
+            for r in spark.sql("SELECT * FROM unigram_twin").collect()
+        }
+    finally:
+        q.stop()
+    assert got == b_pieces

@@ -205,6 +205,7 @@ def curation_stream(
     qc_model: dict | None = None,
     langid_model: dict | None = None,
     html_col: str | None = None,
+    unigram_vocab: dict | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch curation pipeline (x35) over a
     document stream (doc_id, ts, text): normalization and the rule
@@ -252,9 +253,13 @@ def curation_stream(
       hash) sees extracted text, exactly like the batch extract->filter
       chain (x130).
 
+    - ``unigram_vocab``: x129's tokenizer piece count under a FIXED
+      x128-trained vocab, as the shared ``unigram_pieces_col``
+      expression — emitted as ``n_pieces``.
+
     Emits (doc_id, ts, text_hash, n_tokens[, gopher_keep,
-    dsir_log_weight, dsir_selected, qc_score, predicted_lang]) for
-    kept, first-seen docs.
+    dsir_log_weight, dsir_selected, qc_score, predicted_lang,
+    n_pieces]) for kept, first-seen docs.
     """
     from video_stream_processing_spark.operators.html import main_text_col
     from video_stream_processing_spark.operators.text import (
@@ -287,6 +292,17 @@ def curation_stream(
             )
         )
         extra_names.append("predicted_lang")
+    if unigram_vocab is not None:
+        # x129 twin: tokenizer piece count under a FIXED trained vocab
+        # (operators/unigram.py:unigram_pieces_col — the same expression
+        # the batch query computes n_pieces through; training stays a
+        # batch concern, the stream only scores)
+        from video_stream_processing_spark.operators.unigram import (
+            unigram_pieces_col,
+        )
+
+        extra.append(unigram_pieces_col(unigram_vocab, "text").alias("n_pieces"))
+        extra_names.append("n_pieces")
     d2 = docs.select("doc_id", "ts", normalize_col().alias("text"), *extra)
     kept = d2.where(curation_keep()).select(
         "doc_id",
