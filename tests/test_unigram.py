@@ -94,3 +94,61 @@ def test_tokenize_unk_fallback_counts_chars(spark):
     # the unk word contributes length('qqq') = 3 fallback pieces
     banana_pieces = out[0]["n_pieces"] // 3
     assert out[1]["n_pieces"] == 2 * banana_pieces + 3
+
+
+def test_viterbi_matches_bruteforce_enumeration(spark):
+    """The DP must equal global argmax over ALL segmentations under the
+    documented ordering (score DESC, then path-string ASC) — checked
+    against a python enumeration on ~60 random (vocab, token) cases in
+    one Spark job. Guards the fold's tie rule and window bounds."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = "abc"
+    cases = []
+    for i in range(60):
+        tok = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        # random vocab: all chars (reachability) + random 2-3 substrings
+        vocab = {ch: round(rng.uniform(-3, -0.5), 6) for ch in alphabet}
+        for _ in range(rng.randint(0, 6)):
+            ln = rng.randint(2, 3)
+            if len(tok) >= ln:
+                j = rng.randint(0, len(tok) - ln)
+                vocab[tok[j : j + ln]] = round(rng.uniform(-3, -0.5), 6)
+        cases.append((i, tok, vocab))
+
+    def brute(tok, vocab):
+        best = None  # (score, seg)
+        def rec(pos, score, seg):
+            nonlocal best
+            if pos == len(tok):
+                key = (-score, seg)
+                if best is None or key < best:
+                    best = key
+                return
+            for ln in (1, 2, 3):
+                piece = tok[pos : pos + ln]
+                if pos + ln <= len(tok) and piece in vocab:
+                    rec(pos + ln, score + vocab[piece],
+                        piece if not seg else seg + "|" + piece)
+        rec(0, 0.0, "")
+        return (-best[0], best[1])
+
+    df = spark.createDataFrame([(i, tok) for i, tok, _ in cases], "i int, tok string")
+    out = {}
+    # one select with a per-case literal map each (bounded vocab per case)
+    import pyspark.sql.functions as SF
+    cols = []
+    for i, tok, vocab in cases:
+        cols.append(
+            SF.when(SF.col("i") == i, viterbi_best(SF.col("tok"), _vm(vocab))).alias(f"b{i}")
+        )
+    rows = df.select("i", "tok", *cols).collect()
+    for r in rows:
+        b = r[f"b{r['i']}"]
+        out[r["i"]] = (b["s"], b["g"])
+    for i, tok, vocab in cases:
+        exp_s, exp_g = brute(tok, vocab)
+        got_s, got_g = out[i]
+        assert got_g == exp_g, (i, tok, vocab, got_g, exp_g)
+        assert abs(got_s - exp_s) < 1e-12, (i, tok, got_s, exp_s)
