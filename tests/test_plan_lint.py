@@ -228,6 +228,13 @@ SCAN_MULTIPLICITY_ALLOWED = {
     # the per-doc text-length join — three PRUNED projections of one
     # 2-column table, no derivation repeated
     "x122_gopher_repetition": {"documents": 3},
+    # unigram tokenize: per-doc base projection + token explode branch
+    # + distinct-token branch — three PRUNED (doc_id, text) scans; the
+    # expensive Viterbi DP runs exactly once, on the distinct side
+    # (r11: checkpointing the tokenized corpus instead would
+    # materialize corpus-sized array rows to trade three cheap column
+    # scans away — wrong at 100 TB)
+    "x129_unigram_tokenize": {"documents": 3},
 }
 
 

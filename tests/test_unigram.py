@@ -152,3 +152,73 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         got_s, got_g = out[i]
         assert got_g == exp_g, (i, tok, vocab, got_g, exp_g)
         assert abs(got_s - exp_s) < 1e-12, (i, tok, got_s, exp_s)
+
+
+def test_fb_expected_counts_match_bruteforce(spark):
+    """fb_expected_scaled must equal the enumeration-exact posterior
+    expectations: sum over ALL segmentations of (weight/Z) * piece
+    multiplicity, to within 1 micro-unit of rounding."""
+    from collections import defaultdict
+
+    from video_stream_processing_spark.operators.unigram import (
+        _prob_map,
+        fb_expected_scaled,
+    )
+
+    p = {"b": 0.05, "a": 0.2, "n": 0.1, "an": 0.15, "na": 0.12, "ana": 0.08, "ban": 0.06}
+
+    def brute(tok, L=3):
+        segs = []
+
+        def rec(pos, pieces, w):
+            if pos == len(tok):
+                segs.append((pieces[:], w))
+                return
+            for ln in range(1, L + 1):
+                pc = tok[pos : pos + ln]
+                if pos + ln <= len(tok) and pc in p:
+                    pieces.append(pc)
+                    rec(pos + ln, pieces, w * p[pc])
+                    pieces.pop()
+
+        rec(0, [], 1.0)
+        z = sum(w for _, w in segs)
+        e = defaultdict(float)
+        for pieces, w in segs:
+            for pc in pieces:
+                e[pc] += w / z
+        return dict(e)
+
+    toks = ["banana", "ab", "nanananan", "b", "anananana"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select(
+        "tok", fb_expected_scaled(F.col("tok"), _prob_map(p)).alias("e")
+    ).collect()
+    for r in rows:
+        exp = brute(r["tok"])
+        got = {x["pc"]: x["sc"] for x in r["e"]}
+        assert set(got) == set(exp), r["tok"]
+        for pc, ev in exp.items():
+            assert abs(got[pc] - round(ev * 1e6)) <= 1, (r["tok"], pc, got[pc], ev)
+
+
+def test_soft_em_learns_planted_piece_with_fractional_mass(spark):
+    """Soft EM spreads expectation over ALL segmentations: on a corpus
+    dominated by 'banana' the an/na family keeps fractional mass (the
+    Viterbi trainer gives the winner everything), and the vocab table
+    is rank-consistent."""
+    from video_stream_processing_spark.operators.unigram import train_unigram_soft
+
+    rows = [(i, "banana banana banana bandana cabana") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = train_unigram_soft(docs)
+    by_piece = {p: (m, pv) for p, m, pv in vocab}
+    multi = [p for p, _, _ in vocab if len(p) > 1]
+    assert multi and any(p in ("an", "na", "ana", "ban") for p in multi[:3])
+    # fractional expectations: at least one multi-char piece has a
+    # micro-count that is NOT a whole-count multiple (soft assignment)
+    assert any(m % 1_000_000 != 0 for p, m, _ in vocab if len(p) > 1 and m > 0)
+    # probabilities sum to ~1 over the emitted vocab
+    assert abs(sum(pv for _, _, pv in vocab) - 1.0) < 1e-9
+    keys = [(-m, p) for p, m, _ in vocab]
+    assert keys == sorted(keys)

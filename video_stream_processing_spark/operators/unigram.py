@@ -149,35 +149,29 @@ def _adjusted(counts: dict[str, int], chars: set[str]) -> dict[str, int]:
     return adj
 
 
-def train_unigram(
-    docs: DataFrame,
-    max_piece_len: int = MAX_PIECE_LEN,
-    seed_multi: int = SEED_MULTI,
-    em_rounds: int = EM_ROUNDS,
-    final_multi: int = FINAL_MULTI,
-    sample_mod: int = SAMPLE_MOD,
-    sample_rem: int = SAMPLE_REM,
-    text_col: str = "text",
-) -> list[tuple[str, int, float]]:
-    """Train the unigram vocab on the deterministic sample; returns
-    [(piece, last_em_count, final_logprob)] ordered by
-    (count DESC, piece ASC) — the tokenizer artifact.
-
-    Each stage is one distributed pass over the bounded sample:
-    seed-substring counting, then ``em_rounds`` Viterbi-count passes
-    (the segmentation fold runs JVM-side over DISTINCT sample tokens —
-    corpus word frequency is captured by weighting with each token's
-    occurrence count, so the expensive fold runs once per unique word)."""
+def _sample_tokc(
+    docs: DataFrame, sample_mod: int, sample_rem: int, text_col: str
+) -> DataFrame:
+    """(tok, c): distinct sample words with occurrence counts — the
+    bounded training input both trainers fold over (checkpointed: 3+
+    passes read it)."""
     sample = docs.where(F.col("doc_id") % sample_mod == sample_rem)
-    tokc = (
+    return (
         sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # 3+ passes read it; bounded (distinct words)
+        .localCheckpoint(eager=True)
     )
 
-    # Seed counts: every char occurrence + every substring of length
-    # 2..max_piece_len, weighted by token occurrence count.
+
+def _seed_counts(
+    tokc: DataFrame, max_piece_len: int, seed_multi: int
+) -> tuple[dict[str, int], list[tuple[str, int]]]:
+    """Seed vocabulary counts: every char occurrence plus every
+    substring of length 2..max_piece_len, weighted by token occurrence
+    count; multi-char candidates capped to the top ``seed_multi`` by
+    (count DESC, piece ASC). Exact integers — both the hard-EM (x128)
+    and soft-EM (x131) trainers start here."""
     tok, c = F.col("tok"), F.col("c")
     char_rows = (
         tokc.select(
@@ -194,7 +188,6 @@ def train_unigram(
         .collect()
     )
     char_counts = {r["piece"]: int(r["cnt"]) for r in char_rows}
-    chars = set(char_counts)
 
     sub_rows = (
         tokc.select(
@@ -224,10 +217,35 @@ def train_unigram(
     )
     sub_counts = {r["piece"]: int(r["cnt"]) for r in sub_rows}
     top_subs = sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_multi]
+    return char_counts, top_subs
 
+
+def train_unigram(
+    docs: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_multi: int = SEED_MULTI,
+    em_rounds: int = EM_ROUNDS,
+    final_multi: int = FINAL_MULTI,
+    sample_mod: int = SAMPLE_MOD,
+    sample_rem: int = SAMPLE_REM,
+    text_col: str = "text",
+) -> list[tuple[str, int, float]]:
+    """Train the unigram vocab on the deterministic sample; returns
+    [(piece, last_em_count, final_logprob)] ordered by
+    (count DESC, piece ASC) — the tokenizer artifact.
+
+    Each stage is one distributed pass over the bounded sample:
+    seed-substring counting, then ``em_rounds`` Viterbi-count passes
+    (the segmentation fold runs JVM-side over DISTINCT sample tokens —
+    corpus word frequency is captured by weighting with each token's
+    occurrence count, so the expensive fold runs once per unique word)."""
+    tokc = _sample_tokc(docs, sample_mod, sample_rem, text_col)
+    char_counts, top_subs = _seed_counts(tokc, max_piece_len, seed_multi)
+    chars = set(char_counts)
     counts: dict[str, int] = dict(char_counts)
     counts.update(dict(top_subs))
     lp = _lp_table(counts)
+    tok, c = F.col("tok"), F.col("c")
 
     # Hard-EM rounds: Viterbi-segment the distinct sample tokens under
     # the current vocab, count pieces weighted by occurrence count.
@@ -539,5 +557,396 @@ SELECT doc_id,
            AND replace(bs[CAST(q + 1 AS INT)].g, '|', '') <> tl[CAST(q + 1 AS INT)])), 0)
            AS BIGINT) AS n_mismatch
 FROM scored
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Soft EM (full forward-backward) — the TRUE SentencePiece E-step.
+# Expected piece counts are fractional, which would normally make the
+# M-step unreplayable across engines (float summation order over the
+# corpus). The replay trick: per (token, piece) expectations are
+# computed in a FIXED span order inside one row, scaled to integer
+# micro-counts (round(e * 1e6), half-away in both engines), and only
+# INTEGERS are aggregated across the corpus — exact, order-free. The
+# next round's probabilities are exact integer ratios in double, so
+# the whole EM trajectory is bit-replayable in DuckDB (x131).
+# --------------------------------------------------------------------------
+
+MAX_SOFT_TOKEN_LEN = 24  # probability-space F/B: (e^-12)^24 ~ e^-288, no
+# double underflow; longer words are vanishingly rare and remain covered
+# by the Viterbi/hard-EM path (x128/x129)
+MICRO = 1_000_000  # expected-count scaling: 1 count == 1e6 micro-units
+
+
+def _prob_map(p: dict[str, float]) -> Column:
+    items: list[Column] = []
+    for piece in sorted(p):
+        items.append(F.lit(piece))
+        items.append(F.lit(p[piece]))
+    return F.create_map(*items)
+
+
+def fb_expected_scaled(
+    tok: Column, pm: Column, max_len: int = MAX_PIECE_LEN
+) -> Column:
+    """array<struct(pc: string, sc: long)>: per-piece expected counts of
+    ``tok`` under the piece->probability literal map ``pm``, forward-
+    backward exact posterior, scaled to integer micro-counts.
+
+    Determinism contract (mirrored verbatim by the oracle): spans
+    enumerate i ascending then j ascending; alpha sums j ascending;
+    beta sums k ascending; contribution = alpha[j] * p * beta[i] / Z
+    in that association order; per-piece sums run in span order over
+    the lex-sorted distinct piece list; micro-scaling rounds half-away.
+    Every char must be in ``pm`` (Z > 0 guaranteed)."""
+    n = F.length(tok)
+
+    def p_of(piece: Column) -> Column:
+        return F.coalesce(F.element_at(pm, piece), F.lit(0.0))
+
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.greatest(F.lit(0), i - max_len), i - 1),
+                    lambda j: F.struct(
+                        j.cast("int").alias("j"),
+                        i.cast("int").alias("i"),
+                        F.substr(tok, j + 1, i - j).alias("pc"),
+                    ),
+                ),
+                lambda s: F.element_at(pm, s["pc"]).isNotNull(),
+            ),
+        )
+    )
+    alpha = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(1.0)),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.aggregate(
+                    F.sequence(F.greatest(F.lit(0), i - max_len), i - 1),
+                    F.lit(0.0),
+                    lambda s_, j: s_
+                    + p_of(F.substr(tok, j + 1, i - j))
+                    * F.element_at(acc, (j + 1).cast("int")),
+                )
+            ),
+        ),
+    )
+    # beta stored REVERSED: beta_rev[m] = beta[n - m + 1]; beta[k] is at
+    # index n - k + 1. The fold walks i = n-1 .. 0; inside it, beta[k]
+    # for k in i+1..min(n, i+L) is already present in acc.
+    beta_rev = F.aggregate(
+        F.sequence(n - 1, F.lit(0), F.lit(-1)),
+        F.array(F.lit(1.0)),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.aggregate(
+                    F.sequence(i + 1, F.least(n, i + max_len)),
+                    F.lit(0.0),
+                    lambda s_, k: s_
+                    + p_of(F.substr(tok, i + 1, k - i))
+                    * F.element_at(acc, (n - k + 1).cast("int")),
+                )
+            ),
+        ),
+    )
+    z = F.element_at(alpha, (n + 1).cast("int"))
+    contribs = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["pc"].alias("pc"),
+            (
+                F.element_at(alpha, s["j"] + 1)
+                * p_of(s["pc"])
+                * F.element_at(beta_rev, (n - s["i"] + 1).cast("int"))
+                / z
+            ).alias("v"),
+        ),
+    )
+    pieces = F.array_sort(F.array_distinct(F.transform(spans, lambda s: s["pc"])))
+    return F.transform(
+        pieces,
+        lambda pc: F.struct(
+            pc.alias("pc"),
+            F.round(
+                F.aggregate(
+                    F.filter(contribs, lambda cb: cb["pc"] == pc),
+                    F.lit(0.0),
+                    lambda s_, cb: s_ + cb["v"],
+                )
+                * MICRO,
+                0,
+            ).cast("long").alias("sc"),
+        ),
+    )
+
+
+def train_unigram_soft(
+    docs: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_multi: int = SEED_MULTI,
+    em_rounds: int = EM_ROUNDS,
+    final_multi: int = FINAL_MULTI,
+    sample_mod: int = SAMPLE_MOD,
+    sample_rem: int = SAMPLE_REM,
+    text_col: str = "text",
+    max_token_len: int = MAX_SOFT_TOKEN_LEN,
+) -> list[tuple[str, int, float]]:
+    """Soft-EM unigram training (Kudo 2018's actual E-step): returns
+    [(piece, last_round_micro_count, probability)] by
+    (micro-count DESC, piece ASC). Same bounded sample and seed as the
+    hard-EM trainer; each round folds forward-backward once per
+    DISTINCT sample word and aggregates only integer micro-counts."""
+    tokc = _sample_tokc(docs, sample_mod, sample_rem, text_col).where(
+        F.length("tok") <= max_token_len
+    ).localCheckpoint(eager=True)
+    char_counts, top_subs = _seed_counts(tokc, max_piece_len, seed_multi)
+    chars = set(char_counts)
+    counts: dict[str, int] = dict(char_counts)
+    counts.update(dict(top_subs))
+    total0 = sum(counts.values())
+    p = {pc: cnt / total0 for pc, cnt in counts.items() if cnt > 0}
+
+    em_micro: dict[str, int] = {}
+    for _ in range(em_rounds):
+        pm = _prob_map(p)
+        rows = (
+            tokc.select(
+                F.col("c"),
+                F.explode(
+                    fb_expected_scaled(F.col("tok"), pm, max_piece_len)
+                ).alias("e"),
+            )
+            .select(F.col("e.pc").alias("piece"), (F.col("e.sc") * F.col("c")).alias("m"))
+            .groupBy("piece")
+            .agg(F.sum("m").alias("micro"))
+            .collect()
+        )
+        em_micro = {r["piece"]: int(r["micro"]) for r in rows}
+        adj = {pc: m for pc, m in em_micro.items() if len(pc) > 1 and m > 0}
+        for ch in chars:
+            adj[ch] = em_micro.get(ch, 0) + MICRO
+        total = sum(adj.values())
+        p = {pc: m / total for pc, m in adj.items()}
+
+    kept_multi = sorted(
+        ((pc, m) for pc, m in em_micro.items() if len(pc) > 1 and m > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:final_multi]
+    kept = {pc for pc, _ in kept_multi} | chars
+    final_micro = {pc: em_micro.get(pc, 0) for pc in kept}
+    adj = {
+        pc: m + (MICRO if len(pc) == 1 else 0)
+        for pc, m in final_micro.items()
+        if m + (MICRO if len(pc) == 1 else 0) > 0
+    }
+    total = sum(adj.values())
+    out = [(pc, final_micro[pc], adj[pc] / total) for pc in adj]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def unigram_soft_vocab_table(spark: SparkSession, docs: DataFrame, **kw) -> DataFrame:
+    """The soft-EM vocab artifact: (rank, piece, exp_cnt_micro, p) —
+    expected counts in exact integer micro-units, probabilities as
+    exact integer-ratio doubles."""
+    vocab = train_unigram_soft(docs, **kw)
+    rows = [(k + 1, pc, int(m), float(pv)) for k, (pc, m, pv) in enumerate(vocab)]
+    return spark.createDataFrame(
+        rows, "rank int, piece string, exp_cnt_micro long, p double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Soft-EM DuckDB oracle — replays seed, both F/B rounds, and the prune
+# in ONE statement. Same list-accumulator list_reduce pattern as the
+# Viterbi oracle; the fold position i is recovered as len(acc) (alpha)
+# / n - len(acc) (beta), since DuckDB 1.0's 2-arg reduce carries no
+# index.
+# --------------------------------------------------------------------------
+
+
+def _fb_span_sql(tok: str, pm: str, max_len: int = MAX_PIECE_LEN) -> str:
+    """SQL expr: the vocab-compatible span list of ``tok``."""
+    return f"""list_filter(
+      flatten(list_transform(range(1, length({tok}) + 1),
+        i -> list_transform(range(greatest(0, i - {max_len}), i),
+          j -> {{'j': CAST(j AS INT), 'i': CAST(i AS INT),
+                'pc': substr({tok}, CAST(j + 1 AS INT), CAST(i - j AS INT))}}))),
+      s -> {pm}[s.pc][1] IS NOT NULL)"""
+
+
+def _fb_alpha_sql(tok: str, pm: str, max_len: int = MAX_PIECE_LEN) -> str:
+    """SQL expr: forward probabilities alpha[0..n] (alpha[0] = 1)."""
+    return f"""list_reduce(
+      list_prepend([CAST(1.0 AS DOUBLE)],
+                   list_transform(range(1, length({tok}) + 1), k -> [CAST(0.0 AS DOUBLE)])),
+      (acc, x) -> list_append(acc,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(greatest(0, len(acc) - {max_len}), len(acc)),
+              j -> coalesce({pm}[substr({tok}, CAST(j + 1 AS INT), CAST(len(acc) - j AS INT))][1],
+                            0.0) * acc[CAST(j + 1 AS INT)])),
+          (sa, sb) -> sa + sb)))"""
+
+
+def _fb_beta_rev_sql(tok: str, pm: str, max_len: int = MAX_PIECE_LEN) -> str:
+    """SQL expr: backward probabilities stored reversed —
+    beta_rev[m] = beta[n - m + 1]; the fold position is i = n - len(acc)."""
+    return f"""list_reduce(
+      list_prepend([CAST(1.0 AS DOUBLE)],
+                   list_transform(range(length({tok})), k -> [CAST(0.0 AS DOUBLE)])),
+      (acc, x) -> list_append(acc,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(length({tok}) - len(acc) + 1,
+                                 least(length({tok}), length({tok}) - len(acc) + {max_len}) + 1),
+              kk -> coalesce({pm}[substr({tok}, CAST(length({tok}) - len(acc) + 1 AS INT),
+                                         CAST(kk - (length({tok}) - len(acc)) AS INT))][1],
+                             0.0) * acc[CAST(length({tok}) - kk + 1 AS INT)])),
+          (sa, sb) -> sa + sb)))"""
+
+
+def _fb_contribs_sql(tok: str, pm: str) -> str:
+    """SQL expr over columns sp/al/br: span posteriors
+    alpha[j] * p * beta[i] / Z in fb_expected_scaled's association
+    order."""
+    return f"""list_transform(sp, s ->
+        {{'pc': s.pc,
+          'v': al[s.j + 1] * {pm}[s.pc][1] * br[length({tok}) - s.i + 1]
+               / al[length({tok}) + 1]}})"""
+
+
+_FB_EC_SQL = f"""list_transform(
+        list_sort(list_distinct(list_transform(sp, s -> s.pc))),
+        pcx -> {{'pc': pcx,
+                'sc': CAST(round(list_reduce(
+                          list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(list_filter(cbs, cb -> cb.pc = pcx),
+                                           cb -> cb.v)),
+                          (sa, sb) -> sa + sb) * {MICRO}) AS BIGINT)}})"""
+
+
+def _soft_training_ctes(
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_multi: int = SEED_MULTI,
+    em_rounds: int = EM_ROUNDS,
+    final_multi: int = FINAL_MULTI,
+    sample_mod: int = SAMPLE_MOD,
+    sample_rem: int = SAMPLE_REM,
+    max_token_len: int = MAX_SOFT_TOKEN_LEN,
+) -> str:
+    parts = [
+        f"""stokc AS (
+    SELECT tok, c FROM (
+        SELECT tok, count(*) AS c FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+            FROM documents WHERE doc_id % {sample_mod} = {sample_rem}
+        ) GROUP BY tok
+    ) WHERE length(tok) <= {max_token_len}
+),
+schars AS (
+    SELECT substr(tok, CAST(i + 1 AS INT), 1) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+    FROM stokc, unnest(range(length(tok))) AS t(i)
+    GROUP BY 1
+),
+ssubs AS (
+    SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
+        SELECT substr(tok, CAST(i + 1 AS INT), CAST(w AS INT)) AS piece, c
+        FROM stokc,
+             unnest(range(2, {max_piece_len} + 1)) AS ww(w),
+             unnest(range(length(tok) - w + 1)) AS pp(i)
+    ) WHERE length(piece) >= 2
+    GROUP BY piece
+),
+sseed AS (
+    SELECT piece, cnt FROM schars
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM ssubs ORDER BY cnt DESC, piece LIMIT {seed_multi}
+    )
+),
+spv0 AS (
+    SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM sseed)::DOUBLE AS p
+    FROM sseed WHERE cnt > 0
+),
+spm0 AS (
+    SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM spv0
+)"""
+    ]
+    prev = "spm0"
+    last = "scnt0"
+    for r in range(1, em_rounds + 1):
+        parts.append(
+            f"""sfb{r} AS (
+    SELECT c, tok, pm,
+           {_fb_span_sql("tok", "pm", max_piece_len)} AS sp,
+           {_fb_alpha_sql("tok", "pm", max_piece_len)} AS al,
+           {_fb_beta_rev_sql("tok", "pm", max_piece_len)} AS br
+    FROM stokc CROSS JOIN {prev}
+),
+scb{r} AS (
+    SELECT c, sp, {_fb_contribs_sql("tok", "pm")} AS cbs FROM sfb{r}
+),
+sec{r} AS (
+    SELECT c, unnest({_FB_EC_SQL}) AS e FROM scb{r}
+),
+scnt{r} AS (
+    SELECT e.pc AS piece, CAST(sum(e.sc * c) AS BIGINT) AS micro
+    FROM sec{r} GROUP BY 1
+),
+sadj{r} AS (
+    SELECT ch.piece, coalesce(k.micro, 0) + {MICRO} AS adj
+    FROM schars ch LEFT JOIN scnt{r} k ON ch.piece = k.piece
+    UNION ALL
+    SELECT piece, micro AS adj FROM scnt{r} WHERE length(piece) > 1 AND micro > 0
+),
+spv{r} AS (
+    SELECT piece, adj::DOUBLE / (SELECT sum(adj) FROM sadj{r})::DOUBLE AS p
+    FROM sadj{r}
+),
+spm{r} AS (
+    SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS pm FROM spv{r}
+)"""
+        )
+        prev = f"spm{r}"
+        last = f"scnt{r}"
+    parts.append(
+        f"""skept AS (
+    SELECT ch.piece, coalesce(k.micro, 0) AS micro
+    FROM schars ch LEFT JOIN {last} k ON ch.piece = k.piece
+    UNION ALL
+    SELECT piece, micro FROM (
+        SELECT piece, micro FROM {last} WHERE length(piece) > 1 AND micro > 0
+        ORDER BY micro DESC, piece LIMIT {final_multi}
+    )
+),
+sadj_f AS (
+    SELECT piece, micro,
+           micro + CASE WHEN length(piece) = 1 THEN {MICRO} ELSE 0 END AS adj
+    FROM skept
+),
+svocab_f AS (
+    SELECT piece, micro,
+           adj::DOUBLE / (SELECT sum(adj) FROM sadj_f)::DOUBLE AS p
+    FROM sadj_f WHERE adj > 0
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def unigram_soft_vocab_oracle_sql(**kw) -> str:
+    return (
+        _soft_training_ctes(**kw)
+        + """
+SELECT CAST(row_number() OVER (ORDER BY micro DESC, piece) AS INT) AS rank,
+       piece, CAST(micro AS BIGINT) AS exp_cnt_micro, p
+FROM svocab_f
 """
     )

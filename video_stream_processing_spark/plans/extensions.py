@@ -5332,3 +5332,29 @@ def x130_extract_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_pairs", F.lit(0).cast("long")).alias("n_dup_pairs"),
         )
     )
+
+
+@register(
+    "x131_unigram_soft_em",
+    oracle=UG.unigram_soft_vocab_oracle_sql(),
+    tags=("extension", "tokenizer", "unigram", "training", "soft_em"),
+)
+def x131_unigram_soft_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-EM unigram training — Kudo 2018's ACTUAL E-step (full
+    forward-backward expected counts over every segmentation), next to
+    x128's Viterbi hard-EM. Fractional expectations normally defy
+    cross-engine replay (corpus-order float summation); the replay
+    trick here: per-(word, piece) expectations are computed in a FIXED
+    span order inside one row, scaled to integer micro-counts
+    (round(e * 1e6), half-away in both engines), and only INTEGERS
+    aggregate across the corpus — exact and order-free — while each
+    round's probabilities are exact integer-ratio doubles. The DuckDB
+    oracle replays the full EM trajectory in one statement
+    (operators/unigram.py:train_unigram_soft / fb_expected_scaled;
+    forward-backward pinned against brute-force enumeration in
+    tests/test_unigram.py). 100 TB posture: same bounded sample and
+    once-per-DISTINCT-word folds as x128; words over 24 chars are
+    excluded (probability-space F/B must stay clear of double
+    underflow) and remain covered by the Viterbi path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return UG.unigram_soft_vocab_table(spark, docs)
