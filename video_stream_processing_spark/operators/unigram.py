@@ -532,17 +532,17 @@ FROM vocab_f
     )
 
 
-def unigram_tokenize_oracle_sql(max_piece_len: int = MAX_PIECE_LEN, **kw) -> str:
+def _tokenize_tail_sql(vm_cte: str, max_piece_len: int = MAX_PIECE_LEN) -> str:
+    """The corpus-tokenize SELECT tail over a (vm) map CTE — shared by
+    the hard-vocab (x129) and soft-vocab (x132) tokenize oracles."""
     vit = _viterbi_sql("t", "vm", max_piece_len)
-    return (
-        _training_ctes(max_piece_len=max_piece_len, **kw)
-        + f""",
+    return f""",
 docs_t AS (
     SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
 ),
 scored AS (
     SELECT doc_id, list_transform(tl, t -> {vit}) AS bs, tl
-    FROM docs_t CROSS JOIN vm_f
+    FROM docs_t CROSS JOIN {vm_cte}
 )
 SELECT doc_id,
        CAST(len(tl) AS INT) AS n_tokens,
@@ -558,6 +558,12 @@ SELECT doc_id,
            AS BIGINT) AS n_mismatch
 FROM scored
 """
+
+
+def unigram_tokenize_oracle_sql(max_piece_len: int = MAX_PIECE_LEN, **kw) -> str:
+    return (
+        _training_ctes(max_piece_len=max_piece_len, **kw)
+        + _tokenize_tail_sql("vm_f", max_piece_len)
     )
 
 
@@ -949,4 +955,22 @@ SELECT CAST(row_number() OVER (ORDER BY micro DESC, piece) AS INT) AS rank,
        piece, CAST(micro AS BIGINT) AS exp_cnt_micro, p
 FROM svocab_f
 """
+    )
+
+
+def unigram_soft_tokenize_oracle_sql(
+    max_piece_len: int = MAX_PIECE_LEN, **kw
+) -> str:
+    """x132 oracle: soft-EM training replay, then the shared Viterbi
+    corpus-tokenize tail under log-probs round(ln(p), 6) of the soft
+    vocab (identical doubles in → identical ln/round out)."""
+    return (
+        _soft_training_ctes(max_piece_len=max_piece_len, **kw)
+        + """,
+svm_lp AS (
+    SELECT map(list(piece ORDER BY piece),
+               list(round(ln(p), 6) ORDER BY piece)) AS vm
+    FROM svocab_f
+)"""
+        + _tokenize_tail_sql("svm_lp", max_piece_len)
     )

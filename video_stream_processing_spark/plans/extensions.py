@@ -5358,3 +5358,28 @@ def x131_unigram_soft_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     underflow) and remain covered by the Viterbi path."""
     docs = load_table(spark, sf_dir, "documents")
     return UG.unigram_soft_vocab_table(spark, docs)
+
+
+@register(
+    "x132_unigram_soft_tokenize",
+    oracle=UG.unigram_soft_tokenize_oracle_sql(),
+    tags=("extension", "tokenizer", "unigram", "soft_em"),
+)
+def x132_unigram_soft_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the soft path: tokenize the FULL corpus with the
+    x131-trained soft-EM vocab (Viterbi under round(ln(p), 6) log-probs
+    — exact-double probabilities in, identical log grid out on both
+    engines). Same distinct-word + broadcast-join scale shape and the
+    same output contract as x129, so the two trainers are directly
+    comparable on piece counts (soft EM's fractional mass keeps more
+    multi-char pieces alive through the prune)."""
+    import math
+
+    from video_stream_processing_spark.operators.text import _round6_away
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = {
+        pc: _round6_away(math.log(pv))
+        for pc, _, pv in UG.train_unigram_soft(docs)
+    }
+    return UG.unigram_tokenize(docs, vocab)
