@@ -2910,6 +2910,58 @@ def x75_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25): every doc matching the fixed 3-term query, scored
+    with x76's exact BM25 pipeline (no top-15) — shared between x76 and
+    the x133 hybrid-fusion sparse leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    # checkpoint the doc-length table (|docs| fixed-width rows): avgdl
+    # and the scoring join otherwise re-tokenize the corpus per
+    # reference; tokenization then runs twice total (dl, tf) instead of
+    # four times — without materializing the token stream itself
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dlen"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    q = docs.sparkSession.createDataFrame([("data",), ("model",), ("the",)], "term string")
+    tf = (
+        toks.join(F.broadcast(q), toks.tok == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return scored.select("doc_id", F.round("score", 4).alias("bm25"))
+
+
 @register(
     "x76_bm25_search",
     oracle="""
@@ -2958,53 +3010,8 @@ def x76_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine). At 100 TB the postings list per term is the only
     data touched after the scan — inverted-index behavior without
     materializing the index."""
-    docs = load_table(spark, sf_dir, "documents")
-    k1, b = 1.2, 0.75
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    )
-    # checkpoint the doc-length table (|docs| fixed-width rows): avgdl
-    # and the scoring join otherwise re-tokenize the corpus per
-    # reference; tokenization then runs twice total (dl, tf) instead of
-    # four times — without materializing the token stream itself
-    dl = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dlen"))
-        .localCheckpoint(eager=True)
-    )
-    stats = dl.agg(
-        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
-    )
-    q = docs.sparkSession.createDataFrame([("data",), ("model",), ("the",)], "term string")
-    tf = (
-        toks.join(F.broadcast(q), toks.tok == q.term)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * F.col("tf")
-                * (k1 + 1)
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
-                )
-            ).alias("score")
-        )
-    )
     return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
@@ -5383,3 +5390,147 @@ def x132_unigram_soft_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pc, _, pv in UG.train_unigram_soft(docs)
     }
     return UG.unigram_tokenize(docs, vocab)
+
+
+# --------------------------------------------------------------------------
+# x133 — hybrid sparse + dense retrieval fusion (RRF)
+# --------------------------------------------------------------------------
+
+_X133_RRF_K = 60  # Cormack et al. 2009's constant
+_X133_TOP = 20  # per-leg candidate depth fed into the fusion
+
+
+def _x133_oracle() -> str:
+    from video_stream_processing_spark.operators.similarity import cosine_sql
+
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dlen) AS avgdl, count(*) AS n_docs FROM dl),
+q(term) AS (VALUES ('data'), ('model'), ('the')),
+tf AS (
+    SELECT t.doc_id, t.tok AS term, count(*) AS tf
+    FROM toks t JOIN q ON t.tok = q.term
+    GROUP BY t.doc_id, t.tok
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+sparse_scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / s.avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+sleg AS (
+    SELECT doc_id, rs FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+        FROM sparse_scored
+    ) WHERE rs <= {_X133_TOP}
+),
+dense AS (
+    SELECT c.vec_id AS doc_id, {cos} AS ds
+    FROM embeddings q JOIN embeddings c ON c.vec_id != 0
+    WHERE q.vec_id = 0
+),
+dleg AS (
+    SELECT doc_id, rd FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY ds DESC, doc_id) AS rd
+        FROM dense
+    ) WHERE rd <= {_X133_TOP}
+),
+fused AS (
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           CAST(coalesce(s.rs, 0) AS BIGINT) AS sparse_rank,
+           CAST(coalesce(d.rd, 0) AS BIGINT) AS dense_rank,
+           round(coalesce(1.0 / ({_X133_RRF_K} + s.rs), 0.0)
+                 + coalesce(1.0 / ({_X133_RRF_K} + d.rd), 0.0), 6) AS rrf
+    FROM sleg s FULL OUTER JOIN dleg d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, sparse_rank, dense_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+
+@register(
+    "x133_hybrid_rrf_search",
+    oracle=_x133_oracle(),
+    tags=("extension", "search", "similarity", "fusion"),
+)
+def x133_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009; the standard RAG-stack combiner): the sparse leg is
+    x76's BM25 pipeline (fixed 3-term query) ranked to top-20, the
+    dense leg is exact cosine against a fixed query vector (vec_id 0,
+    x06's machinery) ranked to top-20, and the fused score is
+    sum(1 / (60 + rank)) over the legs a doc appears in — rank-based,
+    so the two legs' incomparable score scales never mix. Ties break on
+    doc_id; absent-leg ranks emit 0 (never NULL — nullable ints hash
+    differently across engines). Embeddings and documents share the id
+    space (vec_id == doc_id in the fixture, as a real corpus's
+    embedding table would).
+
+    Scale shape: each leg keeps its certified plan (BM25 broadcast
+    postings; dense broadcast-query cosine); the fusion itself is a
+    20-row-per-leg FULL OUTER join — driver-trivial at any corpus
+    size. Determinism: both legs rank with row_number over
+    (score DESC, doc_id), the same composite both oracles use."""
+    from video_stream_processing_spark.operators import similarity as S
+    from pyspark.sql.window import Window
+
+    sparse = _bm25_scores(spark, sf_dir)
+    ws = Window.orderBy(F.desc("bm25"), "doc_id")
+    sleg = (
+        sparse.withColumn("rs", F.row_number().over(ws))
+        .where(F.col("rs") <= _X133_TOP)
+        .select("doc_id", "rs")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_emb"),
+        S.l2_norm(F.col("embedding")).alias("qn"),
+    )
+    dense = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S._cos_prenorm(
+                F.col("query_emb"),
+                F.col("embedding"),
+                F.col("qn"),
+                S.l2_norm(F.col("embedding")),
+            ).alias("ds"),
+        )
+    )
+    wd = Window.orderBy(F.desc("ds"), "doc_id")
+    dleg = (
+        dense.withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= _X133_TOP)
+        .select("doc_id", "rd")
+    )
+
+    fused = sleg.join(dleg, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rs", F.lit(0)).cast("long").alias("sparse_rank"),
+        F.coalesce("rd", F.lit(0)).cast("long").alias("dense_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_X133_RRF_K) + F.col("rs")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_X133_RRF_K) + F.col("rd")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
+
