@@ -45,6 +45,11 @@ NESTED_LOOP_ALLOWED = {
     # BM25: the corpus (avgdl, n_docs) pair is the same ONE-ROW scalar
     # broadcast; every other join is a keyed broadcast/hash join
     "x76_bm25_search",
+    # hybrid RRF fusion: inherits x76's one-row (avgdl, n_docs) scalar
+    # broadcast on the sparse leg and the dense leg's ONE-ROW query
+    # vector broadcast (the x06 shape); the fusion join itself is a
+    # 20-row-per-side full outer hash join
+    "x133_hybrid_rrf_search",
     # fuzzy dictionary match: the edit-distance predicate joins the
     # DISTINCT VOCABULARY against a broadcast ~6-term dictionary —
     # vocab x dict is the linear-with-bounded-inner-side shape (the
@@ -108,6 +113,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "x91_psi_drift",  # over |bins|
     "x111_sequence_packing",  # carry over |shuffle-partition| buckets
     "x124_classifier_auc",  # over |4-dp score grid| (<= 10001 rows)
+    # per-leg rank over <= 20 rows POST TakeOrderedAndProject — the
+    # distributed top-N runs first, the global window only numbers the
+    # bounded survivors
+    "x133_hybrid_rrf_search",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -235,6 +244,9 @@ SCAN_MULTIPLICITY_ALLOWED = {
     # materialize corpus-sized array rows to trade three cheap column
     # scans away — wrong at 100 TB)
     "x129_unigram_tokenize": {"documents": 3},
+    # same tokenize machinery under the soft-EM vocab — same three
+    # pruned scans, DP once on the distinct-token side
+    "x132_unigram_soft_tokenize": {"documents": 3},
 }
 
 

@@ -5487,11 +5487,16 @@ def x133_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_stream_processing_spark.operators import similarity as S
     from pyspark.sql.window import Window
 
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject — the
+    # distributed top-N), THEN row_number over the surviving <= 20 rows
+    # — a corpus-wide global rank window would single-partition the
+    # whole matching set (the anti-pattern the plan lint pins)
     sparse = _bm25_scores(spark, sf_dir)
     ws = Window.orderBy(F.desc("bm25"), "doc_id")
     sleg = (
-        sparse.withColumn("rs", F.row_number().over(ws))
-        .where(F.col("rs") <= _X133_TOP)
+        sparse.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_X133_TOP)
+        .withColumn("rs", F.row_number().over(ws))
         .select("doc_id", "rs")
     )
 
@@ -5515,8 +5520,9 @@ def x133_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = Window.orderBy(F.desc("ds"), "doc_id")
     dleg = (
-        dense.withColumn("rd", F.row_number().over(wd))
-        .where(F.col("rd") <= _X133_TOP)
+        dense.orderBy(F.desc("ds"), "doc_id")
+        .limit(_X133_TOP)
+        .withColumn("rd", F.row_number().over(wd))
         .select("doc_id", "rd")
     )
 
