@@ -247,6 +247,9 @@ SCAN_MULTIPLICITY_ALLOWED = {
     # same tokenize machinery under the soft-EM vocab — same three
     # pruned scans, DP once on the distinct-token side
     "x132_unigram_soft_tokenize": {"documents": 3},
+    # x129's three pruned scans plus the (doc_id, lang) label join —
+    # four pruned projections, no derivation repeated
+    "x134_tokenizer_fertility": {"documents": 4},
 }
 
 

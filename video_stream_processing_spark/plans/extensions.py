@@ -5540,3 +5540,46 @@ def x133_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+@register(
+    "x134_tokenizer_fertility",
+    oracle=(
+        "SELECT d.lang,\n"
+        "       CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       CAST(sum(t.n_tokens) AS BIGINT) AS n_words,\n"
+        "       CAST(sum(t.n_pieces) AS BIGINT) AS n_pieces,\n"
+        "       round(sum(t.n_pieces)::DOUBLE / sum(t.n_tokens)::DOUBLE, 4) AS fertility,\n"
+        "       CAST(sum(t.n_unk) AS BIGINT) AS n_unk\n"
+        "FROM (" + UG.unigram_tokenize_oracle_sql() + ") t\n"
+        "JOIN documents d USING (doc_id)\n"
+        "GROUP BY d.lang"
+    ),
+    tags=("extension", "tokenizer", "unigram", "eval"),
+)
+def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (pieces per word) under the
+    x128-trained unigram vocab — the standard SentencePiece quality
+    metric teams track per language before training (a vocab fit to one
+    language over-fragments the others; fertility surfaces that as a
+    single number). Composes x129's per-doc tokenize output with the
+    corpus lang label: integer piece/word sums per language, exact
+    integer-ratio division rounded to 4 dp. Same scale shape as x129
+    plus one broadcast-join of the per-doc counts onto (doc_id, lang)
+    and a |languages|-sized aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = {p: lp for p, _, lp in UG.train_unigram(docs)}
+    per_doc = UG.unigram_tokenize(docs, vocab)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.sum("n_tokens").cast("double"), 4
+            ).alias("fertility"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+    )
