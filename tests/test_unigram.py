@@ -50,6 +50,19 @@ def test_viterbi_unreachable_token_returns_sentinel(spark):
     assert row["b"]["s"] <= -1e17 and row["b"]["g"] == ""
 
 
+def test_viterbi_empty_token_returns_sentinel(spark):
+    # sequence(1, 0) DESCENDS in Spark; the n>=1 guard must keep an
+    # empty token on the sentinel path instead of folding [1, 0]
+    vm = _vm({"a": -0.5})
+    df = spark.createDataFrame([("",), ("a",)], "tok string")
+    got = {
+        r["tok"]: (r["b"]["s"], r["b"]["g"])
+        for r in df.select("tok", viterbi_best(F.col("tok"), vm).alias("b")).collect()
+    }
+    assert got[""][0] <= -1e17 and got[""][1] == ""
+    assert got["a"] == (-0.5, "a")
+
+
 def test_train_learns_planted_frequent_piece(spark):
     # corpus dominated by the word 'banana' -> 'an'/'na'/'ana'-family
     # substrings dominate the seed counts and survive EM + the prune at

@@ -74,7 +74,9 @@ def viterbi_best(tok: Column, vm: Column, max_len: int = MAX_PIECE_LEN) -> Colum
     module's determinism contract (left-to-right split scan, strict-
     improvement-or-lex-smaller replacement). ``g`` is the '|'-joined
     piece path; unreachable tokens (a char outside the vocab) return
-    (s=-1e18, g='')."""
+    (s=-1e18, g=''), and so does the empty string (Spark's
+    ``sequence(1, 0)`` DESCENDS, so without the n>=1 guard an empty
+    token would fold a [1, 0] index walk into garbage — r11 ADVICE)."""
     n = F.length(tok)
 
     def best_at(acc: Column, i: Column) -> Column:
@@ -108,7 +110,9 @@ def viterbi_best(tok: Column, vm: Column, max_len: int = MAX_PIECE_LEN) -> Colum
         F.array(F.struct(F.lit(0.0).alias("s"), F.lit("").alias("g"))),
         lambda acc, i: F.concat(acc, F.array(best_at(acc, i))),
     )
-    return F.element_at(dp, (n + 1).cast("int"))
+    return F.when(
+        n >= 1, F.element_at(dp, (n + 1).cast("int"))
+    ).otherwise(F.struct(F.lit(_SENTINEL).alias("s"), F.lit("").alias("g")))
 
 
 def _vocab_map(vocab: dict[str, float]) -> Column:

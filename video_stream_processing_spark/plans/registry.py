@@ -79,18 +79,25 @@ def _load_all() -> None:
 from video_stream_processing_spark.plans.driver_rounds import LAST_DRIVER_ROUND
 
 # Queries whose ORACLE text (or semantics) changed after their latest
-# driver row was recorded — their green rows certify the OLD oracle, so
-# they re-enumerate as if never certified until a fresh row lands.
+# driver row was recorded, mapped to the round the change landed. A green
+# row older than that round certifies the OLD oracle, so the query
+# re-enumerates as never-certified — but only until a row at or after the
+# change round lands, at which point the overlay self-clears (r11 ADVICE:
+# the frozenset form pinned b63/x127 to tier 0 forever).
 # r11: b63's oracle became a single-statement MATERIALIZED CTE (the
 # ADVICE contract fix); x127's kept-filter gained ::DOUBLE (decimal vs
-# double boundary math, ADVICE medium).
-_ORACLE_CHANGED = frozenset(
-    ["b63_recursive_bfs_reach", "x127_html_extract"]
-)
+# double boundary math, ADVICE medium). Both drew fresh rows in r11, so
+# these entries are inert and kept only as examples of the mechanism.
+_ORACLE_CHANGED: dict[str, int] = {
+    "b63_recursive_bfs_reach": 11,
+    "x127_html_extract": 11,
+}
 
 
 def _driver_order(name: str) -> tuple[int, str]:
-    rnd = 0 if name in _ORACLE_CHANGED else LAST_DRIVER_ROUND.get(name, 0)
+    rnd = LAST_DRIVER_ROUND.get(name, 0)
+    if rnd < _ORACLE_CHANGED.get(name, 0):
+        rnd = 0
     return (rnd, name)
 
 
