@@ -1,0 +1,105 @@
+"""Perceptual-hash image near-dup (x135 building blocks): dHash
+invariances and the planted-copy guarantee — a shifted/re-encoded copy
+is found by the banded Hamming join; a distinct image is not."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from video_stream_processing_spark.functions.imagecodec import (
+    decode_bmp,
+    encode_bmp,
+)
+from video_stream_processing_spark.operators.dedup import banded_hamming_pairs
+from video_stream_processing_spark.operators.multimodal import (
+    dhash64,
+    dhash_signatures,
+)
+
+
+def _img(seed: int, h: int = 24, w: int = 36) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_dhash_is_64_bits():
+    sig = dhash64(_img(0))
+    assert len(sig) == 64 and set(sig) <= {"0", "1"}
+
+
+def test_dhash_uniform_brightness_invariance():
+    # a uniform brightness shift adds the same constant to every cell
+    # mean, so every adjacent comparison — and the hash — is unchanged
+    base = (_img(1).astype(np.int64) % 200).astype(np.uint8)
+    assert dhash64(base) == dhash64(base + 40)
+
+
+def test_dhash_reencode_roundtrip_identical():
+    img = _img(2)
+    assert dhash64(decode_bmp(encode_bmp(img))) == dhash64(img)
+
+
+def test_dhash_subgrid_image_returns_none():
+    assert dhash64(_img(3, h=4, w=4)) is None
+
+
+def test_dhash_sparse_jitter_flips_few_bits():
+    img = _img(4)
+    jit = img.astype(np.int64)
+    jit[::7, ::11] = np.clip(jit[::7, ::11] + 2, 0, 255)
+    ham = sum(
+        a != b for a, b in zip(dhash64(img), dhash64(jit.astype(np.uint8)))
+    )
+    assert ham <= 3
+
+
+def test_planted_copy_found_distinct_not(spark):
+    # 0: base; 1: re-encoded sparse-jitter copy of 0; 2: unrelated
+    base = _img(10)
+    jit = base.astype(np.int64)
+    jit[::9, ::13] += 1
+    copy = np.clip(jit, 0, 255).astype(np.uint8)
+    other = _img(99)
+    rows = [
+        (0, bytearray(encode_bmp(base))),
+        (1, bytearray(encode_bmp(copy))),
+        (2, bytearray(encode_bmp(other))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = dhash_signatures(df)
+    got = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert got[3] is None  # decode-or-null contract
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(sig.where(F.col("sig").isNotNull())).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_banded_join_matches_bruteforce(spark):
+    # the 4x16 pigeonhole bands + <=3 verify must equal the brute-force
+    # all-pairs answer at the guaranteed radius
+    rng = np.random.RandomState(7)
+    sigs = []
+    base = rng.randint(0, 2, 64)
+    for i in range(12):
+        v = base.copy()
+        flip = rng.choice(64, size=rng.randint(0, 6), replace=False)
+        v[flip] ^= 1
+        sigs.append((i, "".join(map(str, v))))
+    df = spark.createDataFrame(sigs, "doc_id long, sig string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(df).collect()
+    }
+    exp = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            ham = sum(a != b for a, b in zip(sigs[i][1], sigs[j][1]))
+            if ham <= 3:
+                exp[(i, j)] = ham
+    assert got == exp

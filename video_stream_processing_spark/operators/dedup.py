@@ -1376,3 +1376,77 @@ SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        coalesce(array_to_string(kept, ' '), '') AS cut_text
 FROM cut
 """
+
+
+# --------------------------------------------------------------------------
+# Banded Hamming join over 64-bit signatures — shared by the text
+# SimHash near-dup (x78) and the image dHash near-dup (x135/x137).
+# --------------------------------------------------------------------------
+
+
+def banded_hamming_pairs(
+    sig: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs from a 64-bit signature table (doc_id, sig) where
+    ``sig`` is a 64-char '0'/'1' string: band into ``n_bands`` x
+    (64/n_bands)-bit keys, equi-join on (band, key) — never all-pairs —
+    and verify candidates by exact Hamming distance <= ``max_hamming``.
+    Pigeonhole guarantee (Manku et al. 2007): any pair within Hamming
+    distance n_bands - 1 agrees exactly on at least one band, so with
+    the default 4 x 16 the <= 3 radius has guaranteed recall.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b. The signature table
+    is localCheckpointed once so both self-join branches reuse it
+    instead of re-running the upstream (typically an Arrow codec/hash
+    pass over the whole corpus); the verify carries the signature as two
+    32-bit integer halves so per-pair Hamming is two XOR+bit_count ops,
+    not a 64-char string diff. One shuffle on the fixed-width
+    (band, key); candidate work is collision-sized. Identical-signature
+    cliques make bucket pairs quadratic in clique size — the same
+    adversarial shape x39 bounds for MinHash; its neighbor-window cap
+    applies here verbatim if a corpus needs it."""
+    width = 64 // n_bands
+    sig = (
+        sig.select(
+            "doc_id",
+            "sig",
+            F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
+            F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = sig.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(F.array(*[F.lit(k) for k in range(n_bands)])).alias("band"),
+        "sig",
+    ).withColumn("bkey", F.expr(f"substring(sig, band * {width} + 1, {width})"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("h1_a"),
+        F.col("h2").alias("h2_a"),
+        "band",
+        "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h1_a", "h1_b", "h2_a", "h2_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b"))) + F.bit_count(
+        F.col("h2_a").bitwiseXOR(F.col("h2_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -428,3 +428,84 @@ def webdataset_samples(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=WDS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing — image-CONTENT near-dup (x135/x137), the pixel
+# sibling of the text SimHash (x78). LAION/DataComp-style image-text
+# curation dedups PIXELS, not captions; the reference engine has no
+# image dedup at all (its frames pass through opaque —
+# VideoFrame.frameData byte[], model/VideoFrame.java:39), so this is
+# part of the LLM-training-data surface the build brief adds.
+# --------------------------------------------------------------------------
+
+DHASH_GRID_H, DHASH_GRID_W = 8, 9  # 8 rows x 8 horizontal diffs = 64 bits
+
+
+def dhash64(img) -> str | None:
+    """64-bit difference hash (dHash, Krawetz 2013 "Kind of Like That")
+    of an (H, W, 3) uint8 BGR image, as a '0'/'1' bit string.
+
+    Entirely integer arithmetic so a SQL oracle can replay it exactly:
+    integer luma ((299R + 587G + 114B) // 1000), an 8x9 area grid with
+    integer cell boundaries (cell (gr, gc) covers rows
+    [gr*H//8, (gr+1)*H//8) x cols [gc*W//9, (gc+1)*W//9)), and each bit
+    compares horizontally adjacent cell MEANS by cross-multiplied sums
+    (sum_l * n_r < sum_r * n_l — exact, no floats). Uniform brightness
+    shift adds the same constant to every cell mean, so the comparisons
+    — and the hash — are invariant to it; that is the property that
+    makes dHash a NEAR-dup signature rather than a checksum. Images
+    smaller than the grid return None (no meaningful cells)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    if h < DHASH_GRID_H or w < DHASH_GRID_W:
+        return None
+    px = img.astype(np.int64)
+    luma = (299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]) // 1000
+    rb = [gr * h // DHASH_GRID_H for gr in range(DHASH_GRID_H + 1)]
+    cb = [gc * w // DHASH_GRID_W for gc in range(DHASH_GRID_W + 1)]
+    sums = np.array(
+        [
+            [int(luma[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].sum()) for j in range(DHASH_GRID_W)]
+            for i in range(DHASH_GRID_H)
+        ],
+        dtype=np.int64,
+    )
+    cnts = np.array(
+        [
+            [(rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]) for j in range(DHASH_GRID_W)]
+            for i in range(DHASH_GRID_H)
+        ],
+        dtype=np.int64,
+    )
+    bits = sums[:, :-1] * cnts[:, 1:] < sums[:, 1:] * cnts[:, :-1]
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+DHASH_SCHEMA = "doc_id long, sig string"
+
+
+def dhash_signatures(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, sig) 64-bit dHash table via
+    the production decoder (functions/imagecodec.decode_image_bgr — the
+    ImageUtils.decodeImage analog, util/ImageUtils.java:23-36).
+    Undecodable or sub-grid images yield sig NULL (decode-or-null
+    contract). One Arrow-batched mapInPandas; pixels never cross a
+    shuffle — only the fixed-width 64-char signature leaves the scan
+    task, which is what makes the downstream banded join 100 TB-safe
+    (the stored index is (doc_id, 8 bytes), not images)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+        )
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                sigs.append(None if img is None else dhash64(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return df.mapInPandas(hash_batch, schema=DHASH_SCHEMA)

@@ -3137,58 +3137,14 @@ def x78_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width (band, key); candidate work is collision-sized
     (operators/text.py:simhash_udf)."""
     docs = load_table(spark, sf_dir, "documents")
-    # materialize the signature table once: both self-join branches
-    # otherwise re-run the Arrow simhash pass over the whole corpus
-    # (fixed-width (doc_id, 64-char sig) rows — the stored-fingerprint
-    # posture; same no-exchange-reuse class as x03/x62)
-    # the verify carries the signature as two 32-bit integer halves so
-    # the per-pair Hamming distance is two XOR+bit_count ops instead of
-    # splitting two 64-char strings into arrays per candidate pair (the
-    # dominant cost on a clique-heavy corpus: 21 -> ~8s at sf0.1)
-    sig = (
+    # banded_hamming_pairs materializes the signature table once (both
+    # self-join branches otherwise re-run the Arrow simhash pass over
+    # the whole corpus) and verifies on two 32-bit integer halves — two
+    # XOR+bit_count ops per pair instead of splitting two 64-char
+    # strings per candidate (the dominant cost on a clique-heavy
+    # corpus: 21 -> ~8s at sf0.1). Shared with the image dHash (x135).
+    return D.banded_hamming_pairs(
         docs.select("doc_id", T.simhash_udf(F.col("text")).alias("sig"))
-        .select(
-            "doc_id",
-            "sig",
-            F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
-            F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        "h1",
-        "h2",
-        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band"),
-    ).withColumn("bkey", F.expr("substring(sig, band * 16 + 1, 16)"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("h1").alias("h1_a"),
-        F.col("h2").alias("h2_a"),
-        "band",
-        "bkey",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("h1").alias("h1_b"),
-        F.col("h2").alias("h2_b"),
-        "band",
-        "bkey",
-    )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "h1_a", "h1_b", "h2_a", "h2_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b"))) + F.bit_count(
-        F.col("h2_a").bitwiseXOR(F.col("h2_b"))
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -5583,3 +5539,131 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_unk").cast("long").alias("n_unk"),
         )
     )
+
+
+@register(
+    "x135_image_dhash_neardup",
+    oracle=r"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+px AS (
+    SELECT doc_id,
+           list_transform(range(288), ip ->
+               ascii(substr(t, CAST(ip % length(t) AS INT) + 1, 1))
+               + CASE WHEN ip % 13 = 0 THEN s ELSE 0 END) AS p
+    FROM m
+),
+sums AS (
+    SELECT doc_id,
+           list_transform(range(72), g ->
+                 p[CAST((g // 9) * 36 + (g % 9) * 2 AS INT) + 1]
+               + p[CAST((g // 9) * 36 + (g % 9) * 2 + 1 AS INT) + 1]
+               + p[CAST((g // 9) * 36 + (g % 9) * 2 + 18 AS INT) + 1]
+               + p[CAST((g // 9) * 36 + (g % 9) * 2 + 19 AS INT) + 1]) AS sm
+    FROM px
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(64), k ->
+               CASE WHEN sm[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                         < sm[CAST((k // 8) * 9 + (k % 8) + 1 AS INT) + 1]
+                    THEN '1' ELSE '0' END), '') AS sig
+    FROM sums
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig) a
+    JOIN (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig) b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(range(64), i ->
+            CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
+                      != substr(sig_b, CAST(i + 1 AS INT), 1)
+                 THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(64), i ->
+        CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
+                  != substr(sig_b, CAST(i + 1 AS INT), 1)
+             THEN 1 ELSE 0 END)) <= 3
+""",
+    tags=("extension", "multimodal", "dedup", "phash"),
+)
+def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-CONTENT near-dup via perceptual hash (dHash) — the pixel
+    sibling of x78's text SimHash and the missing piece of the
+    multimodal curation lane (x72 dedups captions; LAION/DataComp-style
+    pipelines dedup PIXELS). Each doc renders a deterministic 16x18
+    grayscale BMP from its text bytes through the production encoder;
+    docs with doc_id % 7 == 3 are PLANTED near-copies — they render the
+    image of doc_id - 3 with a sparse brightness perturbation
+    (+doc_id % 3 on every 13th pixel), the re-encoded/jittered-copy
+    shape real crawls produce. The production decoder
+    (functions/imagecodec.py) decodes the bytes back and dhash64
+    (operators/multimodal.py) folds pixels to a 64-bit signature —
+    all-integer luma/area-grid/adjacent-mean comparisons, so the DuckDB
+    oracle replays render+hash arithmetically from the text bytes,
+    pinning encoder, decoder AND hash, not just plumbing (the x40/x43
+    posture). Pairing is the shared banded Hamming join
+    (operators/dedup.py:banded_hamming_pairs): 4 x 16-bit pigeonhole
+    bands, equi-join, exact bit_count verify <= 3 — guaranteed recall at
+    that radius, never all-pairs. 100 TB posture: pixels never cross a
+    shuffle (two chained Arrow mapInPandas stages inside the scan
+    task); only the fixed-width (doc_id, 8-byte sig) enters the join —
+    the stored-fingerprint index LAION publishes for exactly this
+    purpose. The planted-copy self-join exists only to synthesize
+    near-duplicate fixtures deterministically; production images arrive
+    as stored bytes with no such join."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.multimodal import dhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.col("doc_id") % 7 == 3
+    # only the planted 1/7 sliver joins for its source text; the rest
+    # render their own text (no shuffle of the 6/7 majority)
+    own = docs.where(~planted).select(
+        "doc_id", F.lit(0).alias("shift"), F.col("text").alias("src_text")
+    )
+    copies = (
+        docs.where(planted)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("shift"),
+            (F.col("doc_id") - 3).alias("src_id"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")),
+            "src_id",
+        )
+        .select("doc_id", "shift", "src_text")
+    )
+    src = own.unionByName(copies)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(16 * 18)
+        for pdf in batches:
+            payloads = []
+            for s, text in zip(pdf["shift"], pdf["src_text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                flat = np.resize(raw, 16 * 18) + np.where(idx % 13 == 0, int(s), 0)
+                canvas = np.clip(flat, 0, 255).astype(np.uint8).reshape(16, 18)
+                payloads.append(encode_bmp(np.repeat(canvas[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = src.mapInPandas(render, schema="doc_id long, payload binary")
+    sig = dhash_signatures(rendered).where(F.col("sig").isNotNull())
+    return D.banded_hamming_pairs(sig)
