@@ -5667,3 +5667,103 @@ def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered = src.mapInPandas(render, schema="doc_id long, payload binary")
     sig = dhash_signatures(rendered).where(F.col("sig").isNotNull())
     return D.banded_hamming_pairs(sig)
+
+
+def _x136_oracle_sql() -> str:
+    """Recall@3 oracle: both sides of the comparison are the ALREADY
+    certified per-method oracles (x06 exact / x44 / x48 / x50), nested
+    as scoped subqueries; the report itself is a labeled union + left
+    join + per-method aggregate."""
+    exact = S.brute_force_topk_oracle_sql(k=3)
+    m44 = S.ivf_trained_oracle_sql(k=3, n_probes=2, n_clusters=8, n_iters=2)
+    m48 = S.ivfpq_oracle_sql(k=3, n_probes=2, n_clusters=8, n_iters=2, pq_iters=1, rerank=20)
+    m50 = S.rp_ann_oracle_sql(k=3, out_dim=16, shortlist=20)
+    return f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id AS eq, vec_id AS ev FROM ({exact})
+),
+allm AS (
+    SELECT 'ivf_trained_k8_probe2' AS method, query_id, vec_id FROM ({m44})
+    UNION ALL
+    SELECT 'ivfpq_m4k8_rerank20' AS method, query_id, vec_id FROM ({m48})
+    UNION ALL
+    SELECT 'rp16_shortlist20' AS method, query_id, vec_id FROM ({m50})
+),
+nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id % 50 = 0),
+per AS (
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN e.ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM allm a
+    LEFT JOIN exact e ON a.query_id = e.eq AND a.vec_id = e.ev
+    GROUP BY method
+)
+SELECT method, CAST(n_queries AS BIGINT) AS n_queries, n_returned, n_hits,
+       round(CAST(n_hits AS DOUBLE) / (3 * n_queries), 6) AS recall_at_3
+FROM per, nq
+"""
+
+
+@register(
+    "x136_ann_recall_report",
+    oracle=_x136_oracle_sql(),
+    tags=("extension", "similarity", "eval", "recall"),
+)
+def x136_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@3 as a declared, oracle-checked query (VERDICT r11
+    task 5 — the x103/x104 move applied to the vector indexes): each
+    approximate method's top-3 shortlist (x44 trained IVF, x48 IVF-PQ
+    with ADC+rerank, x50 random-projection+rerank, exact parameters of
+    their certified queries) is scored against x06's exact cosine top-3
+    ground truth. recall@3 = |approx ∩ exact| / (3 * n_queries) — the
+    number ANN_RECALL.md reports, now differential-checked end to end
+    because BOTH sides replay their full certified oracle chains
+    (training included). Plan shape: the exact top-3 table (3 rows per
+    query — fixed-width, query-set-sized) is localCheckpointed once and
+    left-joined under each method's labeled shortlist; the scalar
+    query-count joins in as a broadcast one-row cross. Each index leg
+    keeps its own certified plan; the report adds one union + one
+    bounded join + a |methods|-sized aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        S.brute_force_topk(emb, k=3)
+        .select("query_id", "vec_id", F.lit(1).alias("is_hit"))
+        .localCheckpoint(eager=True)
+    )
+    legs = [
+        (
+            "ivf_trained_k8_probe2",
+            S.ivf_topk_trained(emb, k=3, n_probes=2, n_clusters=8, n_iters=2),
+        ),
+        (
+            "ivfpq_m4k8_rerank20",
+            S.ivfpq_topk(
+                emb, k=3, n_probes=2, n_clusters=8, n_iters=2, pq_iters=1, rerank=20
+            ),
+        ),
+        ("rp16_shortlist20", S.rp_ann_topk(emb, k=3, out_dim=16, shortlist=20)),
+    ]
+    labeled = None
+    for name, df in legs:
+        leg = df.select(F.lit(name).alias("method"), "query_id", "vec_id")
+        labeled = leg if labeled is None else labeled.unionByName(leg)
+    nq = emb.where(F.col("vec_id") % 50 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    per = (
+        labeled.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    return per.crossJoin(F.broadcast(nq)).select(
+        "method",
+        "n_queries",
+        "n_returned",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / (F.lit(3) * F.col("n_queries")), 6
+        ).alias("recall_at_3"),
+    )
