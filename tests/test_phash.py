@@ -103,3 +103,28 @@ def test_banded_join_matches_bruteforce(spark):
             if ham <= 3:
                 exp[(i, j)] = ham
     assert got == exp
+
+
+def test_x137_planted_copies_dropped_corrupt_absent(spark):
+    # the end-to-end lane: planted near-copies (doc_id % 7 == 3) must be
+    # dropped with dup_of = their source; corrupt shards (doc_id % 97
+    # == 0) must contribute no row at all
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = query_map()["x137_multimodal_curation_e2e"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 0 not in by_id and 97 not in by_id  # truncated shards
+    planted = [d for d in by_id if d % 7 == 3 and (d - 3) in by_id]
+    assert planted, "fixture must contain planted copies"
+    for d in planted:
+        r = by_id[d]
+        assert not r["keep"]
+        # the copy's minimum partner is its source unless an even
+        # earlier near-dup exists
+        assert (r["img_dup_of"] is not None and r["img_dup_of"] <= d - 3) or (
+            r["cap_dup_of"] is not None and r["cap_dup_of"] <= d - 3
+        )
+    # docs never referenced by any pair survive
+    assert any(r["keep"] for r in rows)

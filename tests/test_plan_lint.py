@@ -250,6 +250,12 @@ SCAN_MULTIPLICITY_ALLOWED = {
     # x129's three pruned scans plus the (doc_id, lang) label join —
     # four pruned projections, no derivation repeated
     "x134_tokenizer_fertility": {"documents": 4},
+    # recall report composes THREE certified index pipelines (x44 IVF:
+    # corpus+probe sides; x48 IVF-PQ: corpus+probe; x50 RP: corpus+query)
+    # plus the scalar query count over one embeddings table; the exact
+    # ground-truth side is checkpointed once. Each leg keeps its own
+    # certified plan — collapsing them would change what x136 certifies
+    "x136_ann_recall_report": {"embeddings": 7},
 }
 
 

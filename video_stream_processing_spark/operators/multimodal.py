@@ -509,3 +509,64 @@ def dhash_signatures(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return df.mapInPandas(hash_batch, schema=DHASH_SCHEMA)
+
+
+CURATION_SCHEMA = "doc_id long, sig string, caption string"
+
+
+def webdataset_curation_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, payload tar-bytes) -> (doc_id, sig, caption): the
+    extraction pass of the end-to-end multimodal curation lane (x137).
+    One Arrow-batched mapInPandas does the whole per-shard pipeline in
+    place — tar walk (x65's stem-grouping rule), REAL image decode
+    (decode_image_bgr), dhash64 fold to the 64-bit signature, caption
+    UTF-8 decode — so pixels and archive bytes never leave the scan
+    task; only the fixed-width signature and the caption text flow on.
+    Unreadable archives contribute no rows (x65's contract); a readable
+    shard with an undecodable/sub-grid image yields sig NULL; a missing
+    caption yields caption NULL. One (image, caption) sample per shard
+    — the LAION/DataComp row shape; multi-sample shards emit the
+    lexicographically first stem's sample (deterministic)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+        )
+
+        for pdf in batches:
+            doc_ids, sigs, captions = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    tar = tarfile.open(fileobj=io.BytesIO(bytes(blob)))
+                    members = {
+                        m.name: tar.extractfile(m).read() for m in tar if m.isfile()
+                    }
+                except (tarfile.TarError, OSError, AttributeError):
+                    continue
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in members.items():
+                    stem, _, ext = name.rpartition(".")
+                    if stem:
+                        samples.setdefault(stem, {})[ext] = data
+                if not samples:
+                    continue
+                parts = samples[sorted(samples)[0]]
+                img = None
+                for ext in ("png", "jpg", "jpeg", "bmp", "ppm"):
+                    if ext in parts:
+                        img = decode_image_bgr(parts[ext])
+                        break
+                cap = parts.get("txt")
+                doc_ids.append(doc_id)
+                sigs.append(None if img is None else dhash64(img))
+                captions.append(
+                    cap.decode("utf-8", "replace") if cap is not None else None
+                )
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "sig": sigs, "caption": captions}
+            )
+
+    return df.mapInPandas(extract, schema=CURATION_SCHEMA)

@@ -5541,18 +5541,11 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x135_image_dhash_neardup",
-    oracle=r"""
-WITH m AS (
-    SELECT d.doc_id,
-           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
-           src.text AS t
-    FROM documents d
-    JOIN documents src
-      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
-),
-px AS (
+# Shared oracle fragments for the dHash fixture replay (x135/x137):
+# given a CTE m(doc_id, s, t) — per-doc sparse brightness shift s and
+# source text t — replay canvas render + dHash to sig(doc_id, sig),
+# then band/verify exactly like operators/dedup.banded_hamming_pairs.
+_DHASH_SIG_CTES = r"""px AS (
     SELECT doc_id,
            list_transform(range(288), ip ->
                ascii(substr(t, CAST(ip % length(t) AS INT) + 1, 1))
@@ -5575,8 +5568,9 @@ sig AS (
                          < sm[CAST((k // 8) * 9 + (k % 8) + 1 AS INT) + 1]
                     THEN '1' ELSE '0' END), '') AS sig
     FROM sums
-),
-cand AS (
+)"""
+
+_DHASH_CAND_CTE = r"""cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.sig AS sig_a, b.sig AS sig_b
     FROM (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig) a
@@ -5585,17 +5579,30 @@ cand AS (
      AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
          = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
      AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(list_sum(list_transform(range(64), i ->
+)"""
+
+_DHASH_HAMMING = r"""CAST(list_sum(list_transform(range(64), i ->
             CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
                       != substr(sig_b, CAST(i + 1 AS INT), 1)
-                 THEN 1 ELSE 0 END)) AS INT) AS hamming
+                 THEN 1 ELSE 0 END)) AS INT)"""
+
+
+@register(
+    "x135_image_dhash_neardup",
+    oracle=f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+{_DHASH_SIG_CTES},
+{_DHASH_CAND_CTE}
+SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
-WHERE list_sum(list_transform(range(64), i ->
-        CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
-                  != substr(sig_b, CAST(i + 1 AS INT), 1)
-             THEN 1 ELSE 0 END)) <= 3
+WHERE {_DHASH_HAMMING} <= 3
 """,
     tags=("extension", "multimodal", "dedup", "phash"),
 )
@@ -5766,4 +5773,155 @@ def x136_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_hits").cast("double") / (F.lit(3) * F.col("n_queries")), 6
         ).alias("recall_at_3"),
+    )
+
+
+def _x137_oracle_sql() -> str:
+    """End-to-end replay: shard synthesis rules (corrupt skip, planted
+    copies), dHash render+hash (x135's shared CTEs), the caption
+    MinHash-LSH chain (x02's oracle over the derived caption table),
+    and the joint min-partner keep decision."""
+    cap_lsh = D.minhash_lsh_oracle_sql(
+        source_sql="SELECT doc_id, caption AS text FROM m"
+    )
+    return f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t,
+           CASE WHEN d.doc_id % 7 = 3 THEN src.text || ' copy' ELSE d.text END AS caption
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+    WHERE d.doc_id % 97 != 0
+),
+{_DHASH_SIG_CTES},
+{_DHASH_CAND_CTE},
+ipairs AS (
+    SELECT doc_a, doc_b FROM cand WHERE {_DHASH_HAMMING} <= 3
+),
+cpairs AS (
+    SELECT doc_a, doc_b FROM ({cap_lsh})
+)
+SELECT m.doc_id, i.img_dup_of, c.cap_dup_of,
+       (i.img_dup_of IS NULL AND c.cap_dup_of IS NULL) AS keep
+FROM m
+LEFT JOIN (SELECT doc_b, min(doc_a) AS img_dup_of FROM ipairs GROUP BY doc_b) i
+       ON m.doc_id = i.doc_b
+LEFT JOIN (SELECT doc_b, min(doc_a) AS cap_dup_of FROM cpairs GROUP BY doc_b) c
+       ON m.doc_id = c.doc_b
+"""
+
+
+@register(
+    "x137_multimodal_curation_e2e",
+    oracle=_x137_oracle_sql(),
+    tags=("extension", "multimodal", "dedup", "phash", "lsh", "composition"),
+)
+def x137_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal curation lane composed END TO END (VERDICT r11
+    task 6 — what x130 is for text): WebDataset shard ingest (x65's tar
+    walk) -> real image decode + dHash inside the scan task -> image
+    near-dup (x135's banded Hamming join) + caption near-dup (x02's
+    MinHash-LSH, verified Jaccard >= 0.8) -> joint per-sample keep
+    decision. Fixture: each doc renders a one-sample tar ({{stem}}.bmp +
+    {{stem}}.txt) through the production encoders; docs with
+    doc_id % 7 == 3 are planted near-copies (x135's jittered image of
+    doc_id - 3, caption = source text + ' copy'); doc_id % 97 == 0
+    shards are truncated and must contribute nothing (x65's rule). A
+    sample is dropped (keep = false) when it is the HIGHER id of an
+    image pair or a caption pair — img_dup_of / cap_dup_of name the
+    minimum kept partner per signal. Every stage is deterministic
+    integer/md5 arithmetic, so the oracle replays shard synthesis,
+    render+hash, the caption LSH chain AND the join logic. 100 TB
+    posture: the extracted (doc_id, sig, caption) table — fixed-width
+    sig + caption text, pixels and tar bytes never leave the Arrow pass
+    — is localCheckpointed ONCE and fanned to the two pair branches and
+    the final keep join (x130's checkpoint-once discipline); both pair
+    joins are banded/bucketed, never all-pairs."""
+    import io
+    import tarfile
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.multimodal import (
+        webdataset_curation_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.col("doc_id") % 7 == 3
+    own = docs.where(~planted).select(
+        "doc_id",
+        F.lit(0).alias("shift"),
+        F.col("text").alias("src_text"),
+        F.col("text").alias("caption"),
+    )
+    copies = (
+        docs.where(planted)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("shift"),
+            (F.col("doc_id") - 3).alias("src_id"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")),
+            "src_id",
+        )
+        .select(
+            "doc_id",
+            "shift",
+            "src_text",
+            F.concat(F.col("src_text"), F.lit(" copy")).alias("caption"),
+        )
+    )
+    src = own.unionByName(copies)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(16 * 18)
+
+        def add(tar, name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tar.addfile(info, io.BytesIO(data))
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, s, text, cap in zip(
+                pdf["doc_id"], pdf["shift"], pdf["src_text"], pdf["caption"]
+            ):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                flat = np.resize(raw, 16 * 18) + np.where(idx % 13 == 0, int(s), 0)
+                canvas = np.clip(flat, 0, 255).astype(np.uint8).reshape(16, 18)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tar:
+                    add(tar, "00000.bmp", encode_bmp(np.repeat(canvas[:, :, None], 3, axis=2)))
+                    add(tar, "00000.txt", cap.encode("utf-8"))
+                blob = buf.getvalue()
+                payloads.append(blob[:100] if int(doc_id) % 97 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = src.mapInPandas(render, schema="doc_id long, payload binary")
+    extracted = webdataset_curation_rows(shards).localCheckpoint(eager=True)
+    ipairs = D.banded_hamming_pairs(
+        extracted.select("doc_id", "sig").where(F.col("sig").isNotNull())
+    )
+    cpairs = D.minhash_lsh_neardups(
+        extracted.select("doc_id", "caption"), text_col="caption"
+    )
+    img_dup = ipairs.groupBy("doc_b").agg(F.min("doc_a").alias("img_dup_of"))
+    cap_dup = cpairs.groupBy("doc_b").agg(F.min("doc_a").alias("cap_dup_of"))
+    return (
+        extracted.select("doc_id")
+        .join(img_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .join(cap_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "img_dup_of",
+            "cap_dup_of",
+            (F.col("img_dup_of").isNull() & F.col("cap_dup_of").isNull()).alias("keep"),
+        )
     )
