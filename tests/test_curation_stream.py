@@ -528,3 +528,69 @@ def test_curation_stream_unigram_pieces_twin_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == b_pieces
+
+
+@pytest.mark.slow
+def test_fertility_stream_twin_matches_batch_across_microbatches(spark, tmp_path):
+    """x134 twin: per-window fertility accumulated across TWO separate
+    micro-batches equals the batch aggregate over the same rows (shared
+    unigram_pieces_col / TOKEN_RE expressions; integer sums, so the
+    cross-micro-batch accumulation cannot drift)."""
+    from video_stream_processing_spark.operators.bpe import _word_tokens
+    from video_stream_processing_spark.operators.unigram import (
+        train_unigram,
+        unigram_pieces_col,
+    )
+    from video_stream_processing_spark.streaming.pipeline import fertility_stream
+
+    body = "the banana bandana cabana " + " ".join(f"word{i}" for i in range(30))
+    # two event-time windows; rows 3/4 arrive in a LATER micro-batch
+    rows1 = [(1, BASE, body), (2, BASE + 1_000, body + " banana")]
+    rows2 = [(3, BASE + 2_000, body + " cabana cabana"), (4, BASE + 400_000, body)]
+    batch_all = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, ts_ms long, text string"
+    ).select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text")
+    vocab = {p: lp for p, _, lp in train_unigram(batch_all, sample_mod=1)}
+    expected = {
+        r["window_start"]: (r["n_docs"], r["n_words"], r["n_pieces"], r["fertility"])
+        for r in batch_all.select(
+            "ts",
+            F.size(_word_tokens("text")).cast("long").alias("n_tokens"),
+            unigram_pieces_col(vocab, "text").alias("n_pieces"),
+        )
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.sum("n_tokens").cast("double"), 4
+            ).alias("fertility"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_docs", "n_words", "n_pieces", "fertility")
+        .collect()
+    }
+    assert len(expected) == 2  # the fixture really spans two windows
+
+    d = str(tmp_path / "docs")
+    _write(spark, d, rows1, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    q = (
+        fertility_stream(stream, vocab, watermark="10 minutes", window="5 minutes")
+        .writeStream.format("memory")
+        .queryName("fertility_twin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, d, rows2, "append")  # second micro-batch
+        q.processAllAvailable()
+        got = {
+            r["window_start"]: (r["n_docs"], r["n_words"], r["n_pieces"], r["fertility"])
+            for r in spark.sql("SELECT * FROM fertility_twin").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
