@@ -79,6 +79,11 @@ HEADLINE = (
     # obsolete, and the headline should track these wins
     "b63_recursive_bfs_reach",  # materialized-base recursive CTE (UnionLoop)
     "x89_kcore_peel",  # degree-prune + shrinking-edge-set k-core
+    # round-12 additions (VERDICT r11 task 4): the most expensive and
+    # most production-shaped registry queries, previously bench-invisible
+    "x130_extract_filter_chain",  # extract -> langid+Gopher+LSH over one checkpointed corpus
+    "x132_unigram_soft_tokenize",  # soft-EM unigram corpus tokenization
+    "x137_multimodal_curation_e2e",  # WebDataset -> decode -> dHash + caption LSH joint keep
 )
 
 

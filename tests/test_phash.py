@@ -128,3 +128,33 @@ def test_x137_planted_copies_dropped_corrupt_absent(spark):
         )
     # docs never referenced by any pair survive
     assert any(r["keep"] for r in rows)
+
+
+def test_incremental_hamming_shard_discipline(spark):
+    # base: 10/11 near-identical (ham 1) — but base-base pairs must NOT
+    # emit (the stored index is never re-paired); shard doc 20 is near
+    # both (vs_existing) and shard 21 duplicates 20 (within-shard)
+    base_sig = "0" * 64
+    near = "0" * 63 + "1"
+    far = ("01" * 32)[:16] + "1" * 48
+    rows = [
+        (10, base_sig),
+        (11, near),
+        (20, near),
+        (21, near),
+        (30, far),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig string")
+    from video_stream_processing_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["vs_existing"])
+        for r in incremental_hamming_pairs(df, F.col("doc_id") >= 20).collect()
+    }
+    assert (10, 11) not in got  # base-base never re-paired
+    assert got[(10, 20)] == (1, True) and got[(11, 20)] == (0, True)
+    assert got[(20, 21)] == (0, False)  # within-shard
+    assert all(30 not in pair for pair in got)

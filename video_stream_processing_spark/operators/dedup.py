@@ -1450,3 +1450,70 @@ def banded_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_hamming_pairs(
+    sig: DataFrame, shard_pred, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Incremental-ingest form of ``banded_hamming_pairs``: near-dup
+    pairs INTRODUCED by an arriving shard of 64-bit signatures, against
+    the existing corpus index and within the shard itself — x42/x106's
+    arriving-shard discipline applied to the Hamming-space lane.
+
+    ``sig`` is the full (doc_id, sig) table (the in-query stand-in for
+    the STORED signature index a production pipeline appends to across
+    ingests: fixed-width (doc_id, 8-byte sig) rows, partitionable by
+    band key); ``shard_pred`` selects the arriving rows. The banded
+    table is materialized ONCE and split by filter (the x106 one-pass
+    fix), so per-ingest cost is O(|shard|) hashing + two band
+    equi-joins (shard x stored-index, shard x shard) — the base corpus
+    is never re-paired against itself. Emits (doc_a, doc_b, hamming,
+    vs_existing), doc_a < doc_b; vs_existing=true when one side is an
+    existing-corpus doc. Hamming is verified on the two 32-bit integer
+    halves exactly as in banded_hamming_pairs."""
+    width = 64 // n_bands
+    bands = (
+        sig.select(
+            "doc_id",
+            "sig",
+            F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
+            F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
+        )
+        .select(
+            "doc_id",
+            "h1",
+            "h2",
+            F.explode(F.array(*[F.lit(k) for k in range(n_bands)])).alias("band"),
+            "sig",
+        )
+        .withColumn("bkey", F.expr(f"substring(sig, band * {width} + 1, {width})"))
+        .drop("sig")
+        .localCheckpoint(eager=True)
+    )
+    shard = bands.where(shard_pred)
+    base = bands.where(~shard_pred)
+
+    def _pairs(left: DataFrame, right: DataFrame, vs_existing: bool) -> DataFrame:
+        l, r = left.alias("l"), right.alias("r")
+        joined = l.join(r, ["band", "bkey"])
+        if not vs_existing:
+            joined = joined.where(F.col("l.doc_id") < F.col("r.doc_id"))
+        return joined.select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+            F.col("l.h1").alias("h1_a"),
+            F.col("l.h2").alias("h2_a"),
+            F.col("r.h1").alias("h1_b"),
+            F.col("r.h2").alias("h2_b"),
+            F.lit(vs_existing).alias("vs_existing"),
+        ).distinct()
+
+    cand = _pairs(shard, base, True).unionByName(_pairs(shard, shard, False))
+    ham = F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b"))) + F.bit_count(
+        F.col("h2_a").bitwiseXOR(F.col("h2_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming", "vs_existing")
+    )

@@ -5631,6 +5631,16 @@ def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purpose. The planted-copy self-join exists only to synthesize
     near-duplicate fixtures deterministically; production images arrive
     as stored bytes with no such join."""
+    return D.banded_hamming_pairs(_dhash_fixture_sigs(spark, sf_dir))
+
+
+def _dhash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x135/x138 fixture signature table: render each doc's 16x18
+    planted-copy BMP (doc_id % 7 == 3 renders doc_id - 3's text with a
+    sparse +doc_id % 3 brightness jitter) through the production
+    encoder, decode + dHash through the production decoder/hash. Only
+    the planted 1/7 sliver joins for its source text; the 6/7 majority
+    never shuffles. Returns (doc_id, sig), null sigs dropped."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -5640,8 +5650,6 @@ def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = F.col("doc_id") % 7 == 3
-    # only the planted 1/7 sliver joins for its source text; the rest
-    # render their own text (no shuffle of the 6/7 majority)
     own = docs.where(~planted).select(
         "doc_id", F.lit(0).alias("shift"), F.col("text").alias("src_text")
     )
@@ -5672,8 +5680,7 @@ def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     rendered = src.mapInPandas(render, schema="doc_id long, payload binary")
-    sig = dhash_signatures(rendered).where(F.col("sig").isNotNull())
-    return D.banded_hamming_pairs(sig)
+    return dhash_signatures(rendered).where(F.col("sig").isNotNull())
 
 
 def _x136_oracle_sql() -> str:
@@ -5925,3 +5932,60 @@ def x137_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("img_dup_of").isNull() & F.col("cap_dup_of").isNull()).alias("keep"),
         )
     )
+
+
+@register(
+    "x138_incremental_image_dedup",
+    oracle=f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+{_DHASH_SIG_CTES},
+sh AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 = 7),
+bs AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 != 7),
+cand AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           a.sig AS sig_a, b.sig AS sig_b, TRUE AS vs_existing
+    FROM sh a JOIN bs b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+    UNION
+    SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig, FALSE
+    FROM sh a JOIN sh b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming, vs_existing
+FROM cand
+WHERE {_DHASH_HAMMING} <= 3
+""",
+    tags=("extension", "multimodal", "dedup", "phash", "incremental"),
+)
+def x138_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest image near-dup — x106's arriving-shard
+    discipline applied to the perceptual-hash lane: the arriving shard
+    (doc_id % 10 == 7, the same crawl-batch split as x42/x106) is
+    dHashed ONCE and near-dup-checked against the existing corpus's
+    STORED signature index via band equi-joins, plus within itself —
+    the full corpus is never re-paired. vs_existing marks cross-ingest
+    pairs (the ones that gate the new sample); within-shard pairs
+    dedup the batch internally. In-query, the stored index is stood in
+    by ONE materialized signature table built in a single corpus pass
+    (operators/dedup.py:incremental_hamming_pairs), shard/base sides
+    derived by filter — the x106 materialize-once posture. At 100 TB
+    the index is (doc_id, 8-byte sig) rows appended per ingest and
+    partitioned by band key, so each arriving shard costs O(|shard|)
+    hashing + two bucket equi-joins. Fixture and hash replay are
+    x135's (shared oracle CTEs); the split, both joins AND the
+    vs_existing attribution are replayed too."""
+    sig = _dhash_fixture_sigs(spark, sf_dir)
+    return D.incremental_hamming_pairs(sig, F.col("doc_id") % 10 == 7)
