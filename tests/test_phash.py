@@ -158,3 +158,57 @@ def test_incremental_hamming_shard_discipline(spark):
     assert got[(10, 20)] == (1, True) and got[(11, 20)] == (0, True)
     assert got[(20, 21)] == (0, False)  # within-shard
     assert all(30 not in pair for pair in got)
+
+
+@pytest.mark.slow
+def test_image_dedup_stream_suppresses_reencoded_copy(spark, tmp_path):
+    """Streaming exact-signature gate: a byte-identical AND a
+    losslessly re-encoded copy arriving in a LATER micro-batch are
+    suppressed (same dHash sig inside the watermark); a distinct image
+    passes; undecodable bytes are dropped."""
+    from video_stream_processing_spark.streaming.pipeline import image_dedup_stream
+
+    BASE = 1_700_000_000_000
+    img_a, img_b = _img(30), _img(31)
+    # re-encode a's decoded pixels: BMP is lossless, sig identical
+    reenc = encode_bmp(decode_bmp(encode_bmp(img_a)))
+
+    def _w(rows, mode):
+        (
+            spark.createDataFrame(rows, "doc_id long, ts_ms long, payload binary")
+            .select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "payload")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(str(tmp_path / "frames"))
+        )
+
+    _w([(1, BASE, bytearray(encode_bmp(img_a)))], "overwrite")
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, payload binary"
+    ).parquet(str(tmp_path / "frames"))
+    q = (
+        image_dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("img_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w(
+            [
+                (2, BASE + 1_000, bytearray(encode_bmp(img_a))),  # exact replay
+                (3, BASE + 2_000, bytearray(reenc)),  # re-encoded copy
+                (4, BASE + 3_000, bytearray(encode_bmp(img_b))),  # distinct
+                (5, BASE + 4_000, bytearray(b"junk")),  # undecodable
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        ids = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM img_dedup").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 4]

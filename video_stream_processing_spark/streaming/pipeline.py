@@ -21,6 +21,9 @@ KafkaSource + JSON deserializer (§2.1 #1-#2).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -365,6 +368,50 @@ def fertility_stream(
             "n_pieces",
             "fertility",
         )
+    )
+
+
+def image_dedup_stream(
+    frames: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the image-dedup lane's exact-signature gate:
+    arriving (doc_id, ts, payload) image frames are decoded + dHashed
+    in-stream by the SAME production codec + hash the batch queries use
+    (functions/imagecodec.decode_image_bgr + multimodal.dhash64 — one
+    definition, two surfaces), undecodable/sub-grid payloads are
+    dropped (decode-or-null), and a frame whose 64-bit signature was
+    already seen inside the watermark is suppressed by
+    ``dropDuplicatesWithinWatermark`` — the bounded-state gate that
+    catches the exact re-encode/replay class (a byte-identical or
+    losslessly re-encoded copy hashes identically) at ingest time.
+    NEAR-dup pairing (Hamming <= 3) stays a stored-index concern —
+    x138's incremental band join over the appended signature index is
+    the batch step that runs per ingest; splitting the radius this way
+    keeps stream state one fixed-width key per signature instead of
+    4 band tables. Pixels never leave the Arrow pass; only (doc_id,
+    ts, sig) flows into state."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+        )
+        from video_stream_processing_spark.operators.multimodal import dhash64
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                sigs.append(None if img is None else dhash64(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ts": pdf["ts"], "sig": sigs}
+            )
+
+    hashed = frames.mapInPandas(
+        hash_batch, schema="doc_id long, ts timestamp, sig string"
+    ).where(F.col("sig").isNotNull())
+    return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["sig"]
     )
 
 
