@@ -5765,7 +5765,9 @@ def x136_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_queries")
     )
     per = (
-        labeled.join(exact, ["query_id", "vec_id"], "left")
+        # exact is 3 rows per query vector (query-set-sized, checkpointed
+        # without stats) — broadcast explicitly or AQE falls back to SMJ
+        labeled.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
         .groupBy("method")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_returned"),
