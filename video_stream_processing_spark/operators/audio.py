@@ -171,3 +171,57 @@ def resample_wav_2x(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.mapInPandas(resample, schema="doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting — audio-CONTENT near-dup (x139), the acoustic
+# sibling of the image dHash (x135) and text SimHash (x78).
+# --------------------------------------------------------------------------
+
+AFP_FRAMES, AFP_FRAME_LEN, AFP_BANDS = 17, 8, 4  # 16x4 = 64 delta bits
+_AFP_SAMPLES = AFP_FRAMES * AFP_FRAME_LEN  # 136
+
+
+def afp64(samples) -> str | None:
+    """64-bit audio fingerprint (the Haitsma–Kalker 2002 energy-delta
+    shape, reduced to pure integers): channel 0 of the first 136
+    samples is framed into 17 frames x 4 two-sample bands; each of the
+    64 bits is the sign of the per-band ENERGY DELTA between
+    consecutive frames (bit((f-1)*4+b) = 1 iff E(f,b) > E(f-1,b)).
+    Energies are exact integer sums of squares, so a SQL oracle can
+    replay the fingerprint from the synth formula; small additive
+    perturbations flip only bits whose delta is near zero — the
+    property that makes this a NEAR-dup signature. Clips shorter than
+    136 samples return None."""
+    import numpy as np
+
+    if samples is None or samples.shape[0] < _AFP_SAMPLES:
+        return None
+    v = samples[:_AFP_SAMPLES, 0].astype(np.int64)
+    e = (v * v).reshape(AFP_FRAMES, AFP_BANDS, 2).sum(axis=2)
+    bits = e[1:] > e[:-1]
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+AFP_SCHEMA = "doc_id long, sig string"
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, payload WAV bytes) -> (doc_id, sig) via the production
+    decoder (functions/wavcodec.decode_wav chunk walk) + afp64 in one
+    Arrow-batched mapInPandas. Undecodable or too-short clips yield sig
+    NULL (decode-or-null); audio bytes never cross a shuffle — only the
+    fixed-width 64-bit fingerprint flows into the banded join, the
+    stored-index posture shared with dhash_signatures."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.wavcodec import decode_wav
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                dec = decode_wav(bytes(blob) if blob is not None else None)
+                sigs.append(None if dec is None else afp64(dec[0]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return df.mapInPandas(fp, schema=AFP_SCHEMA)

@@ -5991,3 +5991,111 @@ def x138_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs_existing attribution are replayed too."""
     sig = _dhash_fixture_sigs(spark, sf_dir)
     return D.incremental_hamming_pairs(sig, F.col("doc_id") % 10 == 7)
+
+
+@register(
+    "x139_audio_fingerprint_neardup",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
+           CASE WHEN doc_id % 7 = 3 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS s
+    FROM documents WHERE doc_id % 97 != 0
+),
+v AS (
+    SELECT doc_id,
+           list_transform(range(136), i ->
+               ('0x' || substr(md5(CAST(ds AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4001 - 2000
+               + CASE WHEN i % 13 = 0 THEN s ELSE 0 END) AS vv
+    FROM m
+),
+e AS (
+    SELECT doc_id,
+           list_transform(range(68), g ->
+               vv[CAST(g * 2 AS INT) + 1] * vv[CAST(g * 2 AS INT) + 1]
+             + vv[CAST(g * 2 + 1 AS INT) + 1] * vv[CAST(g * 2 + 1 AS INT) + 1]) AS ee
+    FROM v
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(64), k ->
+               CASE WHEN ee[CAST(k + 4 AS INT) + 1] > ee[CAST(k AS INT) + 1]
+                    THEN '1' ELSE '0' END), '') AS sig
+    FROM e
+),
+{_DHASH_CAND_CTE}
+SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
+FROM cand
+WHERE {_DHASH_HAMMING} <= 3
+""",
+    tags=("extension", "multimodal", "dedup", "audio", "fingerprint"),
+)
+def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-CONTENT near-dup via acoustic fingerprint — the third
+    modality of the per-content dedup family (text SimHash x78, image
+    dHash x135): the Haitsma–Kalker energy-delta fingerprint reduced to
+    pure integers (operators/audio.py:afp64 — 17 frames x 4 two-sample
+    bands of exact sum-of-squares energies; each of the 64 bits is the
+    sign of a consecutive-frame per-band energy delta). Each doc
+    renders a deterministic 136-sample mono PCM clip as a REAL
+    RIFF/WAVE file through the production encoder — samples are the
+    house md5 synth (md5(ds ':' i) first 8 hex % 4001 - 2000; an
+    affine congruential synth was tried first and rejected because its
+    linear structure makes UNRELATED docs collide within Hamming 3 at
+    corpus scale — 77k incidental pairs at 50k docs vs zero for md5);
+    docs with doc_id % 7 == 3 are planted near-copies (doc_id - 3's
+    clip with a sparse +doc_id % 3 amplitude jitter on every 13th
+    sample — flips only near-tie delta bits, the re-encode/jitter
+    class); malformed clips (doc_id % 97 == 0) yield no fingerprint
+    (x54's decode-or-null contract). The production decoder recovers the
+    samples, afp64 folds them in the same Arrow pass, and pairing is
+    the shared banded Hamming join (4 x 16-bit pigeonhole bands,
+    verify <= 3 — guaranteed recall at that radius). The whole chain —
+    synth, PCM layout, fingerprint, banding, verify — is integer
+    arithmetic, so the DuckDB oracle replays it end to end. Audio
+    bytes never cross a shuffle; only (doc_id, 8-byte sig) enters the
+    join — the stored-index posture x138 refreshes incrementally."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.wavcodec import encode_wav
+    from video_stream_processing_spark.operators.audio import audio_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        jitter_at = np.arange(136) % 13 == 0
+        clip_cache: dict[int, np.ndarray] = {}
+
+        def clip(ds: int) -> np.ndarray:
+            if ds not in clip_cache:
+                clip_cache[ds] = np.array(
+                    [
+                        int(hashlib.md5(f"{ds}:{i}".encode()).hexdigest()[:8], 16)
+                        % 4001
+                        - 2000
+                        for i in range(136)
+                    ],
+                    dtype=np.int64,
+                )
+            return clip_cache[ds]
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 97 == 0:
+                    payloads.append(b"RIFF\x04\x00\x00\x00WAVE\x01\x02\x03")
+                    continue
+                ds = d - 3 if d % 7 == 3 else d
+                s = d % 3 if d % 7 == 3 else 0
+                v = clip(ds) + jitter_at * s
+                payloads.append(encode_wav(v[:, None], sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    sig = audio_fingerprints(rendered).where(F.col("sig").isNotNull())
+    return D.banded_hamming_pairs(sig)
