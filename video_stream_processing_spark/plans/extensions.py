@@ -6099,3 +6099,111 @@ def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     sig = audio_fingerprints(rendered).where(F.col("sig").isNotNull())
     return D.banded_hamming_pairs(sig)
+
+
+@register(
+    "x140_video_fingerprint_neardup",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
+           CASE WHEN doc_id % 7 = 3 THEN CAST(2 * (doc_id % 3) AS INT) ELSE 0 END AS s
+    FROM documents
+    WHERE doc_id % 97 != 0
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '5c'
+),
+b AS (
+    SELECT doc_id,
+           list_transform(range(65), f ->
+               2 * (('0x' || substr(md5(CAST(ds AS VARCHAR) || '|' || CAST(f AS VARCHAR)), 1, 8))::BIGINT % 127)
+               + CASE WHEN f % 13 = 0 THEN s ELSE 0 END) AS bb
+    FROM m
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(64), k ->
+               CASE WHEN bb[CAST(k AS INT) + 2] > bb[CAST(k AS INT) + 1]
+                    THEN '1' ELSE '0' END), '') AS sig
+    FROM b
+),
+{_DHASH_CAND_CTE}
+SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
+FROM cand
+WHERE {_DHASH_HAMMING} <= 3
+""",
+    tags=("extension", "multimodal", "dedup", "video", "fingerprint"),
+)
+def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-CONTENT near-dup via temporal fingerprint — the clip-level
+    member of the per-modality dedup family (text x78, image x135,
+    audio x139), and the one closest to the reference's own domain
+    (its pipeline moves MJPEG-style per-frame JPEGs —
+    VideoStreamMockProducer.java:211-218): each doc renders a REAL
+    65-frame concatenated-JPEG clip through the production encoder
+    (flat even-gray frames, brightness = the house md5 synth
+    2*(md5(ds '|' f) % 127) — DC-only, so decode is exact, the x43/x53
+    posture), the production demux + JPEG decoder recover every frame,
+    and the 64 bits are the signs of consecutive-frame brightness
+    deltas (operators/multimodal.py:video_fingerprints) — the
+    shot-signature shape that survives re-encoding and mild regrading.
+    Planted near-copies at doc_id % 7 == 3 replay doc_id - 3's clip
+    with +2*(doc_id % 3) brightness on every 13th frame (flips only
+    near-tie delta bits); doc_id % 97 == 0 clips are corrupt and yield
+    no fingerprint. Bounded to x53's deterministic md5 doc slice
+    (< '5c' ~= 36%, oracle-mirrored): the per-doc codec work is the
+    proof, not its corpus-wide repetition. Pairing is the shared
+    banded Hamming join (guaranteed recall at radius 3); the whole
+    chain — synth, JPEG wire format, demux, decode, fingerprint,
+    banding, verify — replays in the DuckDB oracle. Clip bytes never
+    cross a shuffle; only (doc_id, 8-byte sig) enters the join."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import video_fingerprints
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "5c")
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_cache: dict[int, bytes] = {}
+
+        def frame(v: int) -> bytes:
+            if v not in frame_cache:
+                frame_cache[v] = encode_jpeg(np.full((8, 8, 3), v, np.uint8))
+            return frame_cache[v]
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 97 == 0:
+                    payloads.append(b"\xff\xd8 not a clip")
+                    continue
+                ds = d - 3 if d % 7 == 3 else d
+                s = 2 * (d % 3) if d % 7 == 3 else 0
+                clip = b"".join(
+                    frame(
+                        2
+                        * (
+                            int(
+                                hashlib.md5(f"{ds}|{f}".encode()).hexdigest()[:8], 16
+                            )
+                            % 127
+                        )
+                        + (s if f % 13 == 0 else 0)
+                    )
+                    for f in range(65)
+                )
+                payloads.append(clip)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    sig = video_fingerprints(rendered).where(F.col("sig").isNotNull())
+    return D.banded_hamming_pairs(sig)
