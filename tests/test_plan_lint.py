@@ -50,6 +50,11 @@ NESTED_LOOP_ALLOWED = {
     # vector broadcast (the x06 shape); the fusion join itself is a
     # 20-row-per-side full outer hash join
     "x133_hybrid_rrf_search",
+    # recall report: the scalar n_queries count joins in as the same
+    # ONE-ROW broadcast cross (b58/x76 class), plus the inherited
+    # query x centroid broadcasts of its x44/x48/x50 legs; the hit
+    # join against exact is an explicit broadcast hash join
+    "x136_ann_recall_report",
     # fuzzy dictionary match: the edit-distance predicate joins the
     # DISTINCT VOCABULARY against a broadcast ~6-term dictionary —
     # vocab x dict is the linear-with-bounded-inner-side shape (the
