@@ -249,3 +249,30 @@ def test_video_fingerprint_planted_copy_found(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_x141_clusters_are_transitive_and_canonical_min(spark):
+    """Every x135/x139 pair must land in one cluster (transitivity),
+    the canonical doc is the cluster min, and sizes add up."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    sf = "/root/testdata/sf0.001"
+    qm = query_map()
+    lab = {r["doc_id"]: r for r in qm["x141_multimodal_dup_clusters"](spark, sf).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for name in ("x135_image_dhash_neardup", "x139_audio_fingerprint_neardup")
+        for r in qm[name](spark, sf).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert lab[a]["cluster_id"] == lab[b]["cluster_id"]
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in lab.values())
+    for d, r in lab.items():
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+        assert r["is_canonical"] == (d == r["cluster_id"])
+        assert r["cluster_id"] == min(
+            x for x in lab if lab[x]["cluster_id"] == r["cluster_id"]
+        )

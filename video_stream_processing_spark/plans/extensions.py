@@ -5587,9 +5587,7 @@ _DHASH_HAMMING = r"""CAST(list_sum(list_transform(range(64), i ->
                  THEN 1 ELSE 0 END)) AS INT)"""
 
 
-@register(
-    "x135_image_dhash_neardup",
-    oracle=f"""
+_X135_ORACLE = f"""
 WITH m AS (
     SELECT d.doc_id,
            CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
@@ -5603,7 +5601,12 @@ WITH m AS (
 SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
 WHERE {_DHASH_HAMMING} <= 3
-""",
+"""
+
+
+@register(
+    "x135_image_dhash_neardup",
+    oracle=_X135_ORACLE,
     tags=("extension", "multimodal", "dedup", "phash"),
 )
 def x135_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5993,9 +5996,7 @@ def x138_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_hamming_pairs(sig, F.col("doc_id") % 10 == 7)
 
 
-@register(
-    "x139_audio_fingerprint_neardup",
-    oracle=f"""
+_X139_ORACLE = f"""
 WITH m AS (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
@@ -6027,7 +6028,12 @@ sig AS (
 SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
 WHERE {_DHASH_HAMMING} <= 3
-""",
+"""
+
+
+@register(
+    "x139_audio_fingerprint_neardup",
+    oracle=_X139_ORACLE,
     tags=("extension", "multimodal", "dedup", "audio", "fingerprint"),
 )
 def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6207,3 +6213,77 @@ def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
     sig = video_fingerprints(rendered).where(F.col("sig").isNotNull())
     return D.banded_hamming_pairs(sig)
+
+
+@register(
+    "x141_multimodal_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE iedges AS (
+    SELECT * FROM (SELECT doc_a, doc_b FROM ({_X135_ORACLE}))
+),
+aedges AS (
+    SELECT * FROM (SELECT doc_a, doc_b FROM ({_X139_ORACLE}))
+),
+upairs AS (
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT doc_a, doc_b FROM iedges UNION ALL SELECT doc_a, doc_b FROM aedges)
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM upairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM upairs
+),
+reach AS (
+    SELECT src AS node, src AS r FROM edges
+    UNION
+    SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(sz.n AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz ON l.cluster_id = sz.cluster_id
+""",
+    tags=("extension", "multimodal", "dedup", "graph", "composition"),
+)
+def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate CLUSTERS — the canonicalization step that
+    turns pairwise fingerprint matches into keep/drop decisions at
+    corpus scale: the union of image-dHash pairs (x135) and audio-
+    fingerprint pairs (x139) over the same corpus forms an edge set
+    (a near-dup in EITHER modality links the docs — the LAION-style
+    transitive dedup rule), connected components elect each cluster's
+    minimum doc as canonical, and every clustered doc reports its
+    cluster id, cluster size and canonical flag. Pairwise output alone
+    over-drops (b dup-of a, c dup-of b: dropping both b AND c is
+    correct only with transitive clustering) — this is why production
+    dedup pipelines run CC over the pair graph. Components use the
+    shared cc_star engine (Kiveris et al. 2014 two-phase star:
+    O(log n) alternations, per-round edge-bounded shuffles,
+    checkpointed lineage — operators/dedup.py:cc_star), so the
+    composition costs the two certified pair pipelines + ~2 log n
+    edge-sized exchanges. Docs in no pair are untouched singletons and
+    stay out of the (pair-sized) output. The oracle replays BOTH
+    fingerprint chains verbatim as nested subqueries plus a
+    reachability-closure RECURSIVE CTE (the x92 pattern; closure is
+    fine on the differential corpus — the iterative form is what
+    scales)."""
+    ip = x135_image_dhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    ap = x139_audio_fingerprint_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = ip.unionByName(ap).distinct()
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels, _ = D.cc_star(nodes, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
