@@ -6287,3 +6287,143 @@ def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "x142_fingerprint_quality_report",
+    oracle=f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+detected AS (
+    SELECT doc_a, doc_b FROM ({_X135_ORACLE})
+),
+truth_exact AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM m a JOIN m b
+      ON md5(a.t) = md5(b.t) AND a.s = b.s AND a.doc_id < b.doc_id
+),
+truth_jitter AS (
+    SELECT doc_id - 3 AS doc_a, doc_id AS doc_b
+    FROM m WHERE doc_id % 7 = 3 AND s > 0
+),
+ex AS (
+    SELECT count(*) AS n_truth,
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_det
+    FROM truth_exact t
+    LEFT JOIN detected d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+),
+ji AS (
+    SELECT count(*) AS n_truth,
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_det
+    FROM truth_jitter t
+    LEFT JOIN detected d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+),
+ot AS (
+    SELECT count(*) AS n_det
+    FROM detected d
+    LEFT JOIN truth_exact e ON d.doc_a = e.doc_a AND d.doc_b = e.doc_b
+    LEFT JOIN truth_jitter j ON d.doc_a = j.doc_a AND d.doc_b = j.doc_b
+    WHERE e.doc_a IS NULL AND j.doc_a IS NULL
+)
+SELECT 'exact' AS class, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_det AS BIGINT) AS n_detected,
+       round(CAST(n_det AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+FROM ex
+UNION ALL
+SELECT 'jitter', CAST(n_truth AS BIGINT), CAST(n_det AS BIGINT),
+       round(CAST(n_det AS DOUBLE) / greatest(n_truth, 1), 6)
+FROM ji
+UNION ALL
+SELECT 'other', CAST(0 AS BIGINT), CAST(n_det AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM ot
+""",
+    tags=("extension", "multimodal", "dedup", "phash", "eval"),
+)
+def x142_fingerprint_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash quality report — x103's LSH-quality move applied
+    to the fingerprint lane, possible because the fixture's ground
+    truth is ARITHMETIC: 'exact' truth pairs render byte-identical
+    canvases (same source text AND same jitter — joined on
+    (md5(text), shift), never on the body), 'jitter' truth pairs are
+    the planted perturbed copies (s > 0). The report scores x135's
+    radius-3 detection per class: exact recall must be 1.0 by
+    construction (identical canvas -> identical signature -> band
+    collision guaranteed), jitter recall measures how often the sparse
+    brightness perturbation stays within the guaranteed Hamming radius
+    (the band-retuning diagnostic for real corpora), and 'other' counts
+    detected pairs outside both truth classes (distinct canvases
+    colliding within 3 bits — the false-positive rate of the 64-bit
+    signature; recall = -1.0 sentinel, n_truth = 0, since no truth set
+    defines it). All three legs replay in the oracle, so the quality
+    numbers themselves are differential-checked. Scale: the truth join
+    keys are fixed-width (md5, shift); detection reuses x135's
+    certified plan; the report adds three bounded joins + three
+    1-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.col("doc_id") % 7 == 3
+    own = docs.where(~planted).select(
+        "doc_id", F.lit(0).alias("shift"), F.md5("text").alias("th")
+    )
+    copies = (
+        docs.where(planted)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("shift"),
+            (F.col("doc_id") - 3).alias("src_id"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), F.md5("text").alias("th")),
+            "src_id",
+        )
+        .select("doc_id", "shift", "th")
+    )
+    frame = own.unionByName(copies).localCheckpoint(eager=True)
+    detected = (
+        x135_image_dhash_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
+    )
+    a = frame.select(F.col("doc_id").alias("doc_a"), "th", "shift")
+    b = frame.select(F.col("doc_id").alias("doc_b"), "th", "shift")
+    truth_exact = a.join(b, ["th", "shift"]).where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    truth_jitter = frame.where((F.col("doc_id") % 7 == 3) & (F.col("shift") > 0)).select(
+        (F.col("doc_id") - 3).alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+    def leg(truth: DataFrame, name: str) -> DataFrame:
+        j = truth.join(F.broadcast(detected), ["doc_a", "doc_b"], "left")
+        return j.agg(
+            F.lit(name).alias("class"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_detected"),
+        ).select(
+            "class",
+            "n_truth",
+            "n_detected",
+            F.round(
+                F.col("n_detected").cast("double") / F.greatest("n_truth", F.lit(1)), 6
+            ).alias("recall"),
+        )
+
+    other = (
+        detected.join(truth_exact.withColumn("te", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(truth_jitter.withColumn("tj", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .where(F.col("te").isNull() & F.col("tj").isNull())
+        .agg(
+            F.lit("other").alias("class"),
+            F.lit(0).cast("long").alias("n_truth"),
+            F.count(F.lit(1)).cast("long").alias("n_detected"),
+            F.lit(-1.0).alias("recall"),
+        )
+    )
+    return leg(truth_exact, "exact").unionByName(leg(truth_jitter, "jitter")).unionByName(
+        other
+    )
