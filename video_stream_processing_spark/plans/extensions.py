@@ -6427,3 +6427,86 @@ def x142_fingerprint_quality_report(spark: SparkSession, sf_dir: str) -> DataFra
     return leg(truth_exact, "exact").unionByName(leg(truth_jitter, "jitter")).unionByName(
         other
     )
+
+
+@register(
+    "x143_image_dhash_resize_grid",
+    oracle=r"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(doc_id % 40 + 9 AS INT) AS w,
+           CAST(doc_id % 24 + 9 AS INT) AS h,
+           text AS t
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+           list_transform(range(w * h), ip ->
+               ascii(substr(t, CAST(ip % length(t) AS INT) + 1, 1))) AS p
+    FROM m
+),
+cells AS (
+    SELECT doc_id, w, h,
+           list_transform(range(72), g ->
+               list_sum(list_transform(range((g // 9) * h // 8, ((g // 9) + 1) * h // 8), rr ->
+                   list_sum(list_transform(range((g % 9) * w // 9, ((g % 9) + 1) * w // 9), cc ->
+                       p[CAST(rr * w + cc AS INT) + 1]))))) AS cs,
+           list_transform(range(72), g ->
+               (((g // 9) + 1) * h // 8 - (g // 9) * h // 8)
+             * (((g % 9) + 1) * w // 9 - (g % 9) * w // 9)) AS cn
+    FROM px
+)
+SELECT doc_id, w AS width, h AS height,
+       array_to_string(list_transform(range(64), k ->
+           CASE WHEN cs[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                     * cn[CAST((k // 8) * 9 + (k % 8) + 1 AS INT) + 1]
+                   < cs[CAST((k // 8) * 9 + (k % 8) + 1 AS INT) + 1]
+                     * cn[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                THEN '1' ELSE '0' END), '') AS sig
+FROM cells
+""",
+    tags=("extension", "multimodal", "phash", "codec"),
+)
+def x143_image_dhash_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies dhash64's GENERAL area-resize path per doc — x135's
+    fixed 16x18 canvas divides evenly into the 8x9 grid, so its oracle
+    never exercises the integer-boundary cells or the
+    cross-multiplied-mean comparison that make the hash correct on
+    arbitrary dimensions. Here every doc renders at (doc_id % 40 + 9)
+    x (doc_id % 24 + 9) — w rarely divisible by 9, h rarely by 8, so
+    cells have UNEQUAL pixel counts and a plain sum comparison would
+    be wrong — through the production encoder/decoder, and the emitted
+    64-char signature itself is hash-checked against a DuckDB replay
+    of the full generic grid (integer cell boundaries gr*H//8 /
+    gc*W//9, per-cell sums via nested list folds, bits by
+    sum_l*n_r < sum_r*n_l). This is the x40/x43 posture applied to the
+    hash: the oracle predicts the SIGNATURE, not just plumbing, on the
+    dimension-varying inputs a real crawl delivers. One Arrow render
+    pass + one decode/hash pass, zero joins, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.imagecodec import encode_bmp
+    from video_stream_processing_spark.operators.multimodal import dhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w, h = d % 40 + 9, d % 24 + 9
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                canvas = np.resize(raw, h * w).reshape(h, w)
+                payloads.append(encode_bmp(np.repeat(canvas[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return dhash_signatures(rendered).select(
+        "doc_id",
+        ((F.col("doc_id") % 40) + 9).cast("int").alias("width"),
+        ((F.col("doc_id") % 24) + 9).cast("int").alias("height"),
+        "sig",
+    )
