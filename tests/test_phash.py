@@ -276,3 +276,29 @@ def test_x141_clusters_are_transitive_and_canonical_min(spark):
         assert r["cluster_id"] == min(
             x for x in lab if lab[x]["cluster_id"] == r["cluster_id"]
         )
+
+
+def test_x144_one_keeper_per_cluster_and_subset_of_pairwise(spark):
+    """Transitive keep: exactly one survivor per canonical cluster, and
+    the transitive keep set is a subset of x137's pairwise keep set
+    (pairwise can keep a non-min chain member that is only ever the
+    LOWER id of its pairs; transitive cannot)."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    sf = "/root/testdata/sf0.001"
+    qm = query_map()
+    trans = {r["doc_id"]: r for r in qm["x144_multimodal_curation_transitive"](spark, sf).collect()}
+    pair = {r["doc_id"]: r["keep"] for r in qm["x137_multimodal_curation_e2e"](spark, sf).collect()}
+    assert set(trans) == set(pair)
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for d, r in trans.items():
+        clusters[r["canonical_id"]].append((d, r["keep"]))
+    for cid, members in clusters.items():
+        keepers = [d for d, k in members if k]
+        assert keepers == [cid]  # exactly one survivor: the minimum
+        assert min(d for d, _ in members) == cid
+    kept_trans = {d for d, r in trans.items() if r["keep"]}
+    kept_pair = {d for d, k in pair.items() if k}
+    assert kept_trans <= kept_pair

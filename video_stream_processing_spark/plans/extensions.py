@@ -5851,6 +5851,33 @@ def x137_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     — is localCheckpointed ONCE and fanned to the two pair branches and
     the final keep join (x130's checkpoint-once discipline); both pair
     joins are banded/bucketed, never all-pairs."""
+    extracted = _x137_extracted(spark, sf_dir)
+    ipairs = D.banded_hamming_pairs(
+        extracted.select("doc_id", "sig").where(F.col("sig").isNotNull())
+    )
+    cpairs = D.minhash_lsh_neardups(
+        extracted.select("doc_id", "caption"), text_col="caption"
+    )
+    img_dup = ipairs.groupBy("doc_b").agg(F.min("doc_a").alias("img_dup_of"))
+    cap_dup = cpairs.groupBy("doc_b").agg(F.min("doc_a").alias("cap_dup_of"))
+    return (
+        extracted.select("doc_id")
+        .join(img_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .join(cap_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "img_dup_of",
+            "cap_dup_of",
+            (F.col("img_dup_of").isNull() & F.col("cap_dup_of").isNull()).alias("keep"),
+        )
+    )
+
+
+def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x137/x144 extraction stage: render the one-sample WebDataset
+    shards (planted jittered copies, corrupt doc_id % 97 == 0) and run
+    webdataset_curation_rows, localCheckpointed ONCE so every consumer
+    branch reads the materialized (doc_id, sig, caption) table."""
     import io
     import tarfile
 
@@ -5917,26 +5944,7 @@ def x137_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     shards = src.mapInPandas(render, schema="doc_id long, payload binary")
-    extracted = webdataset_curation_rows(shards).localCheckpoint(eager=True)
-    ipairs = D.banded_hamming_pairs(
-        extracted.select("doc_id", "sig").where(F.col("sig").isNotNull())
-    )
-    cpairs = D.minhash_lsh_neardups(
-        extracted.select("doc_id", "caption"), text_col="caption"
-    )
-    img_dup = ipairs.groupBy("doc_b").agg(F.min("doc_a").alias("img_dup_of"))
-    cap_dup = cpairs.groupBy("doc_b").agg(F.min("doc_a").alias("cap_dup_of"))
-    return (
-        extracted.select("doc_id")
-        .join(img_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
-        .join(cap_dup.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "img_dup_of",
-            "cap_dup_of",
-            (F.col("img_dup_of").isNull() & F.col("cap_dup_of").isNull()).alias("keep"),
-        )
-    )
+    return webdataset_curation_rows(shards).localCheckpoint(eager=True)
 
 
 @register(
@@ -6271,7 +6279,9 @@ def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales)."""
     ip = x135_image_dhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
     ap = x139_audio_fingerprint_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    pairs = ip.unionByName(ap).distinct()
+    # no .distinct() here: cc_star canonicalizes and dedups its edge
+    # input internally (least/greatest + distinct + checkpoint)
+    pairs = ip.unionByName(ap)
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -6281,7 +6291,7 @@ def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    return labels.join(sizes, "cluster_id").select(
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",
@@ -6509,4 +6519,102 @@ def x143_image_dhash_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 40) + 9).cast("int").alias("width"),
         ((F.col("doc_id") % 24) + 9).cast("int").alias("height"),
         "sig",
+    )
+
+
+def _x144_oracle_sql() -> str:
+    """x137's extraction + pair chains composed with the x141/x92
+    reachability closure and the per-doc canonical projection."""
+    cap_lsh = D.minhash_lsh_oracle_sql(
+        source_sql="SELECT doc_id, caption AS text FROM m"
+    )
+    return f"""
+WITH RECURSIVE m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t,
+           CASE WHEN d.doc_id % 7 = 3 THEN src.text || ' copy' ELSE d.text END AS caption
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+    WHERE d.doc_id % 97 != 0
+),
+{_DHASH_SIG_CTES},
+{_DHASH_CAND_CTE},
+ipairs AS (
+    SELECT doc_a, doc_b FROM cand WHERE {_DHASH_HAMMING} <= 3
+),
+cpairs AS (
+    SELECT doc_a, doc_b FROM ({cap_lsh})
+),
+upairs AS (
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT doc_a, doc_b FROM ipairs UNION ALL SELECT doc_a, doc_b FROM cpairs)
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM upairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM upairs
+),
+reach AS (
+    SELECT src AS node, src AS r FROM edges
+    UNION
+    SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node AS doc_id, min(r) AS cid FROM reach GROUP BY node)
+SELECT m.doc_id,
+       CAST(coalesce(l.cid, m.doc_id) AS BIGINT) AS canonical_id,
+       coalesce(l.cid, m.doc_id) = m.doc_id AS keep
+FROM m LEFT JOIN lab l ON m.doc_id = l.doc_id
+"""
+
+
+@register(
+    "x144_multimodal_curation_transitive",
+    oracle=_x144_oracle_sql(),
+    tags=("extension", "multimodal", "dedup", "graph", "composition"),
+)
+def x144_multimodal_curation_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x137's curation lane with the TRANSITIVE keep rule — the
+    production-correct upgrade of its pairwise min-partner decision
+    (pairwise keep mishandles chains: with b dup-of a and c dup-of b
+    but c NOT directly paired with a, pairwise logic may keep c even
+    though its content survives through a). The image (x135 banded
+    Hamming) and caption (x02 MinHash-LSH) pair sets over ONE
+    checkpointed extracted table union into a single near-dup edge set
+    (a match in EITHER modality links the samples), connected
+    components (shared cc_star engine) elect each cluster's minimum
+    doc as canonical, and every extracted sample reports
+    (canonical_id, keep) — singletons keep themselves. Exactly one
+    representative survives per transitive duplicate cluster, the
+    invariant x137's pairwise output cannot guarantee; both forms stay
+    registered because pairwise dup_of attribution (WHO you duplicate)
+    and transitive keep (WHAT survives) answer different production
+    questions. The oracle replays extraction fixture, both pair
+    chains, the closure (x92 RECURSIVE CTE) and the projection."""
+    extracted = _x137_extracted(spark, sf_dir)
+    ipairs = D.banded_hamming_pairs(
+        extracted.select("doc_id", "sig").where(F.col("sig").isNotNull())
+    ).select("doc_a", "doc_b")
+    cpairs = D.minhash_lsh_neardups(
+        extracted.select("doc_id", "caption"), text_col="caption"
+    ).select("doc_a", "doc_b")
+    # no .distinct(): cc_star dedups its edge input internally
+    pairs = ipairs.unionByName(cpairs)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels, _ = D.cc_star(nodes, pairs)
+    # labels is duplicate-cluster-sized (pair-covered docs only) —
+    # broadcast under the corpus-sized extracted table
+    return (
+        extracted.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
     )
