@@ -302,3 +302,46 @@ def test_x144_one_keeper_per_cluster_and_subset_of_pairwise(spark):
     kept_trans = {d for d, r in trans.items() if r["keep"]}
     kept_pair = {d for d, k in pair.items() if k}
     assert kept_trans <= kept_pair
+
+
+def test_video_fingerprint_uses_mean_luma_not_corner_pixel(spark):
+    """Non-flat frames whose corner pixel (0,0) is CONSTANT but whose
+    frame mean alternates strongly must yield the alternating delta
+    signature — the fingerprint tracks content (integer mean luma),
+    not one pixel (the pre-r13 reduction)."""
+    import numpy as np
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import (
+        VFP_FRAMES,
+        video_fingerprints,
+    )
+
+    def frame(level: int) -> bytes:
+        img = np.full((8, 8, 3), level, np.uint8)
+        img[0, 0, :] = 128  # corner pixel identical in every frame
+        return encode_jpeg(img)
+
+    clip = b"".join(
+        frame(200 if f % 2 else 40) for f in range(VFP_FRAMES)
+    )
+    df = spark.createDataFrame([(0, bytearray(clip))], "doc_id long, payload binary")
+    sig = video_fingerprints(df).collect()[0]["sig"]
+    # frames go 40, 200, 40, ... -> mean deltas alternate up/down; JPEG
+    # loss on a near-flat frame cannot close a 160-level mean gap
+    assert sig == "10" * 32
+
+
+def test_banded_join_rejects_nondivisor_bands(spark):
+    """n_bands that doesn't divide 64 would silently drop trailing
+    signature bits from every band key, voiding the pigeonhole recall
+    guarantee — both join forms must refuse it."""
+    from video_stream_processing_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+
+    df = spark.createDataFrame([(0, "0" * 64)], "doc_id long, sig string")
+    with pytest.raises(ValueError, match="divide 64"):
+        banded_hamming_pairs(df, n_bands=3)
+    with pytest.raises(ValueError, match="divide 64"):
+        incremental_hamming_pairs(df, F.col("doc_id") >= 0, n_bands=5)

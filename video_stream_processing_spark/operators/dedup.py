@@ -1405,6 +1405,12 @@ def banded_hamming_pairs(
     cliques make bucket pairs quadratic in clique size — the same
     adversarial shape x39 bounds for MinHash; its neighbor-window cap
     applies here verbatim if a corpus needs it."""
+    if 64 % n_bands != 0:
+        raise ValueError(
+            f"n_bands must divide 64 (got {n_bands}): a non-divisor "
+            "leaves trailing signature bits out of every band key and "
+            "silently voids the pigeonhole recall guarantee"
+        )
     width = 64 // n_bands
     sig = (
         sig.select(
@@ -1471,6 +1477,12 @@ def incremental_hamming_pairs(
     vs_existing), doc_a < doc_b; vs_existing=true when one side is an
     existing-corpus doc. Hamming is verified on the two 32-bit integer
     halves exactly as in banded_hamming_pairs."""
+    if 64 % n_bands != 0:
+        raise ValueError(
+            f"n_bands must divide 64 (got {n_bands}): a non-divisor "
+            "leaves trailing signature bits out of every band key and "
+            "silently voids the pigeonhole recall guarantee"
+        )
     width = 64 // n_bands
     bands = (
         sig.select(

@@ -582,9 +582,11 @@ def video_fingerprints(df: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas demuxes the concatenated-JPEG clip on EOI
     markers (mjpeg_frames_stats' boundary rule), REALLY decodes every
     frame through the production JPEG codec, reduces each to its
-    brightness (the fixture's frames are flat, so one pixel IS the
-    frame mean — on real footage this would be the frame's mean luma),
-    and emits sign-of-consecutive-frame-brightness-delta bits — the
+    integer mean intensity over ALL pixels and channels (sum // size —
+    on the flat fixture this equals any single pixel, so the oracle is
+    unchanged; on real footage it is the frame's mean luma, so the
+    signature tracks content), and emits
+    sign-of-consecutive-frame-brightness-delta bits — the
     standard shot-/content-signature shape video dedup uses (a
     re-encoded or slightly re-graded copy preserves the delta signs).
     Clips that do not demux to exactly VFP_FRAMES decodable frames
@@ -609,7 +611,16 @@ def video_fingerprints(df: DataFrame) -> DataFrame:
         def brightness(frame: bytes) -> int | None:
             if frame not in memo:
                 img = decode_image_bgr(frame)
-                memo[frame] = None if img is None else int(img[0, 0, 0])
+                # Integer mean over the whole decoded frame (floor
+                # division keeps the oracle replayable): on a flat frame
+                # this equals any single pixel, and on real footage it is
+                # the frame's mean intensity — the signature tracks
+                # content, not one corner pixel.
+                memo[frame] = (
+                    None
+                    if img is None
+                    else int(img.sum(dtype="int64")) // img.size
+                )
             return memo[frame]
 
         for pdf in batches:

@@ -6129,8 +6129,8 @@ WITH m AS (
 b AS (
     SELECT doc_id,
            list_transform(range(65), f ->
-               2 * (('0x' || substr(md5(CAST(ds AS VARCHAR) || '|' || CAST(f AS VARCHAR)), 1, 8))::BIGINT % 127)
-               + CASE WHEN f % 13 = 0 THEN s ELSE 0 END) AS bb
+               least(2 * (('0x' || substr(md5(CAST(ds AS VARCHAR) || '|' || CAST(f AS VARCHAR)), 1, 8))::BIGINT % 127)
+               + CASE WHEN f % 13 = 0 THEN s ELSE 0 END, 255)) AS bb
     FROM m
 ),
 sig AS (
@@ -6162,8 +6162,11 @@ def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     shot-signature shape that survives re-encoding and mild regrading.
     Planted near-copies at doc_id % 7 == 3 replay doc_id - 3's clip
     with +2*(doc_id % 3) brightness on every 13th frame (flips only
-    near-tie delta bits); doc_id % 97 == 0 clips are corrupt and yield
-    no fingerprint. Bounded to x53's deterministic md5 doc slice
+    near-tie delta bits); every brightness is clamped to 255 in BOTH
+    the render and the oracle (base 252 + jitter 4 would otherwise
+    exceed uint8 and wrap to 0 in numpy while the oracle computed 256
+    — a real sf0.1 divergence, docs 626/3902/4490/4511);
+    doc_id % 97 == 0 clips are corrupt and yield no fingerprint. Bounded to x53's deterministic md5 doc slice
     (< '5c' ~= 36%, oracle-mirrored): the per-doc codec work is the
     proof, not its corpus-wide repetition. Pairing is the shared
     banded Hamming join (guaranteed recall at radius 3); the whole
@@ -6204,14 +6207,20 @@ def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                 s = 2 * (d % 3) if d % 7 == 3 else 0
                 clip = b"".join(
                     frame(
-                        2
-                        * (
-                            int(
-                                hashlib.md5(f"{ds}|{f}".encode()).hexdigest()[:8], 16
+                        min(
+                            2
+                            * (
+                                int(
+                                    hashlib.md5(
+                                        f"{ds}|{f}".encode()
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % 127
                             )
-                            % 127
+                            + (s if f % 13 == 0 else 0),
+                            255,
                         )
-                        + (s if f % 13 == 0 else 0)
                     )
                     for f in range(65)
                 )
