@@ -3090,9 +3090,10 @@ def x77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x78_simhash_neardup",
-    oracle=T.simhash_oracle_sql().replace(
+# x78's full pair-chain replay (simhash construction + banding +
+# Hamming verify) — a module constant so x141's four-modality cluster
+# closure can splice the SAME chain in as its text edge set.
+_X78_ORACLE = T.simhash_oracle_sql().replace(
         "SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash\nFROM sim GROUP BY doc_id",
         """, sig AS (
     SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig
@@ -3118,7 +3119,12 @@ WHERE list_sum(list_transform(range(64), i ->
         CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
                   != substr(sig_b, CAST(i + 1 AS INT), 1)
              THEN 1 ELSE 0 END)) <= 3""",
-    ),
+)
+
+
+@register(
+    "x78_simhash_neardup",
+    oracle=_X78_ORACLE,
     tags=("extension", "dedup", "simhash", "lsh"),
 )
 def x78_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6115,9 +6121,7 @@ def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     return D.banded_hamming_pairs(sig)
 
 
-@register(
-    "x140_video_fingerprint_neardup",
-    oracle=f"""
+_X140_ORACLE = f"""
 WITH m AS (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
@@ -6144,7 +6148,12 @@ sig AS (
 SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
 WHERE {_DHASH_HAMMING} <= 3
-""",
+"""
+
+
+@register(
+    "x140_video_fingerprint_neardup",
+    oracle=_X140_ORACLE,
     tags=("extension", "multimodal", "dedup", "video", "fingerprint"),
 )
 def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6241,9 +6250,20 @@ WITH RECURSIVE iedges AS (
 aedges AS (
     SELECT * FROM (SELECT doc_a, doc_b FROM ({_X139_ORACLE}))
 ),
+tedges AS (
+    SELECT * FROM (SELECT doc_a, doc_b FROM ({_X78_ORACLE}))
+),
+vedges AS (
+    SELECT * FROM (SELECT doc_a, doc_b FROM ({_X140_ORACLE}))
+),
+medges AS (
+    SELECT doc_a, doc_b, 'image' AS modality FROM iedges
+    UNION ALL SELECT doc_a, doc_b, 'audio' FROM aedges
+    UNION ALL SELECT doc_a, doc_b, 'text' FROM tedges
+    UNION ALL SELECT doc_a, doc_b, 'video' FROM vedges
+),
 upairs AS (
-    SELECT DISTINCT doc_a, doc_b
-    FROM (SELECT doc_a, doc_b FROM iedges UNION ALL SELECT doc_a, doc_b FROM aedges)
+    SELECT DISTINCT doc_a, doc_b FROM medges
 ),
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM upairs
@@ -6256,41 +6276,80 @@ reach AS (
     SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
 ),
 lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
-sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id),
+mods AS (
+    SELECT doc_id, string_agg(DISTINCT modality, ',' ORDER BY modality) AS modalities
+    FROM (
+        SELECT doc_a AS doc_id, modality FROM medges
+        UNION ALL
+        SELECT doc_b AS doc_id, modality FROM medges
+    )
+    GROUP BY doc_id
+)
 SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
        CAST(sz.n AS BIGINT) AS cluster_size,
-       l.doc_id = l.cluster_id AS is_canonical
-FROM lab l JOIN sz ON l.cluster_id = sz.cluster_id
+       l.doc_id = l.cluster_id AS is_canonical,
+       m.modalities
+FROM lab l
+JOIN sz ON l.cluster_id = sz.cluster_id
+JOIN mods m ON m.doc_id = l.doc_id
 """,
     tags=("extension", "multimodal", "dedup", "graph", "composition"),
 )
 def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal duplicate CLUSTERS — the canonicalization step that
-    turns pairwise fingerprint matches into keep/drop decisions at
-    corpus scale: the union of image-dHash pairs (x135) and audio-
-    fingerprint pairs (x139) over the same corpus forms an edge set
-    (a near-dup in EITHER modality links the docs — the LAION-style
-    transitive dedup rule), connected components elect each cluster's
-    minimum doc as canonical, and every clustered doc reports its
-    cluster id, cluster size and canonical flag. Pairwise output alone
+    """Cross-modal duplicate CLUSTERS over ALL FOUR modalities — the
+    canonicalization step that turns pairwise fingerprint matches into
+    keep/drop decisions at corpus scale: the union of image-dHash pairs
+    (x135), audio-fingerprint pairs (x139), text-SimHash pairs (x78)
+    and video-temporal-fingerprint pairs (x140) over the same corpus
+    forms one modality-tagged edge set (a near-dup in ANY modality
+    links the docs — the LAION-style transitive dedup rule), connected
+    components elect each cluster's minimum doc as canonical, and every
+    clustered doc reports its cluster id, cluster size, canonical flag
+    AND the sorted distinct modalities of its incident edges
+    (per-modality attribution — the triage column a curation reviewer
+    reads to see WHY two docs were linked). Pairwise output alone
     over-drops (b dup-of a, c dup-of b: dropping both b AND c is
     correct only with transitive clustering) — this is why production
-    dedup pipelines run CC over the pair graph. Components use the
+    dedup pipelines run CC over the pair graph. All four pair sets
+    come off the ONE shared banded-Hamming join
+    (operators/dedup.py:banded_hamming_pairs); components use the
     shared cc_star engine (Kiveris et al. 2014 two-phase star:
     O(log n) alternations, per-round edge-bounded shuffles,
     checkpointed lineage — operators/dedup.py:cc_star), so the
-    composition costs the two certified pair pipelines + ~2 log n
-    edge-sized exchanges. Docs in no pair are untouched singletons and
-    stay out of the (pair-sized) output. The oracle replays BOTH
-    fingerprint chains verbatim as nested subqueries plus a
-    reachability-closure RECURSIVE CTE (the x92 pattern; closure is
-    fine on the differential corpus — the iterative form is what
-    scales)."""
-    ip = x135_image_dhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    ap = x139_audio_fingerprint_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    composition costs the four certified pair pipelines + ~2 log n
+    edge-sized exchanges; attribution adds one edge-bounded
+    aggregation. Docs in no pair are untouched singletons and stay out
+    of the (pair-sized) output. The oracle replays ALL FOUR fingerprint
+    chains verbatim as nested subqueries plus a reachability-closure
+    RECURSIVE CTE (the x92 pattern; closure is fine on the
+    differential corpus — the iterative form is what scales)."""
+    medges = (
+        x135_image_dhash_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit("image").alias("modality"))
+        .unionByName(
+            x139_audio_fingerprint_neardup(spark, sf_dir).select(
+                "doc_a", "doc_b", F.lit("audio").alias("modality")
+            )
+        )
+        .unionByName(
+            x78_simhash_neardup(spark, sf_dir).select(
+                "doc_a", "doc_b", F.lit("text").alias("modality")
+            )
+        )
+        .unionByName(
+            x140_video_fingerprint_neardup(spark, sf_dir).select(
+                "doc_a", "doc_b", F.lit("video").alias("modality")
+            )
+        )
+        # materialized once: the edge set feeds BOTH the cc_star closure
+        # and the attribution aggregation — without this each branch
+        # re-runs all four codec/hash pipelines
+        .localCheckpoint(eager=True)
+    )
+    pairs = medges.select("doc_a", "doc_b")
     # no .distinct() here: cc_star canonicalizes and dedups its edge
     # input internally (least/greatest + distinct + checkpoint)
-    pairs = ip.unionByName(ap)
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -6300,11 +6359,26 @@ def x141_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    return labels.join(F.broadcast(sizes), "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    mods = (
+        medges.select(F.col("doc_a").alias("doc_id"), "modality")
+        .unionByName(medges.select(F.col("doc_b").alias("doc_id"), "modality"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("modality")), ",").alias(
+                "modalities"
+            )
+        )
+    )
+    return (
+        labels.join(F.broadcast(sizes), "cluster_id")
+        .join(mods, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            "modalities",
+        )
     )
 
 

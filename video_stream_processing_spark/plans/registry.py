@@ -91,6 +91,11 @@ from video_stream_processing_spark.plans.driver_rounds import LAST_DRIVER_ROUND
 _ORACLE_CHANGED: dict[str, int] = {
     "b63_recursive_bfs_reach": 11,
     "x127_html_extract": 11,
+    # r13: x140's synth gained the uint8 clamp (ADVICE high — sf0.1
+    # overflow divergence); x141 became the FOUR-modality closure with
+    # per-doc modality attribution (VERDICT r12 task 2).
+    "x140_video_fingerprint_neardup": 13,
+    "x141_multimodal_dup_clusters": 13,
 }
 
 
