@@ -446,3 +446,36 @@ def test_image_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path)
         expected.append(doc_id)
     assert expected == [2, 5]  # fixture sanity
     assert got == expected
+
+
+def test_jpeg_flat_block_dc_exact_all_levels():
+    """x145's wire-format premise: a flat 8x8 JPEG block is DC-only and
+    must decode bit-exactly at EVERY gray level 0..255 (including the
+    odd clamp boundary 255) through the production encoder/decoder."""
+    from video_stream_processing_spark.functions.imagecodec import (
+        decode_image_bgr,
+    )
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+
+    for v in range(256):
+        img = np.full((8, 8, 3), v, np.uint8)
+        out = decode_image_bgr(encode_jpeg(img))
+        assert out is not None and (out == v).all(), f"level {v} not DC-exact"
+
+
+def test_x145_grid_lands_on_blocks():
+    """The 8x9 dHash grid must land exactly on the 64x72 fixture's 8x8
+    block grid: the hash of a block-flat image equals the hash computed
+    directly from the 8x9 block-level matrix."""
+    from video_stream_processing_spark.operators.multimodal import dhash64
+
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, (8, 9)).astype(np.int64)
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    img = np.repeat(gray[:, :, None], 3, axis=2)
+    expected = "".join(
+        "1" if blocks[i, j + 1] > blocks[i, j] else "0"
+        for i in range(8)
+        for j in range(8)
+    )
+    assert dhash64(img) == expected

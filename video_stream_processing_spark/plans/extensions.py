@@ -6701,3 +6701,103 @@ def x144_multimodal_curation_transitive(spark: SparkSession, sf_dir: str) -> Dat
             (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+@register(
+    "x145_image_dhash_jpeg_wire",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
+           CASE WHEN doc_id % 7 = 3 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS s
+    FROM documents
+    WHERE doc_id % 97 != 0
+),
+b AS (
+    SELECT doc_id,
+           list_transform(range(72), g ->
+               least(('0x' || substr(md5(CAST(ds AS VARCHAR) || '#' || CAST(g AS VARCHAR)), 1, 8))::BIGINT % 256
+               + CASE WHEN g % 13 = 0 THEN s ELSE 0 END, 255)) AS bb
+    FROM m
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(64), k ->
+               CASE WHEN bb[CAST((k // 8) * 9 + (k % 8) AS INT) + 2]
+                         > bb[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                    THEN '1' ELSE '0' END), '') AS sig
+    FROM b
+),
+{{_DHASH_CAND_CTE}}
+SELECT doc_a, doc_b, {{_DHASH_HAMMING}} AS hamming
+FROM cand
+WHERE {{_DHASH_HAMMING}} <= 3
+""".format(_DHASH_CAND_CTE=_DHASH_CAND_CTE, _DHASH_HAMMING=_DHASH_HAMMING),
+    tags=("extension", "multimodal", "dedup", "phash", "jpeg"),
+)
+def x145_image_dhash_jpeg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dHash near-dup certified ON THE JPEG WIRE FORMAT — closes
+    the gap between x135 (dHash over lossless BMP canvases) and the
+    reference's actual frame encoding (per-frame JPEGs,
+    S/mock/VideoStreamMockProducer.java:231-236): each doc renders a
+    REAL 64x72 JPEG through the production encoder
+    (functions/jpegcodec.py) whose 8x8 blocks are each FLAT — one
+    md5-synthesized gray level per block, least(v, 255)-clamped — so
+    every block is DC-only and the decode is bit-exact (the x43/x53
+    posture, certified for all 256 flat levels in
+    tests/test_phash.py); the production JPEG decoder recovers the
+    pixels and dhash64 folds them. The 8x9 dHash grid lands exactly on
+    the 8x9 block grid (integer cell boundaries: 64//8 = 72//9 = 8), so
+    each cell mean IS its block's level and the DuckDB oracle replays
+    encoder + decoder + hash arithmetically from the md5 synth — the
+    whole JPEG wire chain is pinned, not just plumbing. Planted
+    near-copies at doc_id % 7 == 3 replay doc_id - 3's blocks with
+    +doc_id % 3 on every 13th block (flips only near-tie comparisons);
+    doc_id % 97 == 0 payloads are corrupt and yield no signature
+    (decode-or-null). Pairing is the shared banded Hamming join.
+    100 TB posture: identical to x135 — pixels never cross a shuffle,
+    only (doc_id, 8-byte sig) enters the join."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import dhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 97 == 0:
+                    payloads.append(b"\xff\xd8 not a jpeg")
+                    continue
+                ds = d - 3 if d % 7 == 3 else d
+                s = d % 3 if d % 7 == 3 else 0
+                blocks = np.array(
+                    [
+                        min(
+                            int(
+                                hashlib.md5(f"{ds}#{g}".encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % 256
+                            + (s if g % 13 == 0 else 0),
+                            255,
+                        )
+                        for g in range(72)
+                    ],
+                    dtype=np.uint8,
+                ).reshape(8, 9)
+                gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(np.repeat(gray[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return D.banded_hamming_pairs(
+        dhash_signatures(rendered).where(F.col("sig").isNotNull())
+    )
