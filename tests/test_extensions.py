@@ -1073,3 +1073,22 @@ def test_embedding_quantization_property(spark):
         assert r["n_saturated"] >= 1, i
         # L2 error bounded by sqrt(dim) * step/2
         assert r["l2_err"] <= (16 ** 0.5) * scale / 2 + 1e-6, i
+
+
+def test_x146_planted_recall_gates(spark):
+    """The declared planted-corpus recall query (x146) must show >= 0.9
+    recall@3 for every tuned method — the meaningful measurement that
+    x136's isotropic corpus cannot provide (ANN_RECALL.md)."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = query_map()["x146_ann_recall_planted"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {r["method"] for r in rows} == {
+        "ivf_trained_k8_probe2",
+        "ivfpq_m4k8_rerank20",
+        "rp16_shortlist20",
+    }
+    for r in rows:
+        assert r["recall_at_3"] >= 0.9, (r["method"], r["recall_at_3"])
+        assert r["n_returned"] == 3 * r["n_queries"]
