@@ -19,6 +19,32 @@ Noise robustness: each query is timed SPARK_GRAFT_BENCH_REPS times
 loaded-machine window therefore cannot inflate the round's headline
 total (BENCH_r03 was contaminated exactly this way). Per-query
 min/max spread is reported under "spread" for transparency.
+
+Self-adjudication (VERDICT r12 task 3): twice in a row a codec-heavy
+query (a07 r9, a10 r11/r12) inflated inside the long headline session
+and needed a manual idle A/B to clear. The artifact now carries its own
+adjudication inputs so a reader never has to re-run anything:
+- "probe_sec": a fixed JVM-side control job (sum over a 20M range)
+  timed before each round-robin pass and once at the end. If the probes
+  themselves drift upward, the WINDOW was loaded — movers are noise.
+- "gc_sec": total JVM GC time accrued during the measured reps
+  (collector MXBean deltas); per-query per-rep GC deltas are in
+  BENCH_DETAIL.json. If a mover's rep-level GC tracks its slow reps,
+  the cause is heap pressure, not the query's plan.
+- "adjudicate": the queries with the widest rep spread (max/min > 1.3
+  and max-min > 0.5 s), each with its spread and per-rep GC — the
+  artifact alone explains any >1.15x mover.
+Structural fix (measured A/B, round 13): a System.gc() hint runs
+before every measured rep — DEFAULT ON, disable with
+SPARK_GRAFT_BENCH_GC_BETWEEN=0. The A/B at sf0.1 (3 reps, flat probes
+in both windows): total 92.5 s without vs 86.1 s with, the gain
+concentrated in the heavy queries that allocate most (x137 7.38->5.67,
+x130 9.57->8.25, x43 4.16->3.60, x39 3.91->3.12). Collecting the
+PREVIOUS query's garbage outside the timed region is measurement
+hygiene — each query's number then reflects its own work, which is
+also why codec-heavy queries inflated mid-session in r9/r11/r12: they
+were paying earlier queries' heap debt. "gc_between" in the artifact
+records which mode produced the numbers.
 """
 
 from __future__ import annotations
@@ -121,7 +147,24 @@ def main() -> int:
                 pass
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC_BETWEEN", "1") == "1"
     samples: dict[str, list[float]] = {n: [] for n in names}
+    gc_samples: dict[str, list[float]] = {n: [] for n in names}
+
+    jvm = spark.sparkContext._jvm
+
+    def gc_time_sec() -> float:
+        # cumulative stop-the-world time across all collectors, seconds
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(b.getCollectionTime() for b in beans) / 1000.0
+
+    def probe() -> float:
+        # fixed JVM-side control job: whole-stage-codegen sum over a 20M
+        # range — no I/O, no shuffle, so its runtime tracks machine/JVM
+        # load and nothing else
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("sum(id * 2) AS s").collect()
+        return round(time.perf_counter() - t0, 3)
     # Scoped localCheckpoint-block release between queries: the shared
     # audited helper (session.snapshot_persistent_ids / release_since)
     # holds the rationale and the reuse caveat.
@@ -133,16 +176,38 @@ def main() -> int:
     # Round-robin across queries (rep 1 of all, then rep 2, ...) so a
     # transient machine-load spike hits at most one rep of each query
     # instead of all reps of one query.
+    probes: list[float] = []
     for _ in range(reps):
+        probes.append(probe())
         for n in names:
             baseline = snapshot_persistent_ids(spark)
+            if gc_between:
+                jvm.java.lang.System.gc()
+            g0 = gc_time_sec()
             t0 = time.perf_counter()
             run_full(qmap[n](spark, sf_dir))
             samples[n].append(time.perf_counter() - t0)
+            gc_samples[n].append(round(gc_time_sec() - g0, 3))
             release_since(spark, baseline)
+    probes.append(probe())
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     spread = {n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()}
+    gc_total = round(sum(sum(g) for g in gc_samples.values()), 3)
+    # the widest-spread queries, with the inputs a reader needs to
+    # adjudicate them: rep spread + the per-rep GC that accrued inside
+    # each rep (capped at 5 entries to keep the stdout tail line small)
+    movers = sorted(
+        (
+            n
+            for n, ts in samples.items()
+            if max(ts) > 1.3 * min(ts) and max(ts) - min(ts) > 0.5
+        ),
+        key=lambda n: min(samples[n]) - max(samples[n]),
+    )[:5]
+    adjudicate = {
+        n: {"spread": spread[n], "gc": gc_samples[n]} for n in movers
+    }
 
     total = round(sum(timings.values()), 3)
 
@@ -176,6 +241,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "gc_per_query": gc_samples,
+                "probe_sec": probes,
+                "gc_sec": gc_total,
+                "gc_between": gc_between,
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
                 "stream_throughput_fps": stream_fps,
@@ -192,14 +261,24 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
+        "probe_sec": probes,
+        "gc_sec": gc_total,
+        "gc_between": gc_between,
+        "adjudicate": adjudicate,
         "stream_throughput_fps": stream_fps,
         **({"stream_throughput_error": stream_err} if stream_err else {}),
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:
-        # Tail-window safety: the driver keeps only ~2 KB of stdout.  If
-        # the headline set grows past what fits, drop per-query detail
-        # from the line (it is always in BENCH_DETAIL.json).
+        # Tail-window safety: the driver keeps only ~2 KB of stdout.
+        # Shed the per-mover adjudication detail first (it is duplicated
+        # in BENCH_DETAIL.json; probe_sec/gc_sec stay), then — only if
+        # still oversized — the per-query medians (also in the detail
+        # file, but the round-over-round comparison reads them from the
+        # tail, so they go last).
+        summary["adjudicate"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:
         del summary["queries"]
         line = json.dumps(summary, separators=(",", ":"))
     print(line)

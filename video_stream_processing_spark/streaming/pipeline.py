@@ -415,38 +415,35 @@ def image_dedup_stream(
     )
 
 
-def image_neardup_dedup_stream(
-    frames: DataFrame,
+def neardup_gate_stream(
+    sig_stream: DataFrame,
     index_sig: DataFrame,
     watermark: str = "10 minutes",
     max_hamming: int = 3,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Streaming NEAR-dup ingest gate — the production form of the
-    image-dedup lane: arriving (doc_id, ts, payload) frames are decoded
-    + dHashed in-stream (same codec + hash as the batch queries), then
-    band-joined against the STORED signature index (``index_sig``,
-    x138's (doc_id, sig) shape) as a stream-STATIC anti join: the
-    arriving signature is split into ``n_bands`` pigeonhole band keys
-    (Manku et al. 2007 — any pair within Hamming n_bands - 1 agrees on
-    at least one band), each band is an equi-join against the
-    once-materialized banded index with a two-XOR+bit_count verify
-    <= ``max_hamming`` folded into the anti-join condition, so a
-    jittered/re-encoded copy of ANY indexed image is suppressed at
-    ingest — the radius-3 class that ``image_dedup_stream``'s
-    exact-signature gate lets through. Survivors are then exact-deduped
-    within the stream by ``dropDuplicatesWithinWatermark`` (bounded
-    state: one fixed-width key per signature; near-dup pairing WITHIN
-    an ingest window remains x138's incremental batch join over the
-    appended index — splitting the radius this way keeps stream state
-    flat while the static side carries the corpus).
+    """Modality-agnostic streaming NEAR-dup ingest gate over 64-bit
+    signatures: an already-fingerprinted stream (doc_id, ts, sig —
+    dHash, SimHash, audio energy-delta, video temporal... anything the
+    batch lanes band with operators/dedup.py:banded_hamming_pairs) is
+    gated against the STORED signature index (``index_sig``, x138's
+    (doc_id, sig) shape) as a stream-STATIC anti join: the arriving
+    signature is split into ``n_bands`` pigeonhole band keys (Manku et
+    al. 2007 — any pair within Hamming n_bands - 1 agrees on at least
+    one band), each band is an equi-join against the once-materialized
+    banded index with a two-XOR+bit_count verify <= ``max_hamming``
+    folded into the anti-join condition, so a jittered/re-encoded copy
+    of ANY indexed item is suppressed at ingest. Survivors are then
+    exact-deduped within the stream by ``dropDuplicatesWithinWatermark``
+    (bounded state: one fixed-width key per signature; near-dup pairing
+    WITHIN an ingest window remains the incremental batch join over the
+    appended index, x138 — splitting the radius this way keeps stream
+    state flat while the static side carries the corpus).
 
     At 100 TB the static side is the banded signature index ((band,
     bkey, two 32-bit halves) — fixed-width rows, partitionable by band
     key, appended per ingest); each micro-batch costs ``n_bands`` hash
-    anti-joins on band keys, no stream-stream join, no all-pairs.
-    Pixels never leave the Arrow pass; only (doc_id, ts, sig) flows
-    into the joins and state."""
+    anti-joins on band keys, no stream-stream join, no all-pairs."""
     if 64 % n_bands != 0:
         raise ValueError(
             f"n_bands must divide 64 (got {n_bands}): a non-divisor "
@@ -454,34 +451,13 @@ def image_neardup_dedup_stream(
             "silently voids the pigeonhole recall guarantee"
         )
     width = 64 // n_bands
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from video_stream_processing_spark.functions.imagecodec import (
-            decode_image_bgr,
-        )
-        from video_stream_processing_spark.operators.multimodal import dhash64
-
-        for pdf in batches:
-            sigs = []
-            for blob in pdf["payload"]:
-                img = decode_image_bgr(blob)
-                sigs.append(None if img is None else dhash64(img))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "ts": pdf["ts"], "sig": sigs}
-            )
-
-    hashed = (
-        frames.mapInPandas(hash_batch, schema="doc_id long, ts timestamp, sig string")
-        .where(F.col("sig").isNotNull())
-        .select(
-            "doc_id",
-            "ts",
-            "sig",
-            F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
-            F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
-        )
-        .withWatermark("ts", watermark)
-    )
+    hashed = sig_stream.select(
+        "doc_id",
+        "ts",
+        "sig",
+        F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("h1"),
+        F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("h2"),
+    ).withWatermark("ts", watermark)
 
     # Static side banded ONCE (the x106 materialize-once posture) —
     # per-band slices are filters over the checkpointed table, not
@@ -511,6 +487,86 @@ def image_neardup_dedup_stream(
         )
     return survivors.dropDuplicatesWithinWatermark(["sig"]).select(
         "doc_id", "ts", "sig"
+    )
+
+
+def image_neardup_dedup_stream(
+    frames: DataFrame,
+    index_sig: DataFrame,
+    watermark: str = "10 minutes",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate for the image lane: arriving
+    (doc_id, ts, payload) frames are decoded + dHashed in-stream (same
+    codec + hash as the batch queries), then gated by
+    ``neardup_gate_stream`` against the stored image signature index —
+    the radius-3 class that ``image_dedup_stream``'s exact-signature
+    gate lets through is suppressed at ingest. Pixels never leave the
+    Arrow pass; only (doc_id, ts, sig) flows into the joins and
+    state."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.imagecodec import (
+            decode_image_bgr,
+        )
+        from video_stream_processing_spark.operators.multimodal import dhash64
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                img = decode_image_bgr(blob)
+                sigs.append(None if img is None else dhash64(img))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ts": pdf["ts"], "sig": sigs}
+            )
+
+    hashed = frames.mapInPandas(
+        hash_batch, schema="doc_id long, ts timestamp, sig string"
+    ).where(F.col("sig").isNotNull())
+    return neardup_gate_stream(
+        hashed, index_sig, watermark=watermark, max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
+def audio_neardup_dedup_stream(
+    clips: DataFrame,
+    index_sig: DataFrame,
+    watermark: str = "10 minutes",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate for the audio lane: arriving
+    (doc_id, ts, payload) WAV clips are decoded + fingerprinted
+    in-stream (functions/wavcodec.decode_wav + operators/audio.afp64 —
+    the same decoder + Haitsma-Kalker energy-delta hash the batch x139
+    lane uses), then gated by ``neardup_gate_stream`` against the
+    stored audio signature index: an amplitude-jittered or re-encoded
+    copy of ANY indexed clip is suppressed at ingest. Undecodable or
+    too-short clips yield no signature and are dropped (decode-or-null).
+    Audio bytes never leave the Arrow pass; only (doc_id, ts, sig)
+    flows into the joins and state."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.functions.wavcodec import decode_wav
+        from video_stream_processing_spark.operators.audio import afp64
+
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                decoded = decode_wav(bytes(blob))
+                sigs.append(None if decoded is None else afp64(decoded[0]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ts": pdf["ts"], "sig": sigs}
+            )
+
+    hashed = clips.mapInPandas(
+        hash_batch, schema="doc_id long, ts timestamp, sig string"
+    ).where(F.col("sig").isNotNull())
+    return neardup_gate_stream(
+        hashed, index_sig, watermark=watermark, max_hamming=max_hamming,
+        n_bands=n_bands,
     )
 
 
