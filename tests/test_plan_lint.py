@@ -55,6 +55,11 @@ NESTED_LOOP_ALLOWED = {
     # query x centroid broadcasts of its x44/x48/x50 legs; the hit
     # join against exact is an explicit broadcast hash join
     "x136_ann_recall_report",
+    # planted-corpus recall report: x136's exact shape over the derived
+    # corpus — same ONE-ROW scalar broadcast + inherited method-leg
+    # broadcasts; the corpus derivation itself is projection + explode,
+    # no join
+    "x146_ann_recall_planted",
     # fuzzy dictionary match: the edit-distance predicate joins the
     # DISTINCT VOCABULARY against a broadcast ~6-term dictionary —
     # vocab x dict is the linear-with-bounded-inner-side shape (the

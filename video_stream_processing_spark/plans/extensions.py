@@ -6965,3 +6965,164 @@ def x146_ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / (F.lit(3) * F.col("n_queries")), 6
         ).alias("recall_at_3"),
     )
+
+
+@register(
+    "x147_av_fingerprint_quality",
+    oracle=f"""
+WITH adet AS (
+    SELECT doc_a, doc_b FROM ({_X139_ORACLE})
+),
+vdet AS (
+    SELECT doc_a, doc_b FROM ({_X140_ORACLE})
+),
+planted AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 7 = 3 AND doc_id % 97 != 0 AND (doc_id - 3) % 97 != 0
+),
+vplanted AS (
+    SELECT doc_id FROM planted
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '5c'
+      AND substr(md5(CAST(doc_id - 3 AS VARCHAR)), 1, 2) < '5c'
+),
+a_exact AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM planted WHERE doc_id % 3 = 0),
+a_jit   AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM planted WHERE doc_id % 3 > 0),
+v_exact AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM vplanted WHERE doc_id % 3 = 0),
+v_jit   AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM vplanted WHERE doc_id % 3 > 0),
+legs AS (
+    SELECT 'audio' AS modality, 'exact' AS class,
+           count(*) AS n_truth,
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_det
+    FROM a_exact t LEFT JOIN adet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+    UNION ALL
+    SELECT 'audio', 'jitter', count(*),
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+    FROM a_jit t LEFT JOIN adet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+    UNION ALL
+    SELECT 'video', 'exact', count(*),
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+    FROM v_exact t LEFT JOIN vdet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+    UNION ALL
+    SELECT 'video', 'jitter', count(*),
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+    FROM v_jit t LEFT JOIN vdet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+),
+others AS (
+    SELECT 'audio' AS modality, 'other' AS class, 0 AS n_truth, count(*) AS n_det
+    FROM adet d
+    LEFT JOIN a_exact e ON d.doc_a = e.doc_a AND d.doc_b = e.doc_b
+    LEFT JOIN a_jit j ON d.doc_a = j.doc_a AND d.doc_b = j.doc_b
+    WHERE e.doc_a IS NULL AND j.doc_a IS NULL
+    UNION ALL
+    SELECT 'video', 'other', 0, count(*)
+    FROM vdet d
+    LEFT JOIN v_exact e ON d.doc_a = e.doc_a AND d.doc_b = e.doc_b
+    LEFT JOIN v_jit j ON d.doc_a = j.doc_a AND d.doc_b = j.doc_b
+    WHERE e.doc_a IS NULL AND j.doc_a IS NULL
+)
+SELECT modality, class, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_det AS BIGINT) AS n_detected,
+       round(CAST(n_det AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+FROM legs
+UNION ALL
+SELECT modality, class, CAST(n_truth AS BIGINT), CAST(n_det AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM others
+""",
+    tags=("extension", "multimodal", "dedup", "fingerprint", "eval"),
+)
+def x147_av_fingerprint_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint quality report for the AUDIO and VIDEO lanes — x142's
+    arithmetic-ground-truth move (image dHash) applied to the two r12
+    fingerprints that lacked one, completing per-modality quality
+    coverage (text x78 has no planted fixture by design — its corpus
+    near-dups are natural). Truth classes are ARITHMETIC: 'exact' pairs
+    are planted copies with zero jitter (doc_id % 7 == 3, doc_id % 3 ==
+    0 — byte-identical synth, so recall must be 1.0 by construction:
+    identical signature -> guaranteed band collision), 'jitter' pairs
+    carry the sparse perturbation (doc_id % 3 > 0 — measures how often
+    the jitter stays within the guaranteed Hamming radius, the
+    band-retuning diagnostic), 'other' counts detected pairs outside
+    both classes (distinct-content collisions within 3 bits — the
+    false-positive rate; recall = -1.0 sentinel). Both endpoints must
+    be decodable (% 97 corrupt docs yield no signature), and the video
+    legs respect x140's md5 < '5c' doc slice on BOTH endpoints.
+    Detection reuses the certified x139/x140 pipelines verbatim; the
+    oracle replays their full chains plus all six legs, so the quality
+    numbers themselves are differential-checked. Scale: truth classes
+    are modulus filters over doc_id (no joins wider than the pair
+    sets); the report adds four bounded left joins + six 1-row
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # materialized ONCE: the planted id sliver (1/7 of doc_ids, ids
+    # only) feeds all four truth legs plus both 'other' anti-joins —
+    # without this the documents scan repeats 8x across the branches
+    planted = docs.where(
+        (F.col("doc_id") % 7 == 3)
+        & (F.col("doc_id") % 97 != 0)
+        & ((F.col("doc_id") - 3) % 97 != 0)
+    ).localCheckpoint(eager=True)
+    in_slice = lambda c: F.substring(F.md5(c.cast("string")), 1, 2) < "5c"  # noqa: E731
+    vplanted = planted.where(
+        in_slice(F.col("doc_id")) & in_slice(F.col("doc_id") - 3)
+    )
+
+    def truth(src: DataFrame, exact: bool) -> DataFrame:
+        cond = F.col("doc_id") % 3 == 0 if exact else F.col("doc_id") % 3 > 0
+        return src.where(cond).select(
+            (F.col("doc_id") - 3).alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+
+    adet = (
+        x139_audio_fingerprint_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
+    )
+    vdet = (
+        x140_video_fingerprint_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
+    )
+
+    def leg(truth_df: DataFrame, det: DataFrame, modality: str, cls: str) -> DataFrame:
+        j = truth_df.join(F.broadcast(det), ["doc_a", "doc_b"], "left")
+        return j.agg(
+            F.lit(modality).alias("modality"),
+            F.lit(cls).alias("class"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_detected"),
+        ).select(
+            "modality",
+            "class",
+            "n_truth",
+            "n_detected",
+            F.round(
+                F.col("n_detected").cast("double") / F.greatest("n_truth", F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+
+    def other(det: DataFrame, te: DataFrame, tj: DataFrame, modality: str) -> DataFrame:
+        return (
+            det.join(te.withColumn("te", F.lit(1)), ["doc_a", "doc_b"], "left")
+            .join(tj.withColumn("tj", F.lit(1)), ["doc_a", "doc_b"], "left")
+            .where(F.col("te").isNull() & F.col("tj").isNull())
+            .agg(
+                F.lit(modality).alias("modality"),
+                F.lit("other").alias("class"),
+                F.lit(0).cast("long").alias("n_truth"),
+                F.count(F.lit(1)).cast("long").alias("n_detected"),
+                F.lit(-1.0).alias("recall"),
+            )
+        )
+
+    a_exact, a_jit = truth(planted, True), truth(planted, False)
+    v_exact, v_jit = truth(vplanted, True), truth(vplanted, False)
+    return (
+        leg(a_exact, adet, "audio", "exact")
+        .unionByName(leg(a_jit, adet, "audio", "jitter"))
+        .unionByName(leg(v_exact, vdet, "video", "exact"))
+        .unionByName(leg(v_jit, vdet, "video", "jitter"))
+        .unionByName(other(adet, a_exact, a_jit, "audio"))
+        .unionByName(other(vdet, v_exact, v_jit, "video"))
+    )
