@@ -479,3 +479,94 @@ def test_x145_grid_lands_on_blocks():
         for j in range(8)
     )
     assert dhash64(img) == expected
+
+
+@pytest.mark.slow
+def test_video_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path):
+    """Streaming NEAR-dup ingest gate for video, stream==batch pinned:
+    a brightness-jittered copy of an indexed clip is suppressed by the
+    stream-static band join in either micro-batch; a distinct clip
+    passes; an in-stream exact replay is suppressed; a wrong-frame-count
+    clip drops (decode-or-null)."""
+    from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
+    from video_stream_processing_spark.operators.multimodal import (
+        VFP_FRAMES,
+        make_clip_sig_kernel,
+    )
+    from video_stream_processing_spark.streaming.pipeline import (
+        video_neardup_dedup_stream,
+    )
+
+    BASE = 1_700_000_000_000
+    rng = np.random.RandomState(9)
+    base_vals = [2 * int(v) for v in rng.randint(0, 127, VFP_FRAMES)]
+    other_vals = [2 * int(v) for v in rng.randint(0, 127, VFP_FRAMES)]
+    third_vals = [2 * int(v) for v in rng.randint(0, 127, VFP_FRAMES)]
+
+    def clip(vals):
+        return b"".join(encode_jpeg(np.full((8, 8, 3), v, np.uint8)) for v in vals)
+
+    def jit(vals, step):
+        return [min(v + (step if f % 13 == 0 else 0), 255) for f, v in enumerate(vals)]
+
+    kernel = make_clip_sig_kernel()
+    index_sig = spark.createDataFrame(
+        [(100, kernel(clip(base_vals)))], "doc_id long, sig string"
+    )
+    batch1 = [
+        (1, BASE, bytearray(clip(jit(base_vals, 2)))),  # near indexed -> drop
+        (2, BASE + 1_000, bytearray(clip(other_vals))),  # distinct -> keep
+    ]
+    batch2 = [
+        (3, BASE + 2_000, bytearray(clip(jit(base_vals, 4)))),  # near indexed
+        (4, BASE + 3_000, bytearray(clip(other_vals))),  # in-stream replay
+        (5, BASE + 4_000, bytearray(clip(third_vals))),  # distinct -> keep
+        (6, BASE + 5_000, bytearray(clip(base_vals[: VFP_FRAMES - 1]))),  # short
+    ]
+
+    def _w(rows, mode):
+        (
+            spark.createDataFrame(rows, "doc_id long, ts_ms long, payload binary")
+            .select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "payload")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(str(tmp_path / "vclips"))
+        )
+
+    _w(batch1, "overwrite")
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, payload binary"
+    ).parquet(str(tmp_path / "vclips"))
+    q = (
+        video_neardup_dedup_stream(stream, index_sig, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("video_neardup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w(batch2, "append")
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM video_neardup").collect()
+        )
+    finally:
+        q.stop()
+
+    # batch reference: brute-force the same semantics over the arrivals
+    idx_sigs = [kernel(clip(base_vals))]
+    seen, expected = set(), []
+    for doc_id, _, payload in batch1 + batch2:
+        s = kernel(bytes(payload))
+        if s is None:
+            continue
+        if any(sum(a != b for a, b in zip(s, t)) <= 3 for t in idx_sigs):
+            continue
+        if s in seen:
+            continue
+        seen.add(s)
+        expected.append(doc_id)
+    assert expected == [2, 5]  # fixture sanity
+    assert got == expected

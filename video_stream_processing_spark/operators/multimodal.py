@@ -595,54 +595,63 @@ def video_fingerprints(df: DataFrame) -> DataFrame:
     join."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from video_stream_processing_spark.functions.imagecodec import (
-            decode_image_bgr,
-        )
-
-        # Content-addressed decode memo: a clip corpus repeats identical
-        # frame bitstreams (freeze frames, test cards, synthetic
-        # fixtures), and a pure-Python JPEG decode is the dominant cost
-        # of this pass — each DISTINCT bitstream still goes through the
-        # production decoder exactly once, a miss costs one dict probe.
-        # Bounded per task; keyed by the raw bytes so correctness cannot
-        # depend on the memo.
-        memo: dict[bytes, int | None] = {}
-
-        def brightness(frame: bytes) -> int | None:
-            if frame not in memo:
-                img = decode_image_bgr(frame)
-                # Integer mean over the whole decoded frame (floor
-                # division keeps the oracle replayable): on a flat frame
-                # this equals any single pixel, and on real footage it is
-                # the frame's mean intensity — the signature tracks
-                # content, not one corner pixel.
-                memo[frame] = (
-                    None
-                    if img is None
-                    else int(img.sum(dtype="int64")) // img.size
-                )
-            return memo[frame]
-
+        clip_sig = make_clip_sig_kernel()
         for pdf in batches:
-            sigs = []
-            for blob in pdf["payload"]:
-                data = bytes(blob)
-                vals, start = [], 0
-                while start < len(data):
-                    eoi = data.find(b"\xff\xd9", start)
-                    if eoi < 0:
-                        break
-                    vals.append(brightness(data[start : eoi + 2]))
-                    start = eoi + 2
-                if len(vals) != VFP_FRAMES or any(v is None for v in vals):
-                    sigs.append(None)
-                else:
-                    sigs.append(
-                        "".join(
-                            "1" if vals[f + 1] > vals[f] else "0"
-                            for f in range(VFP_FRAMES - 1)
-                        )
-                    )
+            sigs = [clip_sig(bytes(blob)) for blob in pdf["payload"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return df.mapInPandas(fp, schema=DHASH_SCHEMA)
+
+
+def make_clip_sig_kernel():
+    """The per-clip video-fingerprint kernel shared by the batch lane
+    (``video_fingerprints`` / x140) and the streaming ingest gate
+    (streaming/pipeline.py:video_neardup_dedup_stream) — ONE definition,
+    two surfaces, so stream == batch by construction. Returns a
+    ``bytes -> sig-or-None`` callable that demuxes a concatenated-JPEG
+    clip on EOI markers, decodes every frame through the production
+    JPEG codec, reduces each to its integer mean intensity (sum //
+    size), and emits the 64 sign-of-consecutive-delta bits; clips that
+    do not demux to exactly VFP_FRAMES decodable frames yield None.
+
+    Carries a content-addressed decode memo: a clip corpus repeats
+    identical frame bitstreams (freeze frames, test cards, synthetic
+    fixtures), and a pure-Python JPEG decode is the dominant cost of
+    the pass — each DISTINCT bitstream still goes through the
+    production decoder exactly once, a miss costs one dict probe.
+    Bounded per task (one kernel per Arrow pass); keyed by the raw
+    bytes so correctness cannot depend on the memo."""
+    from video_stream_processing_spark.functions.imagecodec import (
+        decode_image_bgr,
+    )
+
+    memo: dict[bytes, int | None] = {}
+
+    def brightness(frame: bytes) -> int | None:
+        if frame not in memo:
+            img = decode_image_bgr(frame)
+            # Integer mean over the whole decoded frame (floor division
+            # keeps the oracle replayable): on a flat frame this equals
+            # any single pixel, and on real footage it is the frame's
+            # mean intensity — the signature tracks content, not one
+            # corner pixel.
+            memo[frame] = (
+                None if img is None else int(img.sum(dtype="int64")) // img.size
+            )
+        return memo[frame]
+
+    def clip_sig(data: bytes) -> str | None:
+        vals, start = [], 0
+        while start < len(data):
+            eoi = data.find(b"\xff\xd9", start)
+            if eoi < 0:
+                break
+            vals.append(brightness(data[start : eoi + 2]))
+            start = eoi + 2
+        if len(vals) != VFP_FRAMES or any(v is None for v in vals):
+            return None
+        return "".join(
+            "1" if vals[f + 1] > vals[f] else "0" for f in range(VFP_FRAMES - 1)
+        )
+
+    return clip_sig

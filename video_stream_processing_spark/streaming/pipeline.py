@@ -570,6 +570,46 @@ def audio_neardup_dedup_stream(
     )
 
 
+def video_neardup_dedup_stream(
+    clips: DataFrame,
+    index_sig: DataFrame,
+    watermark: str = "10 minutes",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate for the video lane — the last of
+    the four modalities onto ``neardup_gate_stream``: arriving
+    (doc_id, ts, payload) MJPEG clips are demuxed + decoded +
+    temporally fingerprinted in-stream (operators/multimodal.py:
+    video_fingerprints' EOI-boundary demux, production JPEG decode,
+    sign-of-mean-luma-delta bits — literally the same Arrow kernel the
+    batch x140 lane uses, applied per micro-batch), then gated against
+    the stored video signature index: a re-encoded or mildly regraded
+    copy of ANY indexed clip is suppressed at ingest. Clips that do not
+    demux to exactly VFP_FRAMES decodable frames yield no signature and
+    drop (decode-or-null). Clip bytes and pixels never leave the Arrow
+    pass; only (doc_id, ts, sig) flows into the joins and state."""
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from video_stream_processing_spark.operators.multimodal import (
+            make_clip_sig_kernel,
+        )
+
+        clip_sig = make_clip_sig_kernel()
+        for pdf in batches:
+            sigs = [clip_sig(bytes(blob)) for blob in pdf["payload"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ts": pdf["ts"], "sig": sigs}
+            )
+
+    hashed = clips.mapInPandas(
+        hash_batch, schema="doc_id long, ts timestamp, sig string"
+    ).where(F.col("sig").isNotNull())
+    return neardup_gate_stream(
+        hashed, index_sig, watermark=watermark, max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
 def incremental_dedup_stream(
     new_docs: DataFrame,
     existing_corpus: DataFrame,
