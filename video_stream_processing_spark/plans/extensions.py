@@ -5953,19 +5953,11 @@ def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webdataset_curation_rows(shards).localCheckpoint(eager=True)
 
 
-@register(
-    "x138_incremental_image_dedup",
-    oracle=f"""
-WITH m AS (
-    SELECT d.doc_id,
-           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
-           src.text AS t
-    FROM documents d
-    JOIN documents src
-      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
-),
-{_DHASH_SIG_CTES},
-sh AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 = 7),
+# Incremental-ingest replay tail shared by x138 (image) and x148
+# (audio): arriving shard = doc_id % 10 == 7, banded 4 x 16, shard x
+# base + shard x shard joins only, vs_existing attribution — expects a
+# preceding `sig` CTE with (doc_id, sig).
+_INCR_TAIL = """sh AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 = 7),
 bs AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 != 7),
 cand AS (
     SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
@@ -5983,10 +5975,25 @@ cand AS (
          = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
      AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming, vs_existing
+SELECT doc_a, doc_b, """ + _DHASH_HAMMING + """ AS hamming, vs_existing
 FROM cand
-WHERE {_DHASH_HAMMING} <= 3
-""",
+WHERE """ + _DHASH_HAMMING + """ <= 3
+"""
+
+
+@register(
+    "x138_incremental_image_dedup",
+    oracle=f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+{_DHASH_SIG_CTES},
+{_INCR_TAIL}""",
     tags=("extension", "multimodal", "dedup", "phash", "incremental"),
 )
 def x138_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6010,8 +6017,7 @@ def x138_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_hamming_pairs(sig, F.col("doc_id") % 10 == 7)
 
 
-_X139_ORACLE = f"""
-WITH m AS (
+_X139_SIG_CTES = r"""m AS (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
            CASE WHEN doc_id % 7 = 3 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS s
@@ -6037,7 +6043,10 @@ sig AS (
                CASE WHEN ee[CAST(k + 4 AS INT) + 1] > ee[CAST(k AS INT) + 1]
                     THEN '1' ELSE '0' END), '') AS sig
     FROM e
-),
+)"""
+
+_X139_ORACLE = f"""
+WITH {_X139_SIG_CTES},
 {_DHASH_CAND_CTE}
 SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
@@ -6074,7 +6083,17 @@ def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     synth, PCM layout, fingerprint, banding, verify — is integer
     arithmetic, so the DuckDB oracle replays it end to end. Audio
     bytes never cross a shuffle; only (doc_id, 8-byte sig) enters the
-    join — the stored-index posture x138 refreshes incrementally."""
+    join — the stored-index posture x138/x148 refresh incrementally."""
+    return D.banded_hamming_pairs(_afp_fixture_sigs(spark, sf_dir))
+
+
+def _afp_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x139/x148 fixture signature table: render each doc's 136-
+    sample WAV clip (md5 synth; doc_id % 7 == 3 replays doc_id - 3's
+    samples with a sparse +doc_id % 3 amplitude jitter; doc_id % 97 ==
+    0 is corrupt) through the production encoder, decode + afp64
+    through the production decoder/hash. Returns (doc_id, sig), null
+    sigs dropped."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -6117,8 +6136,35 @@ def x139_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
-    sig = audio_fingerprints(rendered).where(F.col("sig").isNotNull())
-    return D.banded_hamming_pairs(sig)
+    return audio_fingerprints(rendered).where(F.col("sig").isNotNull())
+
+
+@register(
+    "x148_incremental_audio_dedup",
+    oracle=f"""
+WITH {_X139_SIG_CTES},
+{_INCR_TAIL}""",
+    tags=("extension", "multimodal", "dedup", "audio", "incremental"),
+)
+def x148_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest audio near-dup — x138's arriving-shard
+    discipline applied to the audio fingerprint lane, so the stored-
+    index refresh now covers a second modality with the SAME engine
+    (operators/dedup.py:incremental_hamming_pairs): the arriving shard
+    (doc_id % 10 == 7, the x42/x106/x138 crawl-batch split) is
+    fingerprinted ONCE through the production WAV decode + afp64 chain
+    (x139's certified fixture, shared builder) and near-dup-checked
+    against the existing corpus's STORED signature index via band
+    equi-joins, plus within itself — the base corpus is never
+    re-paired. vs_existing marks cross-ingest pairs. At 100 TB the
+    audio index is the same fixed-width (doc_id, 8-byte sig) table as
+    the image one — one stored-index format serves every modality, the
+    operational point of the shared banded engine. Oracle: x139's
+    signature replay + the shared incremental tail (both module
+    constants — byte-identical to their x139/x138 uses)."""
+    return D.incremental_hamming_pairs(
+        _afp_fixture_sigs(spark, sf_dir), F.col("doc_id") % 10 == 7
+    )
 
 
 _X140_ORACLE = f"""
