@@ -442,19 +442,26 @@ _X89_ROUNDS = 5
 
 
 def _x89_oracle() -> str:
-    chain = ["a0 AS (SELECT node FROM deg)"]
+    # Every CTE is MATERIALIZED: each peel round references the previous
+    # accepted-set TWICE (src and dst sides), so DuckDB's default
+    # inlining makes the expansion tree DOUBLE per round — 2^5 copies of
+    # the basket self-join at 5 rounds, which filled 80 GB of spill at
+    # sf0.1 before ENOSPC (caught by the r13 full sf0.1 sweep).
+    # Materialization makes the replay linear (~8 s at sf0.1); results
+    # are identical — it is an evaluation hint, not semantics.
+    chain = ["a0 AS MATERIALIZED (SELECT node FROM deg)"]
     for i in range(1, _X89_ROUNDS + 1):
         chain.append(
-            f"""e{i} AS (
+            f"""e{i} AS MATERIALIZED (
     SELECT e.src, e.dst FROM edges e
     JOIN a{i - 1} x ON e.src = x.node
     JOIN a{i - 1} y ON e.dst = y.node
 ),
-a{i} AS (SELECT src AS node FROM e{i} GROUP BY src HAVING count(*) >= {_X89_K})"""
+a{i} AS MATERIALIZED (SELECT src AS node FROM e{i} GROUP BY src HAVING count(*) >= {_X89_K})"""
         )
     return (
         "WITH "
-        + _GRAPH_SQL.strip()
+        + _GRAPH_SQL.strip().replace(" AS (", " AS MATERIALIZED (")
         + ",\n"
         + ",\n".join(chain)
         + f""",

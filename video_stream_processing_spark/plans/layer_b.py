@@ -1091,7 +1091,7 @@ def b33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b34_range_join",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-       round((epoch_ms(p.ts) - epoch_ms(c.ts)) / 60000.0, 4) AS mins_apart
+       ((epoch_ms(p.ts) - epoch_ms(c.ts) + 3) // 6) / 10000.0 AS mins_apart
 FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -1106,7 +1106,16 @@ def b34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the preceding hour) rewritten as a tolerance-bucket equi-join +
     exact predicate — bounded-fanout hash join instead of the
     nested-loop a raw inequality produces
-    (operators/joins.py:range_join_bucketed)."""
+    (operators/joins.py:range_join_bucketed).
+
+    mins_apart is rounded to 4 dp IN INTEGER MILLISECONDS —
+    (delta_ms + 3) div 6, i.e. half-up of delta_ms/6 — then scaled by
+    /1e4 as the final double. round(delta_ms / 60000.0, 4) was
+    cross-engine-unstable at true half-ties: at sf0.1 three cells hit
+    exact X.XXXX5 minutes, where Spark's Round (shortest-decimal
+    HALF_UP) said .XXX2 and DuckDB (binary-double round) said .XXX1.
+    Integer division on the exact millisecond delta is tie-free in both
+    engines (the x131 micro-unit discipline)."""
     from video_stream_processing_spark.operators.joins import range_join_bucketed
 
     ev = load_table(spark, sf_dir, "events")
@@ -1119,15 +1128,17 @@ def b34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_bucketed(
         p, c, key="user_id", left_ts="ts", right_ts="click_ts", tolerance_ms=3_600_000
     )
-    delta_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.col("click_ts"))
     return (
         joined.where(
             (F.col("click_ts") <= F.col("ts")) & (F.col("purchase_id") != F.col("click_id"))
         )
+        .withColumn(
+            "delta_ms", F.unix_millis(F.col("ts")) - F.unix_millis(F.col("click_ts"))
+        )
         .select(
             "purchase_id",
             "click_id",
-            F.round(delta_ms / 60_000.0, 4).alias("mins_apart"),
+            (F.expr("(delta_ms + 3) div 6") / F.lit(10000.0)).alias("mins_apart"),
         )
     )
 
@@ -1482,29 +1493,58 @@ def b46_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b47_ntile_distribution",
     oracle="""
-SELECT c_custkey, c_nationkey, c_acctbal,
-       CAST(ntile(4) OVER w AS INT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+WITH w0 AS (
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(round(percent_rank() OVER w * (count(*) OVER p - 1)) AS BIGINT) AS j,
+           CAST(round(cume_dist() OVER w * count(*) OVER p) AS BIGINT) AS k,
+           count(*) OVER p AS n
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_nationkey)
+)
+SELECT c_custkey, c_nationkey, c_acctbal, quartile,
+       CAST((2 * j * 1000000 + greatest(n - 1, 1)) // (2 * greatest(n - 1, 1)) AS BIGINT) AS pct_rank_e6,
+       CAST((2 * k * 1000000 + n) // (2 * n) AS BIGINT) AS cume_e6
+FROM w0
 """,
     tags=("layer_b", "window_fn"),
 )
 def b47_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile(4) quartile bucketing,
     percent_rank, cume_dist per nation ordered by balance. Ties broken
-    on c_custkey so every rank-derived value is engine-deterministic;
-    percent_rank/cume_dist are single int-ratio divisions (exact)."""
+    on c_custkey so every rank-derived value is engine-deterministic.
+
+    pct_rank/cume are reported as HALF-UP MICRO-UNIT INTEGERS
+    (pct_rank_e6 / cume_e6): the window function's double is first
+    recovered to its exact integer numerator (round(cume_dist * n) = k
+    — the recovery is exact because the double sits within eps of k/n
+    and eps*n << 0.5), then rounded to 6 dp entirely in integer
+    arithmetic ((2*k*1e6 + n) div (2*n)). round(cume_dist(), 6) was
+    cross-engine-unstable at true half-ties: at sf0.1 three cells hit
+    an exact X.XXXXXX5 rational, where Spark's Round
+    (shortest-decimal HALF_UP) and DuckDB (binary-double round)
+    disagree by 1e-6 — the x131 micro-unit discipline applied to
+    window ratios. The window functions themselves are still what is
+    certified: every output is derived from their values."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    p = Window.partitionBy("c_nationkey")
+    n = F.count(F.lit(1)).over(p)
+    j = F.round(F.percent_rank().over(w) * (n - 1)).cast("long")
+    k = F.round(F.cume_dist().over(w) * n).cast("long")
+    d = F.greatest(n - 1, F.lit(1))
     return c.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ((2 * j * 1000000 + d.cast("long")) / (2 * d.cast("long")))
+        .cast("long")
+        .alias("pct_rank_e6"),
+        ((2 * k * 1000000 + n.cast("long")) / (2 * n.cast("long")))
+        .cast("long")
+        .alias("cume_e6"),
     )
 
 

@@ -96,6 +96,12 @@ _ORACLE_CHANGED: dict[str, int] = {
     # per-doc modality attribution (VERDICT r12 task 2).
     "x140_video_fingerprint_neardup": 13,
     "x141_multimodal_dup_clusters": 13,
+    # r13: the builder's FULL sf0.1 differential sweep (first ever at
+    # that scale) caught two cross-engine half-tie roundings invisible
+    # at sf0.01 — b34's mins_apart and b47's pct_rank/cume now round in
+    # integer micro-units (the x131 discipline).
+    "b34_range_join": 13,
+    "b47_ntile_distribution": 13,
 }
 
 
