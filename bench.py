@@ -153,8 +153,20 @@ def main() -> int:
 
     jvm = spark.sparkContext._jvm
 
+    # The GC MXBean deltas and System.gc() hint below reach the DRIVER
+    # JVM only. In local mode driver == executors, so gc_sec is the
+    # whole story; on a cluster it would silently exclude executor
+    # heaps while still being emitted as adjudication evidence — so
+    # refuse to report it there rather than mislead.
+    gc_is_whole_jvm = spark.sparkContext.master.startswith("local")
+    if not gc_is_whole_jvm:
+        gc_between = False
+
     def gc_time_sec() -> float:
         # cumulative stop-the-world time across all collectors, seconds
+        # (driver JVM == the only JVM under the local-mode check above)
+        if not gc_is_whole_jvm:
+            return 0.0
         beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
         return sum(b.getCollectionTime() for b in beans) / 1000.0
 
@@ -205,9 +217,32 @@ def main() -> int:
         ),
         key=lambda n: min(samples[n]) - max(samples[n]),
     )[:5]
-    adjudicate = {
-        n: {"spread": spread[n], "gc": gc_samples[n]} for n in movers
-    }
+
+    def _verdict(n: str) -> dict:
+        # Computed adjudication (VERDICT r13 task 6) — no manual A/B:
+        # a query is only "suspect" when its spread is wide (>1.5x)
+        # AND neither the per-rep GC delta nor machine-load movement
+        # (the probe spread) accounts for the slow rep.
+        ts, gs = samples[n], gc_samples[n]
+        delta = max(ts) - min(ts)
+        gc_delta = gs[ts.index(max(ts))] - gs[ts.index(min(ts))]
+        probe_delta = (max(probes) - min(probes)) if probes else 0.0
+        if max(ts) <= 1.5 * min(ts):
+            v = "noise"
+        elif gc_delta >= 0.5 * delta:
+            v = "gc_explains"
+        elif probe_delta >= 0.3 * min(probes or [1.0]):
+            v = "machine_load"
+        else:
+            v = "suspect"
+        return {
+            "spread": spread[n],
+            "gc": gs,
+            "gc_delta": round(gc_delta, 3),
+            "verdict": v,
+        }
+
+    adjudicate = {n: _verdict(n) for n in movers}
 
     total = round(sum(timings.values()), 3)
 
@@ -245,6 +280,7 @@ def main() -> int:
                 "probe_sec": probes,
                 "gc_sec": gc_total,
                 "gc_between": gc_between,
+                "gc_scope": "whole_jvm_local_mode" if gc_is_whole_jvm else "unavailable_nonlocal",
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
                 "stream_throughput_fps": stream_fps,

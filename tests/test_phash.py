@@ -361,6 +361,27 @@ def test_banded_join_rejects_nondivisor_bands(spark):
         incremental_hamming_pairs(df, F.col("doc_id") >= 0, n_bands=5)
 
 
+def test_banded_join_rejects_radius_beyond_pigeonhole(spark):
+    """max_hamming > n_bands - 1 means a pair at that distance can
+    differ in every band — the join would silently lose recall, the
+    same class the non-divisor guard prevents. All three entry points
+    (both batch join forms and the streaming gate) must refuse it."""
+    from video_stream_processing_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+    from video_stream_processing_spark.streaming.pipeline import (
+        neardup_gate_stream,
+    )
+
+    df = spark.createDataFrame([(0, "0" * 64)], "doc_id long, sig string")
+    with pytest.raises(ValueError, match="pigeonhole|n_bands-1"):
+        banded_hamming_pairs(df, max_hamming=5, n_bands=4)
+    with pytest.raises(ValueError, match="pigeonhole|n_bands-1"):
+        incremental_hamming_pairs(df, F.col("doc_id") >= 0, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="pigeonhole|n_bands-1"):
+        neardup_gate_stream(df, df, max_hamming=8, n_bands=8)
+
+
 @pytest.mark.slow
 def test_image_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path):
     """Streaming NEAR-dup ingest gate, stream==batch pinned across a

@@ -1411,6 +1411,13 @@ def banded_hamming_pairs(
             "leaves trailing signature bits out of every band key and "
             "silently voids the pigeonhole recall guarantee"
         )
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds n_bands-1={n_bands - 1}: "
+            "a pair at that distance can differ in every band, so the "
+            "band join silently loses recall; raise n_bands or lower "
+            "max_hamming"
+        )
     width = 64 // n_bands
     sig = (
         sig.select(
@@ -1482,6 +1489,13 @@ def incremental_hamming_pairs(
             f"n_bands must divide 64 (got {n_bands}): a non-divisor "
             "leaves trailing signature bits out of every band key and "
             "silently voids the pigeonhole recall guarantee"
+        )
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds n_bands-1={n_bands - 1}: "
+            "a pair at that distance can differ in every band, so the "
+            "band join silently loses recall; raise n_bands or lower "
+            "max_hamming"
         )
     width = 64 // n_bands
     bands = (

@@ -6774,11 +6774,11 @@ sig AS (
                     THEN '1' ELSE '0' END), '') AS sig
     FROM b
 ),
-{{_DHASH_CAND_CTE}}
-SELECT doc_a, doc_b, {{_DHASH_HAMMING}} AS hamming
+{_DHASH_CAND_CTE}
+SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
-WHERE {{_DHASH_HAMMING}} <= 3
-""".format(_DHASH_CAND_CTE=_DHASH_CAND_CTE, _DHASH_HAMMING=_DHASH_HAMMING),
+WHERE {_DHASH_HAMMING} <= 3
+""",
     tags=("extension", "multimodal", "dedup", "phash", "jpeg"),
 )
 def x145_image_dhash_jpeg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:

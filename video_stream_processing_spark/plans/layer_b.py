@@ -1534,17 +1534,25 @@ def b47_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.round(F.percent_rank().over(w) * (n - 1)).cast("long")
     k = F.round(F.cume_dist().over(w) * n).cast("long")
     d = F.greatest(n - 1, F.lit(1))
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        ((2 * j * 1000000 + d.cast("long")) / (2 * d.cast("long")))
-        .cast("long")
-        .alias("pct_rank_e6"),
-        ((2 * k * 1000000 + n.cast("long")) / (2 * n.cast("long")))
-        .cast("long")
-        .alias("cume_e6"),
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            (2 * j * 1000000 + d.cast("long")).alias("_pnum"),
+            (2 * d.cast("long")).alias("_pden"),
+            (2 * k * 1000000 + n.cast("long")).alias("_cnum"),
+            (2 * n.cast("long")).alias("_cden"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            "quartile",
+            F.expr("_pnum div _pden").alias("pct_rank_e6"),
+            F.expr("_cnum div _cden").alias("cume_e6"),
+        )
     )
 
 

@@ -450,6 +450,13 @@ def neardup_gate_stream(
             "leaves trailing signature bits out of every band key and "
             "silently voids the pigeonhole recall guarantee"
         )
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds n_bands-1={n_bands - 1}: "
+            "a pair at that distance can differ in every band, so the "
+            "band join silently loses recall; raise n_bands or lower "
+            "max_hamming"
+        )
     width = 64 // n_bands
     hashed = sig_stream.select(
         "doc_id",
