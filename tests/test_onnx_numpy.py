@@ -645,3 +645,75 @@ def test_batchnorm_inference_matches_manual():
         + bias.reshape(1, 4, 1, 1)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+INT8_CONVNET_SHA256 = "ac4442316d8d80ae3d78346c722900940bb0e8da1cc6c7775209f9dff78365ce"
+
+
+def test_int8_convnet_bytes_pinned():
+    """u05's fixture model is fully md5-derived — byte-identical on every
+    worker and across rounds (a drift here would silently desynchronize
+    the Spark side from the DuckDB oracle's arithmetic replay)."""
+    from video_stream_processing_spark.operators.onnx_numpy import make_int8_convnet
+
+    b1 = make_int8_convnet().serialize()
+    b2 = make_int8_convnet().serialize()
+    assert b1 == b2
+    assert hashlib.sha256(b1).hexdigest() == INT8_CONVNET_SHA256
+
+
+def test_int8_convnet_forward_is_exact_integer():
+    """The float32 forward pass through the REAL executor equals a
+    pure-python INTEGER replay of conv/relu/pool/gemm — the exactness
+    claim u05's DuckDB oracle relies on (all intermediates << 2^24)."""
+    from video_stream_processing_spark.operators.onnx_numpy import (
+        NumpyGraphSession,
+        make_int8_convnet,
+    )
+
+    sess = NumpyGraphSession(make_int8_convnet().serialize())
+
+    def mi(tag, mod, shift):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % mod - shift
+
+    for d in (0, 1, 97, 12345):
+        pxl = [
+            int(hashlib.md5(f"{d}:{p}".encode()).hexdigest()[:8], 16) % 256
+            for p in range(64)
+        ]
+        x = np.array(pxl, dtype=np.float32).reshape(1, 1, 8, 8)
+        got = [int(v) for v in sess.run(None, {"pix": x})[0].ravel()]
+        y = [
+            [
+                max(
+                    0,
+                    mi(f"cb:{c}", 7, 3)
+                    + sum(
+                        mi(f"cw:{c}:{t}", 5, 2)
+                        * pxl[((vp // 6) + (t // 3)) * 8 + (vp % 6) + (t % 3)]
+                        for t in range(9)
+                    ),
+                )
+                for vp in range(36)
+            ]
+            for c in range(4)
+        ]
+        mp = [
+            [
+                max(
+                    y[c][(2 * (q // 3)) * 6 + 2 * (q % 3)],
+                    y[c][(2 * (q // 3)) * 6 + 2 * (q % 3) + 1],
+                    y[c][(2 * (q // 3) + 1) * 6 + 2 * (q % 3)],
+                    y[c][(2 * (q // 3) + 1) * 6 + 2 * (q % 3) + 1],
+                )
+                for q in range(9)
+            ]
+            for c in range(4)
+        ]
+        flat = [mp[k // 9][k % 9] for k in range(36)]
+        want = [
+            mi(f"gb:{o}", 9, 4)
+            + sum(mi(f"gw:{o}:{k}", 5, 2) * flat[k] for k in range(36))
+            for o in range(5)
+        ]
+        assert got == want

@@ -935,3 +935,86 @@ def make_yolov8n_skeleton(
         output=[ValueInfoProto.make("output0", [1, 4 + nc, na])],
     )
     return ModelProto(graph=graph)
+
+
+def make_int8_convnet(num_classes: int = 5) -> ModelProto:
+    """Integer-exact convnet fixture for the DIFFERENTIAL-checked ONNX
+    lane (u05): Conv 1->4 3x3 valid -> Relu -> MaxPool 2x2/2 -> Flatten
+    -> Gemm(transB) over an 8x8 single-channel integer image. Every
+    weight is a SMALL INTEGER derived from md5 (replayable in ANSI SQL:
+    conv taps/Gemm in [-2,2], conv bias [-3,3], Gemm bias [-4,4]),
+    stored as float32; with uint8 inputs the largest intermediate is
+    |logit| <= 36 * 2 * (3 + 9*2*255) + 4 ~ 3.3e5 << 2^24, so the
+    float32 forward pass is EXACT integer arithmetic end-to-end and a
+    SQL engine can replay it with nested list folds (u05's oracle).
+    The executor path certified is the same one u04's full skeleton
+    exercises (im2col Conv, MaxPool, Gemm — YOLODetector.java:92-175's
+    inference contract)."""
+    import hashlib
+
+    def mi(tag: str, mod: int, shift: int) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % mod - shift
+
+    nc = num_classes
+    w_conv = np.array(
+        [[mi(f"cw:{c}:{t}", 5, 2) for t in range(9)] for c in range(4)],
+        dtype=np.float32,
+    ).reshape(4, 1, 3, 3)
+    b_conv = np.array([mi(f"cb:{c}", 7, 3) for c in range(4)], dtype=np.float32)
+    w_fc = np.array(
+        [[mi(f"gw:{o}:{k}", 5, 2) for k in range(36)] for o in range(nc)],
+        dtype=np.float32,
+    )
+    b_fc = np.array([mi(f"gb:{o}", 9, 4) for o in range(nc)], dtype=np.float32)
+
+    def attr_ints(name: str, v: list[int]) -> AttributeProto:
+        return AttributeProto.make_ints(name, v)
+
+    nodes = [
+        NodeProto(
+            op_type="Conv",
+            name="conv",
+            input=["pix", "w_conv", "b_conv"],
+            output=["c1"],
+            attribute=[
+                attr_ints("kernel_shape", [3, 3]),
+                attr_ints("strides", [1, 1]),
+                attr_ints("pads", [0, 0, 0, 0]),
+            ],
+        ),
+        NodeProto(op_type="Relu", name="relu", input=["c1"], output=["r1"], attribute=[]),
+        NodeProto(
+            op_type="MaxPool",
+            name="pool",
+            input=["r1"],
+            output=["p1"],
+            attribute=[attr_ints("kernel_shape", [2, 2]), attr_ints("strides", [2, 2])],
+        ),
+        NodeProto(
+            op_type="Flatten",
+            name="flat",
+            input=["p1"],
+            output=["f1"],
+            attribute=[AttributeProto.make_int("axis", 1)],
+        ),
+        NodeProto(
+            op_type="Gemm",
+            name="fc",
+            input=["f1", "w_fc", "b_fc"],
+            output=["logits"],
+            attribute=[AttributeProto.make_int("transB", 1)],
+        ),
+    ]
+    graph = GraphProto(
+        name="int8-convnet",
+        node=nodes,
+        initializer=[
+            numpy_to_tensor("w_conv", w_conv),
+            numpy_to_tensor("b_conv", b_conv),
+            numpy_to_tensor("w_fc", w_fc),
+            numpy_to_tensor("b_fc", b_fc),
+        ],
+        input=[ValueInfoProto.make("pix", [1, 1, 8, 8])],
+        output=[ValueInfoProto.make("logits", [1, nc])],
+    )
+    return ModelProto(graph=graph)

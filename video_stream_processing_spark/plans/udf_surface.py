@@ -279,3 +279,131 @@ def u04_onnx_numpy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d.bbox.y2").cast("double"), 2).alias("bbox_y2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# u05: the ONNX lane DIFFERENTIAL-checked (VERDICT r13 task 2) — an
+# integer-exact conv graph through the SAME numpy executor + pandas-UDF
+# plumbing as u04, with a DuckDB oracle that replays the forward pass
+# arithmetically. u04 stays the full-geometry skeleton run (rows_only);
+# u05 makes the executor itself hash-checked end-to-end.
+# --------------------------------------------------------------------------
+
+_U05_ORACLE = r"""
+WITH w AS (
+  SELECT
+    list_transform(range(4), vc -> list_transform(range(9), vt ->
+        ('0x' || substr(md5('cw:' || CAST(vc AS VARCHAR) || ':' || CAST(vt AS VARCHAR)), 1, 8))::BIGINT % 5 - 2)) AS cw,
+    list_transform(range(4), vc ->
+        ('0x' || substr(md5('cb:' || CAST(vc AS VARCHAR)), 1, 8))::BIGINT % 7 - 3) AS cb,
+    list_transform(range(5), vo -> list_transform(range(36), vk ->
+        ('0x' || substr(md5('gw:' || CAST(vo AS VARCHAR) || ':' || CAST(vk AS VARCHAR)), 1, 8))::BIGINT % 5 - 2)) AS gw,
+    list_transform(range(5), vo ->
+        ('0x' || substr(md5('gb:' || CAST(vo AS VARCHAR)), 1, 8))::BIGINT % 9 - 4) AS gb
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(64), vp ->
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(vp AS VARCHAR)), 1, 8))::BIGINT % 256) AS pxl
+  FROM documents WHERE doc_id % 5 = 0
+),
+conv AS (
+  SELECT doc_id,
+         list_transform(range(4), vc -> list_transform(range(36), vp ->
+             greatest(CAST(0 AS BIGINT), CAST(w.cb[vc + 1] + list_sum(list_transform(range(9), vt ->
+                 w.cw[vc + 1][vt + 1] * pxl[((vp // 6) + (vt // 3)) * 8 + (vp % 6) + (vt % 3) + 1])) AS BIGINT)))) AS y
+  FROM px, w
+),
+pool AS (
+  SELECT doc_id,
+         list_transform(range(36), vk ->
+             greatest(y[vk // 9 + 1][(2 * ((vk % 9) // 3)) * 6 + 2 * ((vk % 9) % 3) + 1],
+                      y[vk // 9 + 1][(2 * ((vk % 9) // 3)) * 6 + 2 * ((vk % 9) % 3) + 2],
+                      y[vk // 9 + 1][(2 * ((vk % 9) // 3) + 1) * 6 + 2 * ((vk % 9) % 3) + 1],
+                      y[vk // 9 + 1][(2 * ((vk % 9) // 3) + 1) * 6 + 2 * ((vk % 9) % 3) + 2])) AS flat
+  FROM conv
+),
+lg AS (
+  SELECT doc_id,
+         list_transform(range(5), vo ->
+             CAST(w.gb[vo + 1] + list_sum(list_transform(range(36), vk ->
+                 w.gw[vo + 1][vk + 1] * flat[vk + 1])) AS BIGINT)) AS lgv
+  FROM pool, w
+)
+SELECT doc_id, CAST(t.vo AS INT) AS class_idx, lgv[t.vo + 1] AS logit
+FROM lg, range(5) t(vo)
+"""
+
+
+def _u05_session():
+    """One parsed int8-convnet session per Python worker, reused across
+    Arrow batches — the identical per-worker memo discipline as
+    ``_u04_detector`` (the reference builds one OrtSession per subtask in
+    open(), VideoProcessFunction.java:60-66)."""
+    global _U05_SESSION
+    try:
+        return _U05_SESSION
+    except NameError:
+        from video_stream_processing_spark.operators.onnx_numpy import (
+            NumpyGraphSession,
+            make_int8_convnet,
+        )
+
+        _U05_SESSION = NumpyGraphSession(make_int8_convnet().serialize())
+        return _U05_SESSION
+
+
+@register(
+    "u05_onnx_integer_convnet",
+    oracle=_U05_ORACLE,
+    tags=("udf", "pandas_udf", "multimodal", "onnx"),
+)
+def u05_onnx_integer_convnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONNX inference DIFFERENTIAL-checked end-to-end: every sampled doc
+    renders a deterministic 8x8 integer image (md5 synth, the x145
+    fixture discipline) and runs it through the engine's OWN numpy ONNX
+    executor (operators/onnx_numpy.py — the same NumpyGraphSession that
+    executes u04's full YOLOv8 skeleton, fed serialized model BYTES so
+    the onnxproto parse path is in the certified chain) over
+    make_int8_convnet: Conv 1->4 3x3 -> Relu -> MaxPool 2x2/2 ->
+    Flatten -> Gemm, all weights md5-derived small integers, so the
+    float32 forward pass is exact integer arithmetic (|logit| << 2^24)
+    and the DuckDB oracle replays conv/relu/pool/gemm as nested list
+    folds — the inference contract the reference hands to onnxruntime
+    (YOLODetector.java:92-175) certified VALUE-exactly, not rows-only.
+    Output: (doc_id, class_idx, logit) — 5 logits per doc.
+    Scale posture: one session per worker (weights never in a row);
+    repartition BEFORE synthesis so pixels never cross a shuffle;
+    the 1/5 md5-free modulo sample bounds work per run."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .repartition(32, "doc_id")
+    )
+
+    @F.pandas_udf("array<long>")
+    def infer(doc_id):  # no hints: pd is a local import
+        import hashlib
+
+        sess = _u05_session()
+        out = []
+        for d in doc_id:
+            pxl = np.array(
+                [
+                    int(hashlib.md5(f"{int(d)}:{p}".encode()).hexdigest()[:8], 16)
+                    % 256
+                    for p in range(64)
+                ],
+                dtype=np.float32,
+            ).reshape(1, 1, 8, 8)
+            logits = sess.run(None, {"pix": pxl})[0]
+            out.append([int(v) for v in logits.ravel()])
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id", F.posexplode(infer("doc_id")).alias("class_idx", "logit")
+    ).select("doc_id", F.col("class_idx").cast("int").alias("class_idx"), "logit")
