@@ -591,3 +591,109 @@ def test_video_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path)
         expected.append(doc_id)
     assert expected == [2, 5]  # fixture sanity
     assert got == expected
+
+
+@pytest.mark.slow
+def test_text_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path):
+    """Text wrapper for the streaming NEAR-dup ingest gate (the fourth
+    modality), stream==batch pinned across a micro-batch boundary: a
+    token-jittered copy (SimHash Hamming <= 3) of an indexed document
+    arriving in EITHER micro-batch is suppressed by the stream-static
+    band join; a distinct document passes; an exact within-stream
+    replay in a later micro-batch is suppressed by the
+    watermark-bounded exact gate; empty text drops before hashing."""
+    import pandas as pd
+
+    from video_stream_processing_spark.operators.text import simhash_udf
+    from video_stream_processing_spark.streaming.pipeline import (
+        text_neardup_dedup_stream,
+    )
+
+    BASE = 1_700_000_000_000
+    # ~60 distinct tokens: one swapped token flips only the few simhash
+    # bits that token decides, keeping the jittered copy within radius 3
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    # replacement tokens pre-searched against the md5 bit contract so
+    # each jitter lands INSIDE the radius-3 gate (one swapped token
+    # flips only the bits that token decides; tok0->tok0c flips 1,
+    # tok1->tok1e flips 1)
+    jitter1 = base_text.replace("tok0 ", "tok0c ")
+    jitter2 = base_text.replace("tok1 ", "tok1e ")
+    distinct_b = " ".join(f"other{i}" for i in range(60))
+    distinct_c = " ".join(f"third{i}" for i in range(60))
+
+    def sim(txt: str) -> str:
+        return (
+            spark.createDataFrame([(txt,)], "text string")
+            .select(simhash_udf(F.col("text")).alias("sig"))
+            .collect()[0]["sig"]
+        )
+
+    def ham(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+
+    s_base = sim(base_text)
+    # fixture sanity: jitters inside radius 3, distinct texts far outside
+    assert 1 <= ham(sim(jitter1), s_base) <= 3
+    assert 1 <= ham(sim(jitter2), s_base) <= 3
+    assert ham(sim(distinct_b), s_base) > 3
+    assert ham(sim(distinct_c), s_base) > 3
+
+    index_sig = spark.createDataFrame([(100, s_base)], "doc_id long, sig string")
+
+    batch1 = [
+        (1, BASE, jitter1),        # near indexed doc -> drop
+        (2, BASE + 1_000, distinct_b),  # distinct -> keep
+    ]
+    batch2 = [
+        (3, BASE + 2_000, jitter2),     # near indexed doc -> drop
+        (4, BASE + 3_000, distinct_b),  # in-stream exact replay -> drop
+        (5, BASE + 4_000, distinct_c),  # distinct -> keep
+        (6, BASE + 5_000, "   "),       # whitespace-only -> drop pre-hash
+    ]
+
+    def _w(rows, mode):
+        (
+            spark.createDataFrame(rows, "doc_id long, ts_ms long, text string")
+            .select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "text")
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(str(tmp_path / "docs"))
+        )
+
+    _w(batch1, "overwrite")
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(tmp_path / "docs")
+    )
+    q = (
+        text_neardup_dedup_stream(stream, index_sig, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("txt_neardup")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w(batch2, "append")
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM txt_neardup").collect()
+        )
+    finally:
+        q.stop()
+
+    # batch reference: same semantics brute-forced over the same arrivals
+    seen, expected = set(), []
+    for doc_id, _, txt in batch1 + batch2:
+        if not txt.strip():
+            continue
+        s = sim(txt)
+        if ham(s, s_base) <= 3:
+            continue
+        if s in seen:
+            continue
+        seen.add(s)
+        expected.append(doc_id)
+    assert expected == [2, 5]  # fixture sanity
+    assert got == expected

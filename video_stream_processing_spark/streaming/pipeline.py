@@ -617,6 +617,40 @@ def video_neardup_dedup_stream(
     )
 
 
+def text_neardup_dedup_stream(
+    docs: DataFrame,
+    index_sig: DataFrame,
+    watermark: str = "10 minutes",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate for the TEXT lane — the fourth
+    modality onto ``neardup_gate_stream`` (VERDICT r13 task 3): arriving
+    (doc_id, ts, text) documents are tokenized + SimHashed in-stream
+    with the IDENTICAL Arrow kernel the batch x78 lane uses
+    (operators/text.py:simhash_udf — the md5 bit contract, distinct
+    whitespace tokens, sign-sum fold), then gated against the stored
+    text signature index: a lightly token-jittered copy of ANY indexed
+    document (Hamming <= ``max_hamming``, Charikar 2002's near-dup
+    radius) is suppressed at ingest. Null/whitespace-only documents
+    carry no content signal and drop BEFORE hashing (the decode-or-null
+    analog: the kernel's tokenless output is the constant "0"*64, which
+    would alias every empty doc into one near-dup clique, not a
+    fingerprint). Document bodies never enter the joins or state — only
+    (doc_id, ts, sig) flows past the Arrow pass, the same fixed-width
+    posture as the other three wrappers."""
+    from video_stream_processing_spark.operators.text import simhash_udf
+
+    hashed = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", "ts", simhash_udf(F.col("text")).alias("sig"))
+    )
+    return neardup_gate_stream(
+        hashed, index_sig, watermark=watermark, max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
 def incremental_dedup_stream(
     new_docs: DataFrame,
     existing_corpus: DataFrame,
