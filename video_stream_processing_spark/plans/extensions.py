@@ -7172,3 +7172,179 @@ def x147_av_fingerprint_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(other(adet, a_exact, a_jit, "audio"))
         .unionByName(other(vdet, v_exact, v_jit, "video"))
     )
+
+
+def _x149_oracle_sql() -> str:
+    """x149's oracle: render the token fixture in SQL, replay SimHash
+    bit-for-bit (the x78 fragment re-pointed at the rendered CTE), run
+    the banded candidate join + radius-3 verify (shared dHash
+    fragments — same 4x16 bands), then the x147 report grammar."""
+    rendered = r"""rendered AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(40), vg ->
+               't' || substr(md5(CAST(CASE WHEN doc_id % 7 = 3 THEN doc_id - 3
+                                            ELSE doc_id END AS VARCHAR)
+                                 || '/' || CAST(vg AS VARCHAR)), 1, 6)
+               || CASE WHEN doc_id % 7 = 3 AND doc_id % 3 > 0
+                            AND vg = doc_id % 40
+                       THEN 'j' ELSE '' END), ' ') AS text
+    FROM documents WHERE doc_id % 97 != 0
+)"""
+    sim = (
+        T.simhash_oracle_sql("rendered")
+        .replace("WITH tok", f"WITH {rendered},\ntok", 1)
+        .replace(
+            "SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash\nFROM sim GROUP BY doc_id",
+            ", sig AS (\n    SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig\n    FROM sim GROUP BY doc_id\n)",
+        )
+    )
+    return f"""{sim},
+{_DHASH_CAND_CTE},
+det AS (
+    SELECT doc_a, doc_b FROM cand WHERE {_DHASH_HAMMING} <= 3
+),
+planted AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 7 = 3 AND doc_id % 97 != 0 AND (doc_id - 3) % 97 != 0
+),
+t_exact AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM planted WHERE doc_id % 3 = 0),
+t_jit   AS (SELECT doc_id - 3 AS doc_a, doc_id AS doc_b FROM planted WHERE doc_id % 3 > 0),
+legs AS (
+    SELECT 'text' AS modality, 'exact' AS class,
+           count(*) AS n_truth,
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_det
+    FROM t_exact t LEFT JOIN det d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+    UNION ALL
+    SELECT 'text', 'jitter', count(*),
+           sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+    FROM t_jit t LEFT JOIN det d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+),
+others AS (
+    SELECT 'text' AS modality, 'other' AS class, 0 AS n_truth, count(*) AS n_det
+    FROM det d
+    LEFT JOIN t_exact e ON d.doc_a = e.doc_a AND d.doc_b = e.doc_b
+    LEFT JOIN t_jit j ON d.doc_a = j.doc_a AND d.doc_b = j.doc_b
+    WHERE e.doc_a IS NULL AND j.doc_a IS NULL
+)
+SELECT modality, class, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_det AS BIGINT) AS n_detected,
+       round(CAST(n_det AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+FROM legs
+UNION ALL
+SELECT modality, class, CAST(n_truth AS BIGINT), CAST(n_det AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM others
+"""
+
+
+@register(
+    "x149_text_fingerprint_quality",
+    oracle=_x149_oracle_sql(),
+    tags=("extension", "dedup", "simhash", "fingerprint", "eval"),
+)
+def x149_text_fingerprint_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint quality report for the TEXT lane — the last
+    fingerprint without arithmetic ground truth (VERDICT r13 task 4:
+    x142 covers image, x147 covers audio+video; x78's corpus near-dups
+    are natural, so SimHash's radius-3 behavior was asserted nowhere).
+    Same exact/jitter/other grammar as x147: each doc renders a
+    DETERMINISTIC 40-token text (md5 synth — the x139 lesson: never a
+    linear recurrence); planted docs (doc_id % 7 == 3) replay
+    doc_id - 3's tokens, 'exact' (% 3 == 0) byte-identical — identical
+    SimHash, recall 1.0 by construction — and 'jitter' (% 3 > 0) swaps
+    ONE token of 40 (position doc_id % 40 gets suffix 'j'), which
+    flips exactly the signature bits whose 40-way sign-sum that token
+    decides; the measured recall IS SimHash's radius-3 sensitivity to
+    single-token edits at 40-token docs, the band-retuning diagnostic
+    the verdict asked to pin. 'other' counts detected pairs outside
+    both classes (structural md5 collisions — expected ~0). doc_id %
+    97 == 0 docs render nothing (the decode-or-null analog: a tokenless
+    doc has no fingerprint; the constant empty-sig would alias them
+    into one clique). Detection is x78's production chain VERBATIM —
+    simhash_udf + the shared banded_hamming_pairs — and the oracle
+    replays token synth, SimHash bit contract, banding, verify and all
+    three report legs, so the quality numbers themselves are
+    hash-checked. Scale: the fixture is a projection (no shuffle before
+    the band join); truth classes are modulus filters; the report adds
+    two bounded broadcast left joins + three 1-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ds = F.when(F.col("doc_id") % 7 == 3, F.col("doc_id") - 3).otherwise(
+        F.col("doc_id")
+    )
+    is_jit = (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 > 0)
+
+    def tok(g):
+        base = F.concat(
+            F.lit("t"),
+            F.substring(
+                F.md5(F.concat(ds.cast("string"), F.lit("/"), g.cast("string"))),
+                1,
+                6,
+            ),
+        )
+        return F.concat(
+            base,
+            F.when(is_jit & (g == F.col("doc_id") % 40), F.lit("j")).otherwise(
+                F.lit("")
+            ),
+        )
+
+    rendered = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(39)), tok), " ").alias(
+            "text"
+        ),
+    )
+    det = (
+        D.banded_hamming_pairs(
+            rendered.select("doc_id", T.simhash_udf(F.col("text")).alias("sig"))
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=True)
+    )
+    planted = docs.where(
+        (F.col("doc_id") % 7 == 3)
+        & (F.col("doc_id") % 97 != 0)
+        & ((F.col("doc_id") - 3) % 97 != 0)
+    ).localCheckpoint(eager=True)
+
+    def truth(exact: bool) -> DataFrame:
+        cond = F.col("doc_id") % 3 == 0 if exact else F.col("doc_id") % 3 > 0
+        return planted.where(cond).select(
+            (F.col("doc_id") - 3).alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+
+    def leg(truth_df: DataFrame, cls: str) -> DataFrame:
+        j = truth_df.join(F.broadcast(det), ["doc_a", "doc_b"], "left")
+        return j.agg(
+            F.lit("text").alias("modality"),
+            F.lit(cls).alias("class"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_detected"),
+        ).select(
+            "modality",
+            "class",
+            "n_truth",
+            "n_detected",
+            F.round(
+                F.col("n_detected").cast("double") / F.greatest("n_truth", F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+
+    t_exact, t_jit = truth(True), truth(False)
+    other = (
+        det.join(t_exact.withColumn("te", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(t_jit.withColumn("tj", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .where(F.col("te").isNull() & F.col("tj").isNull())
+        .agg(
+            F.lit("text").alias("modality"),
+            F.lit("other").alias("class"),
+            F.lit(0).cast("long").alias("n_truth"),
+            F.count(F.lit(1)).cast("long").alias("n_detected"),
+            F.lit(-1.0).alias("recall"),
+        )
+    )
+    return (
+        leg(t_exact, "exact").unionByName(leg(t_jit, "jitter")).unionByName(other)
+    )
