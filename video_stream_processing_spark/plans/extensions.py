@@ -5953,10 +5953,37 @@ def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webdataset_curation_rows(shards).localCheckpoint(eager=True)
 
 
-# Incremental-ingest replay tail shared by x138 (image) and x148
-# (audio): arriving shard = doc_id % 10 == 7, banded 4 x 16, shard x
-# base + shard x shard joins only, vs_existing attribution — expects a
-# preceding `sig` CTE with (doc_id, sig).
+# Incremental-ingest replay tail shared by x138 (image), x148 (audio)
+# and x150 (video): arriving-shard predicate parametrized (x138/x148
+# use the doc_id % 10 == 7 crawl-batch split; x150's md5 half-shard is
+# documented there), banded 4 x 16, shard x base + shard x shard joins
+# only, vs_existing attribution — expects a preceding `sig` CTE with
+# (doc_id, sig).
+def _incr_tail(shard_sql: str) -> str:
+    return f"""sh AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE {shard_sql}),
+bs AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE NOT ({shard_sql})),
+cand AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           a.sig AS sig_a, b.sig AS sig_b, TRUE AS vs_existing
+    FROM sh a JOIN bs b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+    UNION
+    SELECT DISTINCT a.doc_id, b.doc_id, a.sig, b.sig, FALSE
+    FROM sh a JOIN sh b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, """ + _DHASH_HAMMING + """ AS hamming, vs_existing
+FROM cand
+WHERE """ + _DHASH_HAMMING + """ <= 3
+"""
+
+
 _INCR_TAIL = """sh AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 = 7),
 bs AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig WHERE doc_id % 10 != 7),
 cand AS (
@@ -6167,8 +6194,9 @@ def x148_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X140_ORACLE = f"""
-WITH m AS (
+# x140's signature replay (md5 clip synth -> clamped brightness ->
+# sign-of-delta bits), shared with x150's incremental tail
+_X140_SIG_CTES = r"""m AS (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS ds,
            CASE WHEN doc_id % 7 = 3 THEN CAST(2 * (doc_id % 3) AS INT) ELSE 0 END AS s
@@ -6189,7 +6217,10 @@ sig AS (
                CASE WHEN bb[CAST(k AS INT) + 2] > bb[CAST(k AS INT) + 1]
                     THEN '1' ELSE '0' END), '') AS sig
     FROM b
-),
+)"""
+
+_X140_ORACLE = f"""
+WITH {_X140_SIG_CTES},
 {_DHASH_CAND_CTE}
 SELECT doc_a, doc_b, {_DHASH_HAMMING} AS hamming
 FROM cand
@@ -6228,6 +6259,16 @@ def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     chain — synth, JPEG wire format, demux, decode, fingerprint,
     banding, verify — replays in the DuckDB oracle. Clip bytes never
     cross a shuffle; only (doc_id, 8-byte sig) enters the join."""
+    return D.banded_hamming_pairs(_vfp_fixture_sigs(spark, sf_dir))
+
+
+def _vfp_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x140's clip fixture -> production demux/decode/fingerprint chain,
+    shared by x140 (full-corpus pairing) and x150 (incremental tail):
+    renders each sliced doc's 65-frame concatenated-JPEG clip (md5
+    brightness synth, clamped at 255, planted jitter on every 13th
+    frame) and returns (doc_id, sig) from video_fingerprints —
+    decode-or-null rows already dropped."""
     import hashlib
 
     import numpy as np
@@ -6283,8 +6324,41 @@ def x140_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     rendered = docs.mapInPandas(render, schema="doc_id long, payload binary")
-    sig = video_fingerprints(rendered).where(F.col("sig").isNotNull())
-    return D.banded_hamming_pairs(sig)
+    return video_fingerprints(rendered).where(F.col("sig").isNotNull())
+
+
+@register(
+    "x150_incremental_video_dedup",
+    oracle=f"""
+WITH {_X140_SIG_CTES},
+{_incr_tail("substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '8'")}""",
+    tags=("extension", "multimodal", "dedup", "video", "incremental"),
+)
+def x150_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest video near-dup — the LAST fingerprint modality
+    onto the shared stored-index engine (VERDICT r13 task 5: x138 image,
+    x148 audio, now video): the arriving shard is demuxed + decoded +
+    temporally fingerprinted ONCE through x140's certified production
+    chain (shared _vfp_fixture_sigs builder) and near-dup-checked
+    against the existing corpus's STORED signature index via band
+    equi-joins, plus within itself — the base corpus is never
+    re-paired. vs_existing marks cross-ingest pairs. The shard here is
+    an md5 HALF-shard (content-addressed batch assignment, hex char 3
+    so it is independent of x140's chars-1-2 doc slice) rather than
+    x138/x148's doc_id % 10 == 7: the video lane's 36% doc slice
+    leaves only ~5 planted pairs at the driver SF and a 10% modulo
+    shard intersects none of them — a 0-row gate certifies nothing;
+    the half-shard keeps the identical incremental discipline with a
+    fixture-dense shard (parametrized _incr_tail; x138/x148's tail is
+    byte-unchanged). At 100 TB all three fingerprint modalities now
+    append to the same fixed-width (doc_id, 8-byte sig) index format
+    and pay O(|shard|) decode + two bucket equi-joins per ingest — the
+    operational close of the shared banded engine. Oracle: x140's
+    signature replay + the parametrized incremental tail."""
+    return D.incremental_hamming_pairs(
+        _vfp_fixture_sigs(spark, sf_dir),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1) < "8",
+    )
 
 
 @register(
