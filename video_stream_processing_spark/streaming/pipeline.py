@@ -801,3 +801,113 @@ def quality_histogram_sink(doc_stream: DataFrame, out_dir: str, checkpoint_dir: 
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def flagship_job_stream(
+    frames_stream: DataFrame,
+    index_sig: DataFrame,
+    frames_static: DataFrame,
+    detect_udf,
+    fact_dir: str,
+    segments_dir: str,
+    checkpoint_root: str,
+    min_interval_ms: int = 5_000,
+    scene_threshold: float = 0.3,
+    segment_ms: int = 180_000,
+    watermark: str = "10 minutes",
+    encoder=None,
+    gate_max_hamming: int = 3,
+    gate_n_bands: int = 4,
+):
+    """The reference's WHOLE job as ONE streaming graph, with the
+    near-dup ingest gate in front (VERDICT r13 task 7):
+
+        kafka-shaped frames (doc_id, ts, payload) ->
+        image_neardup_dedup_stream (stored-index band anti-join +
+        watermark-bounded exact gate) -> stream-static re-join of
+        (stream_id, frame_id, payload) by doc_id (the pull-from-object-
+        storage pattern) -> stateful byte-histogram keyframe gate ->
+        detect UDF -> NMS/explode -> idempotent Doris-fact sink
+        (VideoStreamProcessingJob.java:60-88)
+      + segment side output: every gated frame -> exact unaligned
+        segments -> idempotent object-layout sink (:89-102).
+
+    The Flink side output (OutputTag, SURVEY §2.1 #21) maps to two
+    queries over the shared gated upstream — each re-executes the gate
+    deterministically against its own checkpoint, so both sinks see the
+    identical survivor set and either query can be restarted alone.
+    Chained stateful ops (dropDuplicatesWithinWatermark -> 
+    applyInPandasWithState) run in one append-mode query — supported in
+    Spark 4's multi-stateful-operator model; pinned by the flagship e2e
+    test INCLUDING a mid-stream checkpoint restart of both queries.
+
+    Scale posture: the gate's static side is the banded stored index
+    (fixed-width, partitionable by band key); pixels cross the plan
+    only inside Arrow passes (gate dHash; keyframe histogram; detect),
+    never a shuffle — the re-join pulls payloads by key per micro-batch
+    exactly as a production job re-reads frames from object storage.
+    Returns (fact_query, segments_query), both started."""
+    from video_stream_processing_spark.streaming.sinks import (
+        write_detections_fact_idempotent,
+        write_segments_idempotent,
+    )
+    from video_stream_processing_spark.streaming.stateful import (
+        keyframes_from_bytes_stream,
+    )
+
+    survivors = image_neardup_dedup_stream(
+        frames_stream.select("doc_id", "ts", "payload"),
+        index_sig,
+        watermark=watermark,
+        max_hamming=gate_max_hamming,
+        n_bands=gate_n_bands,
+    )
+    enriched = survivors.drop("sig").join(
+        frames_static.select("doc_id", "stream_id", "frame_id", "payload"),
+        "doc_id",
+    )
+
+    # watermark=None on both downstream stateful ops: the gate already
+    # defined the event-time watermark; redefining one downstream of a
+    # stateful operator is an AnalysisException in the multi-stateful
+    # model, and inheriting keeps the whole graph on ONE time frontier.
+    gated = keyframes_from_bytes_stream(
+        enriched.select("stream_id", "ts", F.col("payload").alias("frame_data")),
+        min_interval_ms=min_interval_ms,
+        scene_threshold=scene_threshold,
+        watermark=None,
+        histogram="decoded",
+    ).where(F.col("is_keyframe"))
+    keyframes = gated.select("stream_id", "ts").join(
+        frames_static.select(
+            "stream_id", F.col("ts").alias("ts"), "payload"
+        ).withColumnRenamed("payload", "frame_data"),
+        ["stream_id", "ts"],
+    )
+    fact = keyframes.select(
+        "stream_id",
+        F.col("ts").alias("detection_time"),
+        F.explode(detect_udf(F.col("frame_data"))).alias("d"),
+    ).select(
+        "stream_id",
+        "detection_time",
+        F.col("d.object_class").alias("object_class"),
+        F.col("d.confidence").alias("confidence"),
+    )
+    fact_query = (
+        fact.writeStream.foreachBatch(write_detections_fact_idempotent(fact_dir))
+        .option("checkpointLocation", f"{checkpoint_root}/fact")
+        .outputMode("append")
+        .start()
+    )
+    segs = exact_segments_stream(
+        enriched.select("stream_id", "ts"), duration_ms=segment_ms,
+        watermark=None,
+    )
+    seg_query = (
+        segs.writeStream.foreachBatch(write_segments_idempotent(segments_dir, encoder))
+        .option("checkpointLocation", f"{checkpoint_root}/segments")
+        .outputMode("append")
+        .start()
+    )
+    return fact_query, seg_query

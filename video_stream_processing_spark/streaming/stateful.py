@@ -263,13 +263,19 @@ def keyframes_from_bytes_stream(
     frames: DataFrame,
     min_interval_ms: int = 5_000,
     scene_threshold: float = 0.3,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     histogram: str = "bytes",
 ) -> DataFrame:
     """Streaming binary-driven gate. Input needs (stream_id, ts,
-    frame_data BINARY); emits keyframe flags + the computed similarity."""
+    frame_data BINARY); emits keyframe flags + the computed similarity.
+    ``watermark=None`` inherits the upstream watermark — required when
+    this gate is chained AFTER another stateful operator (redefining a
+    watermark downstream is disallowed in Spark's multi-stateful
+    model; the flagship graph chains it after the near-dup gate)."""
+    if watermark is not None:
+        frames = frames.withWatermark("ts", watermark)
     return (
-        frames.withWatermark("ts", watermark)
+        frames
         .groupBy("stream_id")
         .applyInPandasWithState(
             keyframe_bytes_stateful_fn(min_interval_ms, scene_threshold, histogram),
@@ -284,11 +290,15 @@ def keyframes_from_bytes_stream(
 def exact_segments_stream(
     frames: DataFrame,
     duration_ms: int = 180_000,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
-    """Streaming DataFrame -> exact segments. Input needs (stream_id, ts)."""
+    """Streaming DataFrame -> exact segments. Input needs (stream_id, ts).
+    ``watermark=None`` inherits the upstream watermark (see
+    keyframes_from_bytes_stream)."""
+    if watermark is not None:
+        frames = frames.withWatermark("ts", watermark)
     return (
-        frames.withWatermark("ts", watermark)
+        frames
         .groupBy("stream_id")
         .applyInPandasWithState(
             segment_stateful_fn(duration_ms),
