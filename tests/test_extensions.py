@@ -1092,3 +1092,25 @@ def test_x146_planted_recall_gates(spark):
     for r in rows:
         assert r["recall_at_3"] >= 0.9, (r["method"], r["recall_at_3"])
         assert r["n_returned"] == 3 * r["n_queries"]
+
+
+def test_text_fingerprint_quality_legs(spark, sf_dir):
+    """x149's quality numbers as a GATE: exact-class recall must be 1.0
+    by construction (byte-identical text -> identical SimHash ->
+    guaranteed band collision), the false-positive leg must be empty
+    (md5 token synth produces no structural radius-3 collisions), and
+    the jitter leg must detect at least one planted single-token edit
+    (a zero would mean the banded join or the SimHash kernel broke
+    rather than 'jitter moved')."""
+    from video_stream_processing_spark.plans.registry import query_map
+
+    rows = {
+        r["class"]: r
+        for r in query_map()["x149_text_fingerprint_quality"](spark, sf_dir).collect()
+    }
+    assert rows["exact"]["n_truth"] > 0
+    assert rows["exact"]["n_detected"] == rows["exact"]["n_truth"]
+    assert rows["exact"]["recall"] == 1.0
+    assert rows["other"]["n_detected"] == 0
+    assert rows["jitter"]["n_truth"] > 0
+    assert 0 < rows["jitter"]["n_detected"] <= rows["jitter"]["n_truth"]
