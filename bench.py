@@ -281,6 +281,7 @@ def main() -> int:
                 "gc_sec": gc_total,
                 "gc_between": gc_between,
                 "gc_scope": "whole_jvm_local_mode" if gc_is_whole_jvm else "unavailable_nonlocal",
+                "adjudicate": adjudicate,
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
                 "stream_throughput_fps": stream_fps,
@@ -300,18 +301,22 @@ def main() -> int:
         "probe_sec": probes,
         "gc_sec": gc_total,
         "gc_between": gc_between,
-        "adjudicate": adjudicate,
+        # compact machine-readable verdict per flagged query — the full
+        # evidence (spread, per-rep GC, gc_delta) lives in
+        # BENCH_DETAIL.json; the tail carries the adjudication OUTCOME
+        # so a reader never needs a manual A/B (VERDICT r13 task 6)
+        "adjudicate": {n: v["verdict"] for n, v in adjudicate.items()},
         "stream_throughput_fps": stream_fps,
         **({"stream_throughput_error": stream_err} if stream_err else {}),
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:
         # Tail-window safety: the driver keeps only ~2 KB of stdout.
-        # Shed the per-mover adjudication detail first (it is duplicated
-        # in BENCH_DETAIL.json; probe_sec/gc_sec stay), then — only if
-        # still oversized — the per-query medians (also in the detail
-        # file, but the round-over-round comparison reads them from the
-        # tail, so they go last).
+        # Shed the per-mover verdicts first (duplicated with full
+        # evidence in BENCH_DETAIL.json; probe_sec/gc_sec stay), then —
+        # only if still oversized — the per-query medians (also in the
+        # detail file, but the round-over-round comparison reads them
+        # from the tail, so they go last).
         summary["adjudicate"] = {"see": "BENCH_DETAIL.json"}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:
