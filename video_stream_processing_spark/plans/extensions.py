@@ -7422,3 +7422,129 @@ def x149_text_fingerprint_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         leg(t_exact, "exact").unionByName(leg(t_jit, "jitter")).unionByName(other)
     )
+
+
+@register(
+    "x151_ingest_gate_decisions",
+    oracle=f"""
+WITH m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN CAST(d.doc_id % 3 AS INT) ELSE 0 END AS s,
+           src.text AS t
+    FROM documents d
+    JOIN documents src
+      ON src.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3 ELSE d.doc_id END
+),
+{_DHASH_SIG_CTES},
+sigf AS (
+    SELECT a.doc_id, coalesce(src.sig, a.sig) AS sig
+    FROM sig a
+    LEFT JOIN sig src
+      ON a.doc_id % 70 = 17 AND src.doc_id = a.doc_id - 30
+),
+sh AS (SELECT doc_id, sig FROM sigf WHERE doc_id % 10 = 7),
+bs AS (SELECT doc_id, sig FROM sigf WHERE doc_id % 10 != 7),
+shb AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sh),
+bsb AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM bs),
+xcand AS (
+    SELECT DISTINCT a.doc_id, a.sig AS sig_a, b.sig AS sig_b
+    FROM shb a JOIN bsb b
+      ON a.band = b.band
+     AND substr(a.sig, CAST(a.band * 16 + 1 AS INT), 16)
+         = substr(b.sig, CAST(b.band * 16 + 1 AS INT), 16)
+),
+killed AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, sig_a, sig_b FROM xcand) cand
+    WHERE {_DHASH_HAMMING} <= 3
+),
+surv AS (
+    SELECT s.doc_id, s.sig,
+           row_number() OVER (PARTITION BY s.sig ORDER BY s.doc_id) AS rnk
+    FROM sh s LEFT JOIN killed k ON s.doc_id = k.doc_id
+    WHERE k.doc_id IS NULL
+)
+SELECT s.doc_id,
+       CASE WHEN k.doc_id IS NOT NULL THEN FALSE
+            WHEN r.rnk = 1 THEN TRUE ELSE FALSE END AS admitted,
+       CASE WHEN k.doc_id IS NOT NULL THEN 'index_neardup'
+            WHEN r.rnk = 1 THEN 'admitted' ELSE 'exact_dup' END AS reason
+FROM sh s
+LEFT JOIN killed k ON s.doc_id = k.doc_id
+LEFT JOIN surv r ON s.doc_id = r.doc_id
+""",
+    tags=("extension", "multimodal", "dedup", "streaming_twin", "gate"),
+)
+def x151_ingest_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NEAR-dup ingest gate's DECISION TABLE, batch form,
+    oracle-checked — closing the one gap the stream==batch pytest pins
+    leave: the gate's keep/drop semantics themselves are now
+    differential-certified, not just replay-compared. For each arriving
+    doc (the x138 shard, doc_id % 10 == 7) against the stored index
+    (the base corpus), emits (doc_id, admitted, reason) with the gate's
+    exact precedence: 'index_neardup' (within Hamming 3 of ANY indexed
+    signature — the banded anti-join leg), else 'exact_dup' (an earlier
+    index-surviving arrival carries the identical signature — the
+    dropDuplicatesWithinWatermark leg, first-seen by doc_id standing in
+    for arrival order), else 'admitted'. The fixture is x135/x138's
+    planted-copy BMP corpus with one addition guaranteeing the
+    exact-dup class is non-empty: doc_id % 70 == 17 arrivals carry
+    doc_id - 30's signature (both ids are % 10 == 7, so both are
+    in-shard; d - 30 is ~ 57 mod 70, whose render is NOT a planted
+    copy and whose own copy d - 27 lands in-shard too — so the source
+    is index-admitted and the overlaid arrival exercises the exact-dup
+    leg rather than collapsing into index_neardup the way a d - 10
+    source does, its base-side planted copy killing both). A signature
+    overlay, so the x138 sig replay is reused verbatim. The oracle replays fixture, overlay, banding, both gate
+    legs and the precedence. Scale: identical to x138 — the decision
+    join is band-bucket-sized, the rank is one shuffle on the 8-byte
+    sig, the index is never self-paired."""
+    sig = _dhash_fixture_sigs(spark, sf_dir)
+    dup = F.col("doc_id") % 70 == 17
+    overlay = (
+        sig.where(dup)
+        .select("doc_id", "sig", (F.col("doc_id") - 30).alias("src_id"))
+        .join(
+            sig.select(F.col("doc_id").alias("src_id"), F.col("sig").alias("src_sig")),
+            "src_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("src_sig", "sig").alias("sig"))
+    )
+    sigf = (
+        sig.where(~dup)
+        .unionByName(overlay)
+        .localCheckpoint(eager=True)
+    )
+    shard_pred = F.col("doc_id") % 10 == 7
+    shard = sigf.where(shard_pred)
+    killed = (
+        D.incremental_hamming_pairs(sigf, shard_pred)
+        .where(F.col("vs_existing"))
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .where(F.col("doc_id") % 10 == 7)
+        .distinct()
+        .withColumn("k", F.lit(1))
+    )
+    surv_rnk = (
+        shard.join(killed, "doc_id", "left")
+        .where(F.col("k").isNull())
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("sig").orderBy("doc_id")))
+        .select("doc_id", "rnk")
+    )
+    return (
+        shard.select("doc_id")
+        .join(F.broadcast(killed), "doc_id", "left")
+        .join(F.broadcast(surv_rnk), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("k").isNotNull(), F.lit(False))
+            .when(F.col("rnk") == 1, F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("admitted"),
+            F.when(F.col("k").isNotNull(), F.lit("index_neardup"))
+            .when(F.col("rnk") == 1, F.lit("admitted"))
+            .otherwise(F.lit("exact_dup"))
+            .alias("reason"),
+        )
+    )
