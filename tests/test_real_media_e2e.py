@@ -545,3 +545,140 @@ def test_flagship_streaming_job_with_neardup_gate(spark, tmp_path):
         if r["stream_id"] != "sentinel"
     }
     assert got_segs == want_segs
+
+
+@pytest.mark.slow
+def test_flagship_job_from_kafka_json_wire(spark, tmp_path):
+    """The flagship graph fed from the reference's ACTUAL Kafka wire
+    format: fixture frames serialized by the mock-producer analog
+    (sources/kafka.serialize_frames — streamId/frameId/epoch-ms/base64
+    JSON, VideoFrame POJO shape), replayed as (value) bytes,
+    deserialized by the production deserialize_frames, mapped to the
+    flagship's (doc_id, ts, payload) contract, and run through the
+    gate-fronted job. Pins the whole wire chain — JSON schema, base64
+    round-trip, ms->timestamp — in front of the gate: the planted
+    near-copy of the indexed image must be suppressed, keyframes land
+    on the scene cuts, and the fact sink equals the batch reference."""
+    import itertools
+
+    from video_stream_processing_spark.functions.imagecodec import decode_image_bgr
+    from video_stream_processing_spark.operators.detection import (
+        DETECTIONS_TYPE,
+        OnnxDetector,
+    )
+    from video_stream_processing_spark.operators.multimodal import dhash64
+    from video_stream_processing_spark.sources.kafka import (
+        deserialize_frames,
+        serialize_frames,
+    )
+    from video_stream_processing_spark.streaming.pipeline import flagship_job_stream
+
+    N = 40  # one stream, scene cut at 20
+    POS = [(r, j) for r in range(6) for j in (1, 3, 5, 7)]
+    PAIRS = list(itertools.combinations(range(len(POS)), 2))
+
+    def render(v, raised, bump=8):
+        blocks = np.full((8, 9), v, np.int64)
+        for r, j in raised:
+            blocks[r, j] += bump
+        gray = np.repeat(np.repeat(np.clip(blocks, 0, 255).astype(np.uint8), 8, 0), 8, 1)
+        return encode_jpeg(np.repeat(gray[:, :, None], 3, axis=2))
+
+    special_raised = [(r, j) for r in (6, 7) for j in (1, 3, 5, 7)]
+    special = render(125, special_raised)
+    near_special = render(125, special_raised[1:])
+
+    rows = []
+    for i in range(N):
+        v = 50 if i < 20 else 200
+        payload = near_special if i == 10 else render(v, [POS[p] for p in PAIRS[i]])
+        rows.append(("cam1", i, BASE_MS + i * 1_000, bytearray(payload)))
+    rows.append(("sentinel", 0, BASE_MS + 90_000_000, bytearray(render(125, [(6, 2), (7, 6)]))))
+
+    frames = spark.createDataFrame(
+        rows, "stream_id string, frame_id long, ts_ms long, frame_data binary"
+    ).select(
+        "stream_id", "frame_id", F.timestamp_millis("ts_ms").alias("ts"),
+        "frame_data",
+        F.col("frame_id").cast("int").alias("frame_sequence"),
+        F.struct(
+            F.lit(72).alias("width"), F.lit(64).alias("height"),
+            F.lit(25).alias("fps"), F.lit("mjpeg").alias("codec"),
+        ).alias("metadata"),
+    )
+
+    # producer -> wire bytes on disk (the topic stand-in)
+    wire_dir = str(tmp_path / "wire")
+    serialize_frames(frames).select(
+        F.encode("value", "UTF-8").alias("value")
+    ).coalesce(1).write.mode("overwrite").parquet(wire_dir)
+
+    doc_id = F.when(F.col("stream_id") == "sentinel", F.lit(999)).otherwise(
+        F.col("frame_id")
+    )
+    frames_static = (
+        frames.select(
+            doc_id.alias("doc_id"), "stream_id", "frame_id", "ts",
+            F.col("frame_data").alias("payload"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    index_sig = spark.createDataFrame(
+        [(100_000, dhash64(decode_image_bgr(special)))], "doc_id long, sig string"
+    )
+
+    tensor = np.zeros((1, 84, 1), dtype=np.float32)
+    tensor[0, :4, 0] = [320, 320, 100, 100]
+    tensor[0, 4 + 2, 0] = 0.95
+
+    class FakeSession:
+        def run(self, _out_names, feeds):
+            return [tensor]
+
+    @F.pandas_udf(DETECTIONS_TYPE)
+    def detect(blobs: pd.Series) -> pd.Series:
+        return OnnxDetector(session=FakeSession()).detect_batch(blobs)
+
+    raw = spark.readStream.schema("value binary").parquet(wire_dir)
+    decoded = deserialize_frames(raw)
+    stream = decoded.select(
+        F.when(F.col("stream_id") == "sentinel", F.lit(999))
+        .otherwise(F.col("frame_id"))
+        .alias("doc_id"),
+        "ts",
+        F.col("frame_data").alias("payload"),
+    )
+    q_fact, q_seg = flagship_job_stream(
+        stream, index_sig, frames_static, detect,
+        str(tmp_path / "fact"), str(tmp_path / "segments"), str(tmp_path / "ck"),
+        min_interval_ms=25_000, scene_threshold=0.3,
+        segment_ms=30_000, watermark="1 minute",
+    )
+    try:
+        q_fact.processAllAvailable()
+        q_seg.processAllAvailable()
+        q_fact.processAllAvailable()
+        q_seg.processAllAvailable()
+    finally:
+        q_fact.stop()
+        q_seg.stop()
+
+    got_fact = [
+        r for r in spark.read.parquet(str(tmp_path / "fact")).collect()
+        if r["stream_id"] != "sentinel"
+    ]
+    got_kf = sorted(
+        int(r["detection_time"].timestamp() * 1000) - BASE_MS for r in got_fact
+    )
+    # scene cut at 20 only; planted slot 10 suppressed by the gate
+    assert got_kf == [0, 20_000]
+    assert all(r["object_class"] == "car" for r in got_fact)
+    seg_rows = [
+        r for r in spark.read.parquet(str(tmp_path / "segments")).collect()
+        if r["stream_id"] != "sentinel"
+    ]
+    # 39 surviving frames (slot 10 gated out): [0..30] closes inclusive
+    # (30 arrivals: 31 slots minus the suppressed one), tail [31..39]
+    counts = sorted((r["frame_count"]) for r in seg_rows)
+    assert sum(counts) == N - 1
+    assert len(seg_rows) == 2
