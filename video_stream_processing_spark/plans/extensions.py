@@ -7548,3 +7548,54 @@ def x151_ingest_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+def _x152_oracle_sql() -> str:
+    """x152 composes the three certified per-modality quality oracles
+    verbatim (fetched from the registry so they can never drift from
+    what x142/x147/x149 certify); x142 predates the modality column and
+    gets the 'image' literal."""
+    from video_stream_processing_spark.plans.registry import all_queries
+
+    q = all_queries()
+    return f"""
+SELECT 'image' AS modality, class, n_truth, n_detected, recall
+FROM ({q["x142_fingerprint_quality_report"].oracle})
+UNION ALL
+SELECT modality, class, n_truth, n_detected, recall
+FROM ({q["x147_av_fingerprint_quality"].oracle})
+UNION ALL
+SELECT modality, class, n_truth, n_detected, recall
+FROM ({q["x149_text_fingerprint_quality"].oracle})
+"""
+
+
+@register(
+    "x152_all_modality_fingerprint_quality",
+    oracle=_x152_oracle_sql(),
+    tags=("extension", "multimodal", "dedup", "fingerprint", "eval", "composition"),
+)
+def x152_all_modality_fingerprint_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE quality dashboard for every fingerprint the engine ships —
+    the operational rollup of x142 (image dHash), x147 (audio
+    energy-delta + video temporal) and x149 (text SimHash): 12 rows of
+    (modality, class, n_truth, n_detected, recall) covering all four
+    modalities' exact/jitter/other legs, each leg arithmetic-ground-
+    truth as certified by its source query. This is the table an
+    operator reads before a 100 TB dedup run: exact recall must be 1.0
+    everywhere (identical content -> identical signature -> guaranteed
+    band collision), the per-modality jitter recalls say which lanes
+    need band retuning for the corpus at hand, and the 'other' rows are
+    the measured false-positive rates. Pure composition — the three
+    certified plans union; no new shuffle beyond theirs — and the
+    oracle splices the three certified oracle texts from the registry,
+    so the rollup can never drift from its sources."""
+    img = x142_fingerprint_quality_report(spark, sf_dir).select(
+        F.lit("image").alias("modality"), "class", "n_truth", "n_detected", "recall"
+    )
+    return (
+        img.unionByName(x147_av_fingerprint_quality(spark, sf_dir))
+        .unionByName(x149_text_fingerprint_quality(spark, sf_dir))
+    )
