@@ -717,3 +717,48 @@ def test_int8_convnet_forward_is_exact_integer():
             for o in range(5)
         ]
         assert got == want
+
+
+def test_int8_convnet_exact_on_arbitrary_uint8_inputs():
+    """Property form of the u05 exactness claim: for ARBITRARY uint8
+    images (not just the md5 fixture), the float32 forward pass through
+    the executor equals a pure-integer replay — the |intermediate| <<
+    2^24 bound holds for the worst case (all-255 input, max-magnitude
+    weights), so no input can expose rounding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from video_stream_processing_spark.operators.onnx_numpy import (
+        NumpyGraphSession,
+        make_int8_convnet,
+    )
+
+    sess = NumpyGraphSession(make_int8_convnet())
+    w_conv = sess._init["w_conv"].astype(np.int64)
+    b_conv = sess._init["b_conv"].astype(np.int64)
+    w_fc = sess._init["w_fc"].astype(np.int64)
+    b_fc = sess._init["b_fc"].astype(np.int64)
+
+    def int_replay(px: np.ndarray) -> list[int]:
+        x = px.astype(np.int64)
+        y = np.zeros((4, 6, 6), dtype=np.int64)
+        for c in range(4):
+            for r in range(6):
+                for s in range(6):
+                    y[c, r, s] = max(
+                        0,
+                        int(b_conv[c])
+                        + int((w_conv[c, 0] * x[r : r + 3, s : s + 3]).sum()),
+                    )
+        mp = y.reshape(4, 3, 2, 3, 2).max(axis=(2, 4))
+        flat = mp.reshape(-1)
+        return [int(b_fc[o] + (w_fc[o] * flat).sum()) for o in range(5)]
+
+    @settings(max_examples=40, deadline=None)
+    @given(arrays(np.uint8, (8, 8)))
+    def check(px):
+        got = sess.run(None, {"pix": px.astype(np.float32).reshape(1, 1, 8, 8)})[0]
+        assert [int(v) for v in got.ravel()] == int_replay(px)
+
+    check()
