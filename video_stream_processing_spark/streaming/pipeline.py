@@ -879,9 +879,7 @@ def flagship_job_stream(
         histogram="decoded",
     ).where(F.col("is_keyframe"))
     keyframes = gated.select("stream_id", "ts").join(
-        frames_static.select(
-            "stream_id", F.col("ts").alias("ts"), "payload"
-        ).withColumnRenamed("payload", "frame_data"),
+        frames_static.select("stream_id", "ts", F.col("payload").alias("frame_data")),
         ["stream_id", "ts"],
     )
     fact = keyframes.select(
