@@ -697,3 +697,43 @@ def test_text_neardup_stream_suppresses_jittered_copy_vs_index(spark, tmp_path):
         expected.append(doc_id)
     assert expected == [2, 5]  # fixture sanity
     assert got == expected
+
+
+@pytest.mark.slow
+def test_neardup_gate_broadcast_variant_matches_default(spark, tmp_path):
+    """broadcast_index=True is a plan hint only — the survivor set must
+    be identical to the default shuffle form on the same arrivals."""
+    from video_stream_processing_spark.streaming.pipeline import neardup_gate_stream
+
+    BASE = 1_700_000_000_000
+    sigs = [(i, BASE + i * 1000, format((i * 2654435761) % (1 << 64), "064b")) for i in range(40)]
+    index = spark.createDataFrame(
+        [(100 + i, sigs[i][2]) for i in range(0, 10)], "doc_id long, sig string"
+    )
+    (
+        spark.createDataFrame(sigs, "doc_id long, ts_ms long, sig string")
+        .select("doc_id", F.timestamp_millis("ts_ms").alias("ts"), "sig")
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sigs"))
+    )
+
+    def run(broadcast, name):
+        stream = spark.readStream.schema("doc_id long, ts timestamp, sig string").parquet(
+            str(tmp_path / "sigs")
+        )
+        q = (
+            neardup_gate_stream(stream, index, broadcast_index=broadcast)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck-{name}"))
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    got_default = run(False, "gate_def")
+    got_bcast = run(True, "gate_bc")
+    assert got_default == got_bcast
+    # fixture sanity: the 10 indexed arrivals are suppressed, the rest pass
+    assert got_default == list(range(10, 40))

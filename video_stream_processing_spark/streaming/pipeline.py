@@ -421,6 +421,7 @@ def neardup_gate_stream(
     watermark: str = "10 minutes",
     max_hamming: int = 3,
     n_bands: int = 4,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Modality-agnostic streaming NEAR-dup ingest gate over 64-bit
     signatures: an already-fingerprinted stream (doc_id, ts, sig —
@@ -443,7 +444,15 @@ def neardup_gate_stream(
     At 100 TB the static side is the banded signature index ((band,
     bkey, two 32-bit halves) — fixed-width rows, partitionable by band
     key, appended per ingest); each micro-batch costs ``n_bands`` hash
-    anti-joins on band keys, no stream-stream join, no all-pairs."""
+    anti-joins on band keys, no stream-stream join, no all-pairs.
+
+    ``broadcast_index=True`` hints each band slice broadcast into the
+    anti-joins — measured 1.8x at the index-rebuild knee (1M-signature
+    index vs a 100k-row batch: 8.3 s -> 4.6 s warm; SCALE.md) because
+    the probe side stops shuffling per micro-batch. Semantics are
+    identical (a plan hint only). Keep the default False: past
+    driver-memory scale the real fix is the stored index's band-key
+    partitioning, not a broadcast."""
     if 64 % n_bands != 0:
         raise ValueError(
             f"n_bands must divide 64 (got {n_bands}): a non-divisor "
@@ -483,6 +492,8 @@ def neardup_gate_stream(
     survivors = hashed
     for k in range(n_bands):
         idx_k = idx.where(F.col("band") == k).drop("band")
+        if broadcast_index:
+            idx_k = F.broadcast(idx_k)
         ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("ih1"))) + F.bit_count(
             F.col("h2").bitwiseXOR(F.col("ih2"))
         )
