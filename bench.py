@@ -157,8 +157,11 @@ def main() -> int:
     # JVM only. In local mode driver == executors, so gc_sec is the
     # whole story; on a cluster it would silently exclude executor
     # heaps while still being emitted as adjudication evidence — so
-    # refuse to report it there rather than mislead.
-    gc_is_whole_jvm = spark.sparkContext.master.startswith("local")
+    # refuse to report it there rather than mislead. "local" /
+    # "local[...]" only: "local-cluster[...]" runs separate executor
+    # JVMs and is exactly the case the guard must exclude (r14 ADVICE).
+    master = spark.sparkContext.master
+    gc_is_whole_jvm = master == "local" or master.startswith("local[")
     if not gc_is_whole_jvm:
         gc_between = False
 
@@ -222,16 +225,27 @@ def main() -> int:
         # Computed adjudication (VERDICT r13 task 6) — no manual A/B:
         # a query is only "suspect" when its spread is wide (>1.5x)
         # AND neither the per-rep GC delta nor machine-load movement
-        # (the probe spread) accounts for the slow rep.
+        # accounts for the slow rep. Machine load reads the probes
+        # BRACKETING the slow rep's round-robin pass (probes[i] runs
+        # before pass i, probes[i+1] after it), not the whole-run probe
+        # spread — one load spike elsewhere in the run must not
+        # reclassify every wide-spread query as machine_load (r14
+        # ADVICE).
         ts, gs = samples[n], gc_samples[n]
         delta = max(ts) - min(ts)
-        gc_delta = gs[ts.index(max(ts))] - gs[ts.index(min(ts))]
-        probe_delta = (max(probes) - min(probes)) if probes else 0.0
+        slow = ts.index(max(ts))
+        gc_delta = gs[slow] - gs[ts.index(min(ts))]
+        base_probe = min(probes) if probes else 1.0
+        bracket = (
+            max(probes[slow], probes[slow + 1])
+            if len(probes) > slow + 1
+            else (probes[slow] if probes else 0.0)
+        )
         if max(ts) <= 1.5 * min(ts):
             v = "noise"
         elif gc_delta >= 0.5 * delta:
             v = "gc_explains"
-        elif probe_delta >= 0.3 * min(probes or [1.0]):
+        elif bracket >= 1.3 * base_probe:
             v = "machine_load"
         else:
             v = "suspect"
@@ -239,10 +253,59 @@ def main() -> int:
             "spread": spread[n],
             "gc": gs,
             "gc_delta": round(gc_delta, 3),
+            "slow_rep_probes": [round(probes[slow], 3), round(bracket, 3)]
+            if len(probes) > slow
+            else [],
             "verdict": v,
         }
 
     adjudicate = {n: _verdict(n) for n in movers}
+
+    # Cross-round floor comparison (VERDICT r14 task 2): a query whose
+    # per-rep MINIMUM rose >20% vs the previous round's artifact is a
+    # floor mover — within-run spread cannot see it (x48's min rose 24%
+    # in r14 with untouched code and the spread adjudicator stayed
+    # silent). Evidence cited per mover: this run's median probe vs the
+    # prior artifact's — elevated probes mean the WINDOW moved, not the
+    # plan. The previous round's floors are read from the committed
+    # BENCH_DETAIL.json before this run overwrites it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prev_floor: dict[str, float] = {}
+    prev_probes: list[float] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        # floors only compare within one scale factor: a dev run at
+        # another SF must not poison (or be poisoned by) the round
+        # artifact's comparison base
+        if prev.get("sf") == _sf_of(sf_dir):
+            prev_floor = {n: s[0] for n, s in prev.get("spread", {}).items()}
+            prev_probes = prev.get("probe_sec") or []
+    except Exception:
+        pass
+    prev_probe_med = statistics.median(prev_probes) if prev_probes else None
+    probe_med = statistics.median(probes) if probes else None
+    floor_shift: dict[str, dict] = {}
+    for n, ts in samples.items():
+        pf = prev_floor.get(n)
+        floor = min(ts)
+        if pf is None or pf <= 0 or floor <= 1.2 * pf or floor - pf <= 0.3:
+            continue
+        probes_elevated = (
+            prev_probe_med is not None
+            and probe_med is not None
+            and probe_med >= 1.15 * prev_probe_med
+        )
+        floor_shift[n] = {
+            "prev_floor": round(pf, 3),
+            "floor": round(floor, 3),
+            "ratio": round(floor / pf, 3),
+            "probe_median_prev": prev_probe_med,
+            "probe_median": probe_med,
+            "verdict": "floor_shift_load" if probes_elevated else "floor_shift",
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -267,7 +330,6 @@ def main() -> int:
     # only a small stdout tail, and r05's 34-query single-line payload
     # overflowed it (BENCH_r05 "parsed": null).  The FINAL stdout line is
     # a compact summary guaranteed to fit the tail window.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -282,6 +344,7 @@ def main() -> int:
                 "gc_between": gc_between,
                 "gc_scope": "whole_jvm_local_mode" if gc_is_whole_jvm else "unavailable_nonlocal",
                 "adjudicate": adjudicate,
+                "floor_shift": floor_shift,
                 "reps": reps,
                 "sf": _sf_of(sf_dir),
                 "stream_throughput_fps": stream_fps,
@@ -306,6 +369,10 @@ def main() -> int:
         # BENCH_DETAIL.json; the tail carries the adjudication OUTCOME
         # so a reader never needs a manual A/B (VERDICT r13 task 6)
         "adjudicate": {n: v["verdict"] for n, v in adjudicate.items()},
+        # cross-round floor movers (>20% min-of-reps rise vs the prior
+        # round's artifact), each adjudicated against probe evidence —
+        # full numbers in BENCH_DETAIL.json
+        "floor_shift": {n: v["verdict"] for n, v in floor_shift.items()},
         "stream_throughput_fps": stream_fps,
         **({"stream_throughput_error": stream_err} if stream_err else {}),
     }
@@ -318,6 +385,7 @@ def main() -> int:
         # detail file, but the round-over-round comparison reads them
         # from the tail, so they go last).
         summary["adjudicate"] = {"see": "BENCH_DETAIL.json"}
+        summary["floor_shift"] = {"see": "BENCH_DETAIL.json"}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:
         del summary["queries"]
