@@ -533,18 +533,100 @@ def test_flagship_streaming_job_with_neardup_gate(spark, tmp_path):
         for r in got_fact
     )
 
+    # -- full 10-column Doris fact parity (VERDICT r14 task 1): the
+    #    streaming fact must be column-for-column the batch lane's shape
+    #    (a03/a07, DorisSinkBuilder.java:108-121) — frame_id threaded
+    #    through the gate re-join, bbox from the detect struct,
+    #    constant-empty frame_url — and value-equal to the same
+    #    composition run in batch over the same fixture.
+    FACT_COLS = [
+        "stream_id", "detection_time", "frame_id", "object_class",
+        "confidence", "bbox_x1", "bbox_y1", "bbox_x2", "bbox_y2",
+        "frame_url",
+    ]
+    batch_fact_rows = (
+        batch_keyframes.select("stream_id", "frame_id", "ts")
+        .join(
+            gated_static.select(
+                "stream_id", "frame_id", F.col("payload").alias("frame_data")
+            ),
+            ["stream_id", "frame_id"],
+        )
+        .select(
+            "stream_id",
+            F.col("ts").alias("detection_time"),
+            "frame_id",
+            F.explode(detect(F.col("frame_data"))).alias("d"),
+        )
+        .select(
+            "stream_id",
+            "detection_time",
+            "frame_id",
+            F.col("d.object_class").alias("object_class"),
+            F.col("d.confidence").alias("confidence"),
+            F.col("d.bbox.x1").alias("bbox_x1"),
+            F.col("d.bbox.y1").alias("bbox_y1"),
+            F.col("d.bbox.x2").alias("bbox_x2"),
+            F.col("d.bbox.y2").alias("bbox_y2"),
+            F.lit("").alias("frame_url"),
+        )
+        .collect()
+    )
+
+    def fact_key(r):
+        return (
+            r["stream_id"], r["detection_time"], r["frame_id"],
+            r["object_class"], round(r["confidence"], 4),
+            round(r["bbox_x1"], 2), round(r["bbox_y1"], 2),
+            round(r["bbox_x2"], 2), round(r["bbox_y2"], 2), r["frame_url"],
+        )
+
+    got_cols = set(got_fact[0].asDict().keys())
+    assert set(FACT_COLS) <= got_cols, got_cols  # all 10 columns present
+    assert sorted(fact_key(r) for r in got_fact) == sorted(
+        fact_key(r) for r in batch_fact_rows
+    )
+
     want_segs = {
         (r["stream_id"], r["start_time"], r["end_time"], r["frame_count"])
         for r in segment_windows_exact(
             gated_static.select("stream_id", "ts"), duration_ms=SEG_MS
         ).collect()
     }
-    got_segs = {
-        (r["stream_id"], r["start_time"], r["end_time"], r["frame_count"])
+    got_seg_rows = [
+        r
         for r in spark.read.parquet(seg_dir).collect()
         if r["stream_id"] != "sentinel"
+    ]
+    got_segs = {
+        (r["stream_id"], r["start_time"], r["end_time"], r["frame_count"])
+        for r in got_seg_rows
     }
     assert got_segs == want_segs
+
+    # -- MinIO object-key layout parity (VERDICT r14 task 6): the keys
+    #    the STREAMING side output writes must equal a06's derivation
+    #    (`videos/{s}/{yyyyMMdd/HH}/{s}_{startMs}.mp4`,
+    #    MinIOVideoSink.java:50-59) applied to the batch segments over
+    #    the same fixture.
+    want_keys = {
+        r["object_key"]
+        for r in spark.createDataFrame(
+            [(s, t0) for (s, t0, _t1, _n) in want_segs],
+            "stream_id string, start_time timestamp",
+        )
+        .select(
+            F.concat(
+                F.lit("videos/"), F.col("stream_id"), F.lit("/"),
+                F.date_format("start_time", "yyyyMMdd/HH"), F.lit("/"),
+                F.col("stream_id"), F.lit("_"),
+                F.unix_millis(F.col("start_time")).cast("string"),
+                F.lit(".mp4"),
+            ).alias("object_key")
+        )
+        .collect()
+    }
+    assert {r["object_key"] for r in got_seg_rows} == want_keys
 
 
 @pytest.mark.slow

@@ -847,10 +847,19 @@ def flagship_job_stream(
     queries over the shared gated upstream — each re-executes the gate
     deterministically against its own checkpoint, so both sinks see the
     identical survivor set and either query can be restarted alone.
-    Chained stateful ops (dropDuplicatesWithinWatermark -> 
-    applyInPandasWithState) run in one append-mode query — supported in
-    Spark 4's multi-stateful-operator model; pinned by the flagship e2e
-    test INCLUDING a mid-stream checkpoint restart of both queries.
+    PRECONDITION of that survivor-set equality: the source replays the
+    same rows into the same micro-batch boundaries for both queries (a
+    file source, or Kafka with replayed offsets and identical triggers).
+    With nondeterministic batching the two queries' watermarks can
+    advance differently, so dropDuplicatesWithinWatermark state eviction
+    — and hence the survivor set near the watermark boundary — could
+    diverge; a deployment that cannot guarantee deterministic batching
+    should gate ONCE into an intermediate topic/table consumed by both
+    queries instead. Chained stateful ops
+    (dropDuplicatesWithinWatermark -> applyInPandasWithState) run in
+    one append-mode query — supported in Spark 4's
+    multi-stateful-operator model; pinned by the flagship e2e test
+    INCLUDING a mid-stream checkpoint restart of both queries.
 
     Scale posture: the gate's static side is the banded stored index
     (fixed-width, partitionable by band key); pixels cross the plan
@@ -890,18 +899,32 @@ def flagship_job_stream(
         histogram="decoded",
     ).where(F.col("is_keyframe"))
     keyframes = gated.select("stream_id", "ts").join(
-        frames_static.select("stream_id", "ts", F.col("payload").alias("frame_data")),
+        frames_static.select(
+            "stream_id", "ts", "frame_id", F.col("payload").alias("frame_data")
+        ),
         ["stream_id", "ts"],
     )
+    # Full 10-column Doris fact (DorisSinkBuilder.java:108-121 — the
+    # same shape the batch lane a03/a07 lands): frame_id rides the
+    # payload re-join, bbox comes from the detect struct, frame_url is
+    # constant-empty exactly like the reference's unpopulated field
+    # (SURVEY §2.6(f)).
     fact = keyframes.select(
         "stream_id",
         F.col("ts").alias("detection_time"),
+        "frame_id",
         F.explode(detect_udf(F.col("frame_data"))).alias("d"),
     ).select(
         "stream_id",
         "detection_time",
+        "frame_id",
         F.col("d.object_class").alias("object_class"),
         F.col("d.confidence").alias("confidence"),
+        F.col("d.bbox.x1").alias("bbox_x1"),
+        F.col("d.bbox.y1").alias("bbox_y1"),
+        F.col("d.bbox.x2").alias("bbox_x2"),
+        F.col("d.bbox.y2").alias("bbox_y2"),
+        F.lit("").alias("frame_url"),
     )
     fact_query = (
         fact.writeStream.foreachBatch(write_detections_fact_idempotent(fact_dir))
