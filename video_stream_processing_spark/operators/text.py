@@ -219,10 +219,14 @@ def simhash_udf(text_col: Column) -> Column:
     return simhash(text_col)
 
 
-def simhash_oracle_sql(table: str = "documents") -> str:
-    """DuckDB SQL recomputing simhash_udf bit-for-bit."""
-    return f"""
-WITH tok AS (
+def simhash_sig_ctes(table: str = "documents") -> str:
+    """CTE chain replaying simhash_udf bit-for-bit, ending in a ``sig``
+    CTE of (doc_id, sig) — the COMPOSABLE form: near-dup oracles splice
+    it directly ahead of their banding/verify tails instead of doing
+    exact-substring ``.replace()`` surgery on ``simhash_oracle_sql``'s
+    text (r14 ADVICE low: any whitespace drift made those replaces
+    silently no-op into malformed SQL)."""
+    return f"""tok AS (
     SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
     FROM {table}
 ),
@@ -236,9 +240,18 @@ sim AS (
     SELECT doc_id, j,
            CASE WHEN sum(2 * bit - 1) >= 0 THEN '1' ELSE '0' END AS sbit
     FROM bits GROUP BY doc_id, j
-)
-SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash
-FROM sim GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig
+    FROM sim GROUP BY doc_id
+)"""
+
+
+def simhash_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL recomputing simhash_udf bit-for-bit."""
+    return f"""
+WITH {simhash_sig_ctes(table)}
+SELECT doc_id, sig AS simhash FROM sig
 """
 
 

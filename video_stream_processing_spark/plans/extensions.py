@@ -3092,13 +3092,10 @@ def x77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # x78's full pair-chain replay (simhash construction + banding +
 # Hamming verify) — a module constant so x141's four-modality cluster
-# closure can splice the SAME chain in as its text edge set.
-_X78_ORACLE = T.simhash_oracle_sql().replace(
-        "SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash\nFROM sim GROUP BY doc_id",
-        """, sig AS (
-    SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig
-    FROM sim GROUP BY doc_id
-),
+# closure can splice the SAME chain in as its text edge set. Built by
+# composing the sig-CTE form directly (r14 ADVICE: no .replace surgery).
+_X78_ORACLE = f"""
+WITH {T.simhash_sig_ctes("documents")},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.sig AS sig_a, b.sig AS sig_b
@@ -3118,8 +3115,7 @@ FROM cand
 WHERE list_sum(list_transform(range(64), i ->
         CASE WHEN substr(sig_a, CAST(i + 1 AS INT), 1)
                   != substr(sig_b, CAST(i + 1 AS INT), 1)
-             THEN 1 ELSE 0 END)) <= 3""",
-)
+             THEN 1 ELSE 0 END)) <= 3"""
 
 
 @register(
@@ -7250,9 +7246,10 @@ def x147_av_fingerprint_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x149_oracle_sql() -> str:
     """x149's oracle: render the token fixture in SQL, replay SimHash
-    bit-for-bit (the x78 fragment re-pointed at the rendered CTE), run
-    the banded candidate join + radius-3 verify (shared dHash
-    fragments — same 4x16 bands), then the x147 report grammar."""
+    bit-for-bit (the x78 sig-CTE chain re-pointed at the rendered CTE —
+    direct composition, no .replace surgery; r14 ADVICE), run the
+    banded candidate join + radius-3 verify (shared dHash fragments —
+    same 4x16 bands), then the x147 report grammar."""
     rendered = r"""rendered AS (
     SELECT doc_id,
            array_to_string(list_transform(range(40), vg ->
@@ -7264,15 +7261,8 @@ def _x149_oracle_sql() -> str:
                        THEN 'j' ELSE '' END), ' ') AS text
     FROM documents WHERE doc_id % 97 != 0
 )"""
-    sim = (
-        T.simhash_oracle_sql("rendered")
-        .replace("WITH tok", f"WITH {rendered},\ntok", 1)
-        .replace(
-            "SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS simhash\nFROM sim GROUP BY doc_id",
-            ", sig AS (\n    SELECT doc_id, string_agg(sbit, '' ORDER BY j) AS sig\n    FROM sim GROUP BY doc_id\n)",
-        )
-    )
-    return f"""{sim},
+    return f"""WITH {rendered},
+{T.simhash_sig_ctes("rendered")},
 {_DHASH_CAND_CTE},
 det AS (
     SELECT doc_a, doc_b FROM cand WHERE {_DHASH_HAMMING} <= 3
@@ -7552,21 +7542,27 @@ def x151_ingest_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x152_oracle_sql() -> str:
     """x152 composes the three certified per-modality quality oracles
-    verbatim (fetched from the registry so they can never drift from
-    what x142/x147/x149 certify); x142 predates the modality column and
-    gets the 'image' literal."""
-    from video_stream_processing_spark.plans.registry import all_queries
+    verbatim (fetched from the registry's already-registered entries so
+    they can never drift from what x142/x147/x149 certify); x142
+    predates the modality column and gets the 'image' literal.
 
-    q = all_queries()
+    Reads ``_REGISTRY`` directly rather than calling ``all_queries()``:
+    that helper runs ``_load_all`` — a re-import of the plans package
+    DURING this module's own import, a re-entrant-import hazard that
+    only worked by accident of registration order (r14 ADVICE low).
+    The three source queries are registered earlier in THIS file, so
+    their entries are guaranteed present."""
+    from video_stream_processing_spark.plans.registry import _REGISTRY
+
     return f"""
 SELECT 'image' AS modality, class, n_truth, n_detected, recall
-FROM ({q["x142_fingerprint_quality_report"].oracle})
+FROM ({_REGISTRY["x142_fingerprint_quality_report"].oracle})
 UNION ALL
 SELECT modality, class, n_truth, n_detected, recall
-FROM ({q["x147_av_fingerprint_quality"].oracle})
+FROM ({_REGISTRY["x147_av_fingerprint_quality"].oracle})
 UNION ALL
 SELECT modality, class, n_truth, n_detected, recall
-FROM ({q["x149_text_fingerprint_quality"].oracle})
+FROM ({_REGISTRY["x149_text_fingerprint_quality"].oracle})
 """
 
 
@@ -7598,4 +7594,39 @@ def x152_all_modality_fingerprint_quality(
     return (
         img.unionByName(x147_av_fingerprint_quality(spark, sf_dir))
         .unionByName(x149_text_fingerprint_quality(spark, sf_dir))
+    )
+
+
+@register(
+    "x153_incremental_text_dedup",
+    oracle=f"""
+WITH {T.simhash_sig_ctes("documents")},
+{_INCR_TAIL}""",
+    tags=("extension", "dedup", "simhash", "incremental"),
+)
+def x153_incremental_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest TEXT near-dup — the last unification step of
+    the shared stored-index engine (VERDICT r14 task 3): x78's SimHash
+    signatures fit the (doc_id, 8-byte sig) format that image (x138),
+    audio (x148) and video (x150) already append to, so the arriving
+    shard (doc_id % 10 == 7, the x42/x106/x138/x148 crawl-batch split)
+    is SimHashed ONCE through the production Arrow kernel
+    (operators/text.py:simhash_udf — the same chain x78 certifies) and
+    near-dup-checked against the existing corpus's STORED signature
+    index via band equi-joins, plus within itself — the base corpus is
+    never re-paired (operators/dedup.py:incremental_hamming_pairs).
+    vs_existing marks cross-ingest pairs. Unlike the three rendered-
+    fixture modalities, the corpus here is the NATURAL documents table
+    (x78's near-dup cliques), so the 10% modulo shard is fixture-dense
+    on its own — both pair classes are non-empty at every test SF
+    (sf0.01: 196 cross / 11 within; the x150 half-shard lesson checked,
+    not assumed). At 100 TB all FOUR fingerprint modalities now append
+    to one fixed-width index format and pay O(|shard|) hashing + two
+    bucket equi-joins per ingest. Oracle: the x78 sig-CTE chain (shared
+    composable fragment) + the byte-identical x138/x148 incremental
+    tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.incremental_hamming_pairs(
+        docs.select("doc_id", T.simhash_udf(F.col("text")).alias("sig")),
+        F.col("doc_id") % 10 == 7,
     )
