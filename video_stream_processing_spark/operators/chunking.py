@@ -94,7 +94,13 @@ def cdc_chunks(
             yield pd.DataFrame(out)
 
     schema = CHUNK_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
-    return df.mapInPandas(chunk, schema=schema)
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    # spread the one-split test scan before the per-char rolling hash —
+    # per-row Python compute; a no-op at real scale
+    return ensure_parallelism(df).mapInPandas(chunk, schema=schema)
 
 
 # Shared oracle CTE: rebuild boundaries with lag windows + prefix sum,

@@ -18,11 +18,12 @@ collection anywhere.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from video_stream_processing_spark.operators.parallelism import (
+    ensure_parallelism as _ensure_parallelism,
+)
 from video_stream_processing_spark.operators.text import tokens_col
 
 NUM_HASHES = 12
@@ -34,44 +35,6 @@ SHINGLE_K = 3  # Broder-style w-shingling; None => unigram token sets
 # P < 2^50 keeps k * h2 + h1 < 2^61: no bigint overflow in either engine
 # (Spark runs ANSI mode — overflow would THROW, not wrap).
 _KM_PRIME = 1_125_899_906_842_597  # largest prime < 2^50
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread compute-heavy hashing when the scan produced fewer splits
-    than cores (small-file inputs — documents.parquet is ONE row group at
-    test SFs, which serialized 30M md5 calls onto one task). At real
-    scale the scan already yields >= cores splits and this is a no-op,
-    so no extra full-corpus shuffle is introduced.
-
-    The guard is driver-side scan metadata (inputFiles + local file
-    sizes), never df.rdd — an .rdd access forces physical planning and a
-    Python<->JVM RDD conversion on every call."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    files = df.inputFiles()
-    if not files:
-        # Non-file source (createDataFrame / in-memory view): no scan
-        # metadata to reason from, and such inputs are driver-originated
-        # and small, so an unconditional spread is cheap and avoids
-        # serializing the hash work onto one task.
-        return df.repartition(target)
-    if len(files) >= target:
-        return df
-    # A big splittable file still fans out to ~ceil(size/128MB) scan
-    # tasks, so only repartition when the estimated split count is below
-    # cores (ceiling division: a 200MB file is 2 splits, not 1).
-    est_splits = 0
-    for f in files:
-        size = 0
-        if f.startswith("file:"):
-            try:
-                size = os.path.getsize(f[len("file:"):])
-            except OSError:
-                size = 0
-        est_splits += max(1, -(-size // (128 << 20)))
-    if est_splits < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -837,16 +800,18 @@ def decontaminate_pairs(
     # EXPLODED row (the Generate-inlining trap shingles() documents) —
     # this shape computes it once per doc and size(arr) is a cheap
     # reference (measured ~2x on the sf0.1 corpus scan)
-    arr = train.select(
+    # the parallelism guard wraps the INPUT, not the shingled frame: a
+    # repartition placed after the projection leaves the whole
+    # shingle+md5 pipeline inside the single scan task and only spreads
+    # the already-computed rows (r15 profile: 2.1 s on one task)
+    arr = _ensure_parallelism(train).select(
         "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
     )
-    t = _ensure_parallelism(
-        arr.select(
-            "doc_id",
-            F.size("arr").cast("long").alias("n"),
-            F.explode("arr").alias("s"),
-        ).select("doc_id", "n", F.md5("s").alias("w"))
-    )
+    t = arr.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n"),
+        F.explode("arr").alias("s"),
+    ).select("doc_id", "n", F.md5("s").alias("w"))
     return (
         t.join(F.broadcast(b), "w")
         .groupBy("doc_id", "bench_id")
@@ -941,16 +906,16 @@ def decontaminate_pairs_bloom(
     # same two-step projection as decontaminate_pairs: materialize the
     # shingle array before the explode so size() is a reference, not a
     # per-exploded-row re-derivation
-    t_arr = train.select(
+    # guard wraps the INPUT (see decontaminate_pairs): repartitioning
+    # after the projection would leave shingle+md5 in the single scan task
+    t_arr = _ensure_parallelism(train).select(
         "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
     )
-    t_sh = _ensure_parallelism(
-        t_arr.select(
-            "doc_id",
-            F.size("arr").cast("long").alias("n"),
-            F.explode("arr").alias("s"),
-        ).select("doc_id", "n", F.md5("s").alias("w"))
-    )
+    t_sh = t_arr.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n"),
+        F.explode("arr").alias("s"),
+    ).select("doc_id", "n", F.md5("s").alias("w"))
 
     def pos(col: Column, seed: int) -> Column:
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))

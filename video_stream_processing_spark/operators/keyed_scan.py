@@ -30,6 +30,20 @@ ScanFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
 ArrowScanFn = Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]
 
 
+def _scan_partitions(frames: DataFrame) -> int:
+    """Partition count for the keyed exchange feeding a Python scan.
+
+    ``repartition(key)`` without a count is a REPARTITION_BY_COL
+    exchange, which AQE coalesces BY BYTES — and the scan body's cost is
+    per-row Python/Arrow compute, not bytes, so byte-based coalescing
+    serializes it (r15 profile: a10's gate ran 5.6 s of Python on 2
+    tasks because 2.4 MB of frames "fit" in 2 partitions). An explicit
+    count pins the exchange (REPARTITION_BY_NUM is exempt from AQE
+    coalescing); the value stays the session's shuffle-partition conf,
+    so a cluster still sizes it centrally."""
+    return int(frames.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def keyed_sorted_scan(
     frames: DataFrame,
     key_col: str,
@@ -44,7 +58,7 @@ def keyed_sorted_scan(
     (carry state) and multiple keys inside one chunk (keys arrive
     contiguously in sorted order)."""
     return (
-        frames.repartition(key_col)
+        frames.repartition(_scan_partitions(frames), key_col)
         .sortWithinPartitions(key_col, *order_cols)
         .mapInPandas(scan_fn, schema=out_schema)
     )
@@ -69,7 +83,7 @@ def keyed_sorted_scan_arrow(
     and multiple keys may share one batch. Measured vs the pandas twin
     in SCALE.md (keyed-scan section)."""
     return (
-        frames.repartition(key_col)
+        frames.repartition(_scan_partitions(frames), key_col)
         .sortWithinPartitions(key_col, *order_cols)
         .mapInArrow(scan_fn, schema=out_schema)
     )

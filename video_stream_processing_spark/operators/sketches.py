@@ -81,6 +81,14 @@ def cms_heavy_hitter_estimates(
     the final sketch is d*w counters no matter the corpus size. The
     estimate pass joins the k query keys against the broadcast
     d*w-row sketch."""
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    # project to the text column and spread the one-split test scan
+    # BEFORE the two tokenize+hash passes (true counts, sketch grid) —
+    # per-row md5 work, a no-op at real scale
+    docs = ensure_parallelism(docs.select(text_col))
     toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")

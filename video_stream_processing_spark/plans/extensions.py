@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from video_stream_processing_spark.operators import dedup as D
 from video_stream_processing_spark.operators import similarity as S
 from video_stream_processing_spark.operators import text as T
+from video_stream_processing_spark.operators.parallelism import ensure_parallelism
 from video_stream_processing_spark.operators.multimodal import (
     fake_decode_meta,
     frame_sample,
@@ -1064,7 +1065,10 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages are pure DataFrame -> DataFrame functions Catalyst can fuse
     (normalize+filter collapse into the scan stage; dedup is the one
     shuffle, on the fixed-width md5 key, before the split map)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelism guard: the normalize/filter regex chain is per-row
+    # compute over a one-split scan at test SFs (r15 profile: two
+    # single-task passes, 1.9 s) — no-op at real scale
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     d2 = docs.select("doc_id", T.normalize_col().alias("text"))
     kept = d2.where(T.curation_keep()).select(
         "doc_id", "text", T.word_count().alias("n_tokens")
@@ -1296,7 +1300,9 @@ def x40_multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from video_stream_processing_spark.functions.imagecodec import encode_bmp
     from video_stream_processing_spark.operators.multimodal import real_decode_meta
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1513,7 +1519,10 @@ def x43_jpeg_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_stream_processing_spark.functions.jpegcodec import encode_jpeg
     from video_stream_processing_spark.operators.multimodal import real_decode_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # parallelism guard before the codec pass: the one-split scan at test
+    # SFs otherwise serializes every encode+decode onto a single task
+    # (r15 profile: 5.1 s / 1 task); only doc_id crosses the exchange
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1837,7 +1846,7 @@ def x54_wav_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/audio.py:wav_clip_features)."""
     from video_stream_processing_spark.operators.audio import wav_clip_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return wav_clip_features(_render_wav_payloads(docs))
 
 
@@ -2175,7 +2184,7 @@ def x63_png_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_stream_processing_spark.functions.pngcodec import encode_png
     from video_stream_processing_spark.operators.multimodal import real_decode_stats_sum
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5267,7 +5276,12 @@ def x130_extract_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_langid,
     )
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # parallelism guard before the synth+extract chain: the regex
+    # extraction is per-row compute over a one-split scan at test SFs
+    # (r15 profile: 4.2 s on ONE task before the checkpoint)
+    base = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     marked = base.select("doc_id", "lang", H.synth_markup_col().alias("html"))
     ex = marked.select(
         "doc_id", "lang", H.main_text_col("html").alias("text")
@@ -5671,7 +5685,10 @@ def _dhash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "shift", "src_text")
     )
-    src = own.unionByName(copies)
+    # parallelism guard before the render: both union branches scan a
+    # one-split file at test SFs, serializing the Python pass (no-op at
+    # real scale)
+    src = ensure_parallelism(own.unionByName(copies))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)
@@ -5918,7 +5935,10 @@ def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("src_text"), F.lit(" copy")).alias("caption"),
         )
     )
-    src = own.unionByName(copies)
+    # parallelism guard before the render: both union branches scan a
+    # one-split file at test SFs, serializing the Python pass (no-op at
+    # real scale)
+    src = ensure_parallelism(own.unionByName(copies))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)
