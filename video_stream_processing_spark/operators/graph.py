@@ -151,43 +151,46 @@ def kcore_peel(
     surviving subgraph (r10: a peeled node can never re-enter, so
     carrying its edges into later rounds only inflates every subsequent
     join — round 1 is a plain degree prune over the raw edges, no
-    semi-joins at all, and each later round joins an ever-smaller
-    checkpointed edge set instead of the full one). Alive sets per
-    round are IDENTICAL to the unshrunk formulation on symmetric input
-    — dead edges can only touch dead nodes — so results are unchanged;
-    only the work per round drops. The exact core is the fixpoint, approached
-    monotonically from above — wrap with x15's probe-bounded loop to
-    run to convergence."""
+    semi-joins at all). Alive sets per round are IDENTICAL to the
+    unshrunk formulation on symmetric input — dead edges can only touch
+    dead nodes — so results are unchanged; only the work per round
+    drops. The exact core is the fixpoint, approached monotonically
+    from above — wrap with x15's probe-bounded loop to run to
+    convergence.
+
+    r15 round shape (profiled): the alive set is never materialized —
+    each round annotates the edge table with BOTH endpoint degrees via
+    two count-over-key windows and filters in place. That is 2 |E|-keyed
+    exchanges per round versus the former groupBy + two semi-joins
+    (3 exchanges, an extra |V| table, and an extra materializing action
+    per round); "endpoint degree >= k" is exactly "endpoint alive", so
+    the surviving edge set per round is unchanged. An unchanged EDGE
+    count now signals the fixpoint (a dying node always loses >= 1
+    surviving edge on symmetric input, so alive shrinks iff the edge
+    set shrinks)."""
     edges = edges.localCheckpoint(eager=True)
-    n_alive = edges.select("src").distinct().count()
-    alive = edges.select(F.col("src").alias("node")).distinct()
+    n_edges = edges.count()
+    w_src = Window.partitionBy("src")
+    w_dst = Window.partitionBy("dst")
     executed = 0
     for _ in range(rounds):
         executed += 1
-        alive = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= k)
-            .select(F.col("src").alias("node"))
+        shrunk = (
+            edges.withColumn("__ds", F.count(F.lit(1)).over(w_src))
+            .withColumn("__dd", F.count(F.lit(1)).over(w_dst))
+            .where((F.col("__ds") >= k) & (F.col("__dd") >= k))
+            .select("src", "dst")
             .localCheckpoint(eager=True)  # cut lineage per round
         )
-        # peeling only ever REMOVES nodes, so an unchanged count means an
-        # unchanged set — the fixpoint; remaining rounds are no-ops and
-        # skipping them is result-identical (count is free: alive is a
-        # just-materialized checkpoint)
-        n_new = alive.count()
-        if n_new == n_alive:
+        # count is near-free on the just-materialized checkpoint; an
+        # unchanged count on a subset means an unchanged set — fixpoint,
+        # and the remaining rounds are result-identical no-ops
+        n_new = shrunk.count()
+        edges = shrunk
+        if n_new == n_edges:
             break
-        n_alive = n_new
-        edges = (
-            edges.join(alive.select(F.col("node").alias("src")), "src")
-            .join(alive.select(F.col("node").alias("dst")), "dst")
-            .localCheckpoint(eager=True)
-        )
-    ef = edges.join(alive.select(F.col("node").alias("src")), "src").join(
-        alive.select(F.col("node").alias("dst")), "dst"
-    )
-    out = ef.groupBy(F.col("src").alias("node")).agg(
+        n_edges = n_new
+    out = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
     return (out, executed) if return_rounds else out

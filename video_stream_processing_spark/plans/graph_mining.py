@@ -57,7 +57,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     collect_set + array-combination-explode variant (two shuffles
     fewer) measured 5x SLOWER at sf0.1 — the per-row struct-array
     allocation in the higher-order functions costs more than the
-    shuffles it saves — so the codegen'd hash self-join stays."""
+    shuffles it saves — so the codegen'd hash self-join stays.
+
+    r15 plan fixes (profiled at sf0.1, guide §2.4/§2.3):
+    - baskets materialize via persist, NOT localCheckpoint: a
+      checkpointed RDD comes back with UnknownPartitioning, so the
+      self-join re-exchanged AND re-sorted both branches; the cached
+      plan keeps hashpartitioning(cust) and the join runs exchange-free
+      on the cached blocks.
+    - the pair aggregation keys on ONE packed BIGINT
+      (part_a << 32 | part_b) instead of two: the pre-HAVING pair
+      domain is ~n_pairs-sized (12.7M distinct at sf0.1 — map-side
+      combine cannot collapse it), so hashing/serializing one long
+      instead of two is a per-row win on the dominant shuffle. Packing
+      is applied ONLY when the id bound proves it exact (see below);
+      wider ids keep the two-column key. Combined effect: 3.9 -> 2.3 s
+      median for the pair base."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     baskets = (
@@ -69,23 +84,43 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         # exchanged once on the narrow key instead of once per grain
         .repartition("cust")
         .distinct()
-        # checkpoint BEFORE the self-join: the two join branches differ
+        # materialize BEFORE the self-join: the two join branches differ
         # only in their alias projection, but Spark does not reuse the
         # exchange across them (audited: 4 parquet scans — the whole
-        # lineitem-join-orders-distinct pipeline ran twice). One eager
-        # materialization of the narrow (cust, part) frame halves the
-        # graph-base cost.
-        .localCheckpoint(eager=True)
+        # lineitem-join-orders-distinct pipeline ran twice).
+        .persist()
     )
+    # ONE materializing action doubles as the packing guard: ids below
+    # 2^31 make (part_a << 32) + part_b exact (part_a < 2^31 keeps the
+    # shift in-range, part_b < 2^32 cannot bleed into the high half).
+    # TPC-H partkeys exceed 2^31 only past SF ~10k; a graph with wider
+    # ids falls back to the two-column key — same results either way
+    # (differentially checked), only the shuffle-key width changes.
+    max_part = baskets.agg(F.max("part")).collect()[0][0]
+    pack_ok = max_part is not None and 0 <= max_part < (1 << 31)
     a = baskets.select("cust", F.col("part").alias("part_a"))
     b = baskets.select("cust", F.col("part").alias("part_b"))
-    pairs = (
-        a.join(b, "cust")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-        .where(F.col("n_cust") >= 3)
-    )
+    joined = a.join(b, "cust").where(F.col("part_a") < F.col("part_b"))
+    if pack_ok:
+        packed = (
+            joined.select(
+                (F.shiftleft(F.col("part_a"), 32) + F.col("part_b")).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_cust"))
+            .where(F.col("n_cust") >= 3)
+        )
+        pairs = packed.select(
+            F.shiftrightunsigned("pk", 32).alias("part_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("part_b"),
+            "n_cust",
+        )
+    else:
+        pairs = (
+            joined.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_cust"))
+            .where(F.col("n_cust") >= 3)
+        )
     edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
@@ -528,7 +563,7 @@ def x89_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_entry_contract.py, the driver's harness) put every
 # oracle inside SELECT * FROM (<sql>), which a multi-statement script
 # breaks.
-_B63_BASE_SQL = """
+_B63_PAIRS_SQL = """
 WITH sbaskets AS (
     SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -539,10 +574,25 @@ spairs AS (
     GROUP BY a.part, b.part
     HAVING count(*) >= 5
 )
-SELECT part_a AS src, part_b AS dst FROM spairs
-UNION ALL
-SELECT part_b AS src, part_a AS dst FROM spairs
+SELECT part_a, part_b FROM spairs
 """
+
+# The symmetric closure over a named pair table. Spark materializes the
+# pair half FIRST (r15: without that split, the union's two branches
+# each re-read and re-aggregated the full pair exchange — 235 MB of
+# shuffle read for a table whose surviving pairs are KBs) and runs this
+# text over the checkpointed view; the DuckDB oracle splices the SAME
+# two texts back into one base expression, so the engines still share
+# the SQL verbatim at each stage.
+_B63_SYM_SQL_TMPL = """
+SELECT part_a AS src, part_b AS dst FROM {pairs}
+UNION ALL
+SELECT part_b AS src, part_a AS dst FROM {pairs}
+"""
+
+_B63_BASE_SQL = _B63_SYM_SQL_TMPL.format(
+    pairs=f"({_B63_PAIRS_SQL.strip()}) spairs_m"
+)
 
 # The recursion text proper — shared verbatim: Spark prepends
 # "WITH RECURSIVE " and reads b63_base as a checkpointed temp view;
@@ -604,11 +654,23 @@ def b63_recursive_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for unbounded graph reach remains
     checkpoint-the-edges-then-iterate (x92/x82/x15, O(log n) rounds).
     In the bench headline set since r11 (the r10 fix brought it under
-    the 10 s bar: 19.7 -> 4.7 s warm at sf0.1)."""
+    the 10 s bar: 19.7 -> 4.7 s warm at sf0.1).
+
+    r15: the pair half (_B63_PAIRS_SQL) materializes BEFORE the
+    symmetric union. In the one-shot base, the union's two branches
+    shared the pair exchange but each re-READ and re-aggregated it —
+    235 MB of shuffle read at sf0.1 to rebuild a KB-sized pair table
+    twice. Both engines still run the same two texts; DuckDB's base
+    splices the pair text into the union template
+    (_B63_SYM_SQL_TMPL)."""
     from video_stream_processing_spark.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
-    base = spark.sql(_B63_BASE_SQL).localCheckpoint(eager=True)
+    pairs = spark.sql(_B63_PAIRS_SQL).localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("b63_pairs")
+    base = spark.sql(
+        _B63_SYM_SQL_TMPL.format(pairs="b63_pairs")
+    ).localCheckpoint(eager=True)
     base.createOrReplaceTempView("b63_base")
     return spark.sql(_B63_REC_SQL)
 
