@@ -101,7 +101,13 @@ def train_bpe_merges(
     the previous merges replayed as folds; only the single argmax row
     crosses to the driver.
     """
-    sample = docs.where(F.col("doc_id") % sample_mod == sample_rem)
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    sample = ensure_parallelism(
+        docs.where(F.col("doc_id") % sample_mod == sample_rem), "doc_id"
+    )
     toks = sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
     # INCREMENTAL state: materialize the (tok, syms) table once and fold
     # only the NEW merge into it each round, instead of replaying all i
@@ -211,7 +217,7 @@ def bpe_piece_counts(
     )
     # spread the one-split test scan before the per-row fold (the whole
     # tokenization pass is narrow compute; a no-op at real scale)
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, "doc_id").select(
         "doc_id",
         F.size(tl).alias("n_tokens"),
         F.aggregate(
@@ -251,7 +257,7 @@ def bpe_roundtrip_report(
     def pieces_of(tok: Column) -> Column:
         return apply_merges(_chars(tok), merges, guard=tok)
 
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, "doc_id").select(
         "doc_id",
         F.size(tl).alias("n_tokens"),
         F.aggregate(

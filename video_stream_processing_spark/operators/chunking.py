@@ -100,7 +100,7 @@ def cdc_chunks(
 
     # spread the one-split test scan before the per-char rolling hash —
     # per-row Python compute; a no-op at real scale
-    return ensure_parallelism(df).mapInPandas(chunk, schema=schema)
+    return ensure_parallelism(df, "doc_id").mapInPandas(chunk, schema=schema)
 
 
 # Shared oracle CTE: rebuild boundaries with lag windows + prefix sum,

@@ -68,7 +68,7 @@ def _doc_tokens(
     feat = (
         shingles(text_col, shingle_k) if shingle_k else tokens_col(text_col)
     )
-    return _ensure_parallelism(docs).select(
+    return _ensure_parallelism(docs, "doc_id").select(
         "doc_id", F.array_sort(F.array_distinct(feat)).alias("toks")
     )
 
@@ -804,7 +804,7 @@ def decontaminate_pairs(
     # repartition placed after the projection leaves the whole
     # shingle+md5 pipeline inside the single scan task and only spreads
     # the already-computed rows (r15 profile: 2.1 s on one task)
-    arr = _ensure_parallelism(train).select(
+    arr = _ensure_parallelism(train, "doc_id").select(
         "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
     )
     t = arr.select(
@@ -908,7 +908,7 @@ def decontaminate_pairs_bloom(
     # per-exploded-row re-derivation
     # guard wraps the INPUT (see decontaminate_pairs): repartitioning
     # after the projection would leave shingle+md5 in the single scan task
-    t_arr = _ensure_parallelism(train).select(
+    t_arr = _ensure_parallelism(train, "doc_id").select(
         "doc_id", F.array_distinct(shingles(text_col, k)).alias("arr")
     )
     t_sh = t_arr.select(

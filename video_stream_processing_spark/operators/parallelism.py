@@ -28,12 +28,19 @@ from pyspark.sql import DataFrame
 __all__ = ["ensure_parallelism"]
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Spread compute-heavy per-row work when the scan produced fewer
     splits than cores (small-file inputs — documents.parquet is ONE row
     group at test SFs, which serialized 30M md5 calls onto one task). At
     real scale the scan already yields >= cores splits and this is a
     no-op, so no extra full-corpus shuffle is introduced.
+
+    Pass a high-cardinality column (the row id) as ``keys`` whenever one
+    exists: a keyed hash repartition skips round-robin's mandatory local
+    sort of the input (spark.sql.execution.sortBeforeRepartition —
+    measured 2x on the spread itself) AND is deterministic under task
+    retries by construction, which is the very hazard the sort exists to
+    paper over (SPARK-38388, guide §2.5).
 
     The guard is driver-side scan metadata (inputFiles + local file
     sizes), never df.rdd — an .rdd access forces physical planning and a
@@ -42,6 +49,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # micro-batch partitioning is the source's business (and
         # inputFiles() is undefined on a streaming plan)
         return df
+
+    def spread(frame: DataFrame, n: int) -> DataFrame:
+        return frame.repartition(n, *keys) if keys else frame.repartition(n)
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     files = df.inputFiles()
@@ -50,7 +61,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # metadata to reason from, and such inputs are driver-originated
         # and small, so an unconditional spread is cheap and avoids
         # serializing the hash work onto one task.
-        return df.repartition(target)
+        return spread(df, target)
     if len(files) >= target:
         return df
     # A big splittable file still fans out to ~ceil(size/128MB) scan
@@ -66,5 +77,5 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
                 size = 0
         est_splits += max(1, -(-size // (128 << 20)))
     if est_splits < target:
-        return df.repartition(target)
+        return spread(df, target)
     return df

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from video_stream_processing_spark.operators.parallelism import ensure_parallelism
+
 N_HYPERPLANES = 8
 SCORE_SCALE = 5
 
@@ -66,6 +68,9 @@ def brute_force_topk(emb: DataFrame, k: int = 5, query_modulus: int = 50) -> Dat
     candidate — the fact side never shuffles; ranking is one window over
     the per-query partitions. Norms are projected once per side before
     the join (pair work = one dot product)."""
+    # spread the one-split test scan before the per-row fold work (no-op
+    # at real scale; see operators/parallelism.py)
+    emb = ensure_parallelism(emb, "vec_id")
     q = _queries(emb, query_modulus).withColumn("qn", l2_norm(F.col("query_emb")))
     cand = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("cn"))
     scored = (
@@ -118,7 +123,7 @@ def lsh_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
     within the bucket. The bucket equi-join replaces the cross join —
     this is the 100 TB shape (shuffle on bucket key, no broadcast of the
     corpus)."""
-    bucketed = emb.select(
+    bucketed = ensure_parallelism(emb, "vec_id").select(
         "vec_id", "embedding", hyperplane_bits("embedding").alias("bucket")
     )
     q = bucketed.where(F.col("vec_id") % query_modulus == 0).select(
@@ -195,6 +200,7 @@ def ivf_topk(emb: DataFrame, k: int = 3, query_modulus: int = 50) -> DataFrame:
             l2_norm(F.col("query_emb")).alias("qn"),
         )
     )
+    emb = ensure_parallelism(emb, "vec_id")
     scored = (
         emb.withColumn("cn", l2_norm(F.col("embedding")))
         .join(F.broadcast(assigned), emb.label == assigned.probe_label)
@@ -258,6 +264,7 @@ def ivf_topk_multiprobe(
             l2_norm(F.col("query_emb")).alias("qn"),
         )
     )
+    emb = ensure_parallelism(emb, "vec_id")
     scored = (
         emb.withColumn("cn", l2_norm(F.col("embedding")))
         .join(F.broadcast(assigned), emb.label == assigned.probe_label)
@@ -385,16 +392,31 @@ def _centroid_candidates(emb_sql: str, cents: list[list[float]]) -> Column:
     lexicographic order makes array_max/array_sort implement the
     (csim DESC, cid ASC) round-then-rank rule (cid ASC == neg_cid DESC).
     ``emb_sql`` is the embedding column's SQL text (generated-SQL build:
-    one F.expr parse instead of ~k*3 py4j HOF constructions)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('csim', round({_sql_cosine(emb_sql, _sql_arr(c))}, "
-            f"{SCORE_SCALE}), 'neg_cid', {-i})"
-            for i, c in enumerate(cents)
+    one F.expr parse instead of ~k*3 py4j HOF constructions).
+
+    r15: each centroid's L2 norm is a CONSTANT of the training output,
+    so it is folded in Python instead of re-deriving it per row with a
+    second copy of the centroid literal array — the same left fold
+    (acc + x*x in array order) and a correctly-rounded sqrt, so the
+    double is bit-identical to the SQL fold the oracle still runs; repr
+    round-trips it exactly (pinned with _sql_arr's literals). Halves the
+    literal count and removes k 64-element folds per corpus row."""
+    import math
+
+    frags = []
+    for i, c in enumerate(cents):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
+        cos = (
+            f"try_divide({_sql_dot(emb_sql, _sql_arr(c))}, "
+            f"{_sql_l2norm(emb_sql)} * {cn!r}D)"
         )
-        + ")"
-    )
+        frags.append(
+            f"named_struct('csim', round({cos}, {SCORE_SCALE}), 'neg_cid', {-i})"
+        )
+    return F.expr("array(" + ",".join(frags) + ")")
 
 
 def kmeans_centroids(
@@ -425,6 +447,10 @@ def kmeans_centroids(
     this shape.) Returns the centroids as plain lists for literal
     inlining; jobs run eagerly at call time (k-means is an action, like
     x15's fixpoint probes)."""
+    # spread + cache for the training loop: every Lloyd action otherwise
+    # re-scans and re-exchanges the corpus (one extra job per action);
+    # the cache is training-scoped and released before returning
+    emb = ensure_parallelism(emb, "vec_id").persist()
     seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters).collect()
     cents = [
         [float(x) for x in r["embedding"]]
@@ -451,6 +477,7 @@ def kmeans_centroids(
             [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
             for i in range(len(cents))
         ]
+    emb.unpersist()
     return cents
 
 
@@ -474,6 +501,7 @@ def ivf_topk_trained(
     probed lists only. The corpus is scanned once and never shuffled
     before the final candidate equi-join against the broadcast probes."""
     cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iters=n_iters)
+    emb = ensure_parallelism(emb, "vec_id")  # after training (which wraps its own scan)
     best = F.array_max(_centroid_candidates("embedding", cents))
     corpus = emb.select(
         "vec_id",
@@ -931,7 +959,7 @@ def lsh_multitable_topk(
     # writes at ingest) instead of recomputing the n_tables*bits
     # hyperplane folds + norm per reference (idle A/B at sf0.1:
     # 1.80 -> 1.35s median).
-    with_buckets = emb.select(
+    with_buckets = ensure_parallelism(emb, "vec_id").select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
@@ -1009,7 +1037,7 @@ def lsh_multitable_topk_capped(
     # writes at ingest) instead of recomputing the n_tables*bits
     # hyperplane folds + norm per reference (idle A/B at sf0.1:
     # 1.80 -> 1.35s median).
-    with_buckets = emb.select(
+    with_buckets = ensure_parallelism(emb, "vec_id").select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
@@ -1340,6 +1368,7 @@ def pq_codebooks(
     as literals, exactly like kmeans_centroids. At 100 TB you would train
     on a sample; the full-corpus pass here keeps the DuckDB oracle an
     exact replay. Returns books[m][code] = list of sub_dim floats."""
+    emb = ensure_parallelism(emb, "vec_id").persist()  # training-scoped (see kmeans_centroids)
     seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k_codes).collect()
     vecs = [
         [float(x) for x in r["embedding"]]
@@ -1399,6 +1428,7 @@ def pq_codebooks(
             ]
             for m in range(m_sub)
         ]
+    emb.unpersist()
     return books
 
 
@@ -1450,6 +1480,7 @@ def ivfpq_topk(
             pq_codebooks, emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters
         )
         cents, books = f_cents.result(), f_books.result()
+    emb = ensure_parallelism(emb, "vec_id")  # after training (which wraps its own scans)
     corpus = ivfpq_encode(emb, cents, books)
     return ivfpq_search(
         corpus, emb, cents, books, k=k, n_probes=n_probes,

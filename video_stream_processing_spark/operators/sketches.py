@@ -88,7 +88,7 @@ def cms_heavy_hitter_estimates(
     # project to the text column and spread the one-split test scan
     # BEFORE the two tokenize+hash passes (true counts, sketch grid) —
     # per-row md5 work, a no-op at real scale
-    docs = ensure_parallelism(docs.select(text_col))
+    docs = ensure_parallelism(docs.select(text_col), text_col)
     toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")

@@ -159,7 +159,15 @@ def _sample_tokc(
     """(tok, c): distinct sample words with occurrence counts — the
     bounded training input both trainers fold over (checkpointed: 3+
     passes read it)."""
-    sample = docs.where(F.col("doc_id") % sample_mod == sample_rem)
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    # spread the one-split test scan before the explode+count (no-op at
+    # real scale)
+    sample = ensure_parallelism(
+        docs.where(F.col("doc_id") % sample_mod == sample_rem), "doc_id"
+    )
     return (
         sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
         .groupBy("tok")
@@ -352,7 +360,7 @@ def unigram_tokenize(
     tl = _word_tokens(text_col)
     # spread the one-split test scan before the tokenize + rejoin passes
     # (per-row regex/fold compute; a no-op at real scale)
-    docs = ensure_parallelism(docs)
+    docs = ensure_parallelism(docs, "doc_id")
     base = docs.select("doc_id", F.size(tl).alias("n_tokens"), tl.alias("__tl"))
     toks = base.select("doc_id", F.explode("__tl").alias("tok"))
     b = viterbi_best(F.col("tok"), vm, max_piece_len)

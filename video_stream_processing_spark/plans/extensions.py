@@ -1068,7 +1068,7 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism guard: the normalize/filter regex chain is per-row
     # compute over a one-split scan at test SFs (r15 profile: two
     # single-task passes, 1.9 s) — no-op at real scale
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     d2 = docs.select("doc_id", T.normalize_col().alias("text"))
     kept = d2.where(T.curation_keep()).select(
         "doc_id", "text", T.word_count().alias("n_tokens")
@@ -1300,9 +1300,11 @@ def x40_multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from video_stream_processing_spark.functions.imagecodec import encode_bmp
     from video_stream_processing_spark.operators.multimodal import real_decode_meta
 
-    docs = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # NOT spread (measured): the BMP render is light enough that the
+    # extra exchange + 32-way Arrow fan-out costs more than it saves at
+    # bench scale (+0.3 s in two idle runs); the JPEG/PNG codecs keep
+    # the guard because their per-row work dominates
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1522,7 +1524,9 @@ def x43_jpeg_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism guard before the codec pass: the one-split scan at test
     # SFs otherwise serializes every encode+decode onto a single task
     # (r15 profile: 5.1 s / 1 task); only doc_id crosses the exchange
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1846,7 +1850,8 @@ def x54_wav_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/audio.py:wav_clip_features)."""
     from video_stream_processing_spark.operators.audio import wav_clip_features
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # NOT spread (measured +0.18 s): see the BMP note in x40
+    docs = load_table(spark, sf_dir, "documents")
     return wav_clip_features(_render_wav_payloads(docs))
 
 
@@ -2184,7 +2189,9 @@ def x63_png_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_stream_processing_spark.functions.pngcodec import encode_png
     from video_stream_processing_spark.operators.multimodal import real_decode_stats_sum
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5280,7 +5287,8 @@ def x130_extract_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction is per-row compute over a one-split scan at test SFs
     # (r15 profile: 4.2 s on ONE task before the checkpoint)
     base = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
     )
     marked = base.select("doc_id", "lang", H.synth_markup_col().alias("html"))
     ex = marked.select(
@@ -5688,7 +5696,7 @@ def _dhash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism guard before the render: both union branches scan a
     # one-split file at test SFs, serializing the Python pass (no-op at
     # real scale)
-    src = ensure_parallelism(own.unionByName(copies))
+    src = ensure_parallelism(own.unionByName(copies), "doc_id")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)
@@ -5938,7 +5946,7 @@ def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism guard before the render: both union branches scan a
     # one-split file at test SFs, serializing the Python pass (no-op at
     # real scale)
-    src = ensure_parallelism(own.unionByName(copies))
+    src = ensure_parallelism(own.unionByName(copies), "doc_id")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)

@@ -17,9 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_stream_processing_spark.functions.coco import coco_sql_array
-from video_stream_processing_spark.operators.parallelism import (
-    ensure_parallelism as _ensure_parallelism,
-)
 from video_stream_processing_spark.operators.detection import (
     N_ANCHORS,
     nms_udf,
@@ -49,7 +46,7 @@ def u01_stub_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF -> ARRAY<STRUCT> detections -> inner explode
     to flat rows. bench:headline — the Python-boundary cost is exactly
     what §4.2's UDF-boundary discipline manages at scale."""
-    emb = _ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     detect = stub_detect_udf()
     dets = emb.select("vec_id", detect(F.col("embedding")).alias("detections"))
     d = F.explode("detections").alias("d")
@@ -131,7 +128,7 @@ def u02_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top of the invariants proven in tests/test_nms.py (output subset of
     input, no same-class surviving pair with IoU > 0.45, confidence-desc
     greedy order)."""
-    emb = _ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     detect = stub_detect_udf()
     nms = nms_udf()
     dets = emb.select(
@@ -163,7 +160,7 @@ def u03_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nested shape, no explode): detections-per-frame stats — the
     monitoring counters the reference only logs (SURVEY.md §2.6(h)),
     done as a real query."""
-    emb = _ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     detect = stub_detect_udf()
     dets = emb.select("vec_id", detect(F.col("embedding")).alias("detections"))
     return (
