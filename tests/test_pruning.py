@@ -121,14 +121,40 @@ import pytest as _pytest
         "x65_webdataset_ingest",
     ],
 )
-def test_codec_paths_have_zero_exchanges(spark, sf_dir, qname):
+def test_codec_paths_never_shuffle_binary(spark, sf_dir, qname):
     """Every codec/fan-out path is scan -> Arrow UDF chain: SCALE.md's
-    'binary never crosses a shuffle' claim, pinned mechanically."""
+    'binary never crosses a shuffle' claim, pinned mechanically.
+
+    r15: the claim is pinned as stated — no Exchange in the plan may
+    OUTPUT a binary column. A metadata-only spread exchange (the
+    scan-parallelism guard redistributing doc ids before the codec
+    pass) is allowed: it moves fixed-width ids, never payloads, and is
+    a no-op at real scale."""
     from video_stream_processing_spark.plans.registry import query_map
 
     df = query_map()[qname](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, qname
+
+    def binary_exchanges(jnode, acc):
+        name = jnode.nodeName()
+        if name == "AdaptiveSparkPlan":
+            kids = [jnode.inputPlan()]
+        else:
+            it = jnode.children().iterator()
+            kids = []
+            while it.hasNext():
+                kids.append(it.next())
+        if "Exchange" in name:
+            out = jnode.output().iterator()
+            while out.hasNext():
+                attr = out.next()
+                if attr.dataType().typeName() == "binary":
+                    acc.append((name, attr.name()))
+        for k in kids:
+            binary_exchanges(k, acc)
+
+    hits: list = []
+    binary_exchanges(df._jdf.queryExecution().executedPlan(), hits)
+    assert not hits, (qname, hits)
 
 
 def test_dupgram_filter_is_zero_exchange(spark, sf_dir):

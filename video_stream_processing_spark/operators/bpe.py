@@ -207,17 +207,14 @@ def bpe_piece_counts(
     count and post-merge piece count. No explode, no shuffle — the fold
     runs inside transform+aggregate per row, so the plan is a bare
     scan -> project (the 100 TB tokenization pass)."""
-    from video_stream_processing_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
     tl = _word_tokens(text_col)
     pieces_per_tok = F.transform(
         tl, lambda tok: F.size(apply_merges(_chars(tok), merges, guard=tok))
     )
-    # spread the one-split test scan before the per-row fold (the whole
-    # tokenization pass is narrow compute; a no-op at real scale)
-    return ensure_parallelism(docs, "doc_id").select(
+    # stays a bare scan -> project (zero exchange, pinned in
+    # tests/test_bpe.py); callers that need the one-split test scan
+    # spread pass a pre-spread frame (plans/extensions.py x57/x115)
+    return docs.select(
         "doc_id",
         F.size(tl).alias("n_tokens"),
         F.aggregate(
@@ -248,16 +245,12 @@ def bpe_roundtrip_report(
     the test asserting a constant). Same zero-shuffle scan -> project
     shape as bpe_piece_counts: both folds run per row inside
     transform/aggregate."""
-    from video_stream_processing_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
     tl = _word_tokens(text_col)
 
     def pieces_of(tok: Column) -> Column:
         return apply_merges(_chars(tok), merges, guard=tok)
 
-    return ensure_parallelism(docs, "doc_id").select(
+    return docs.select(
         "doc_id",
         F.size(tl).alias("n_tokens"),
         F.aggregate(

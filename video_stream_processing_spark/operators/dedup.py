@@ -245,6 +245,15 @@ def _exact_jaccard_on_candidates(
     fraction and this removes an entire corpus-wide shingle pass —
     the posture wins at exactly the scale that matters."""
     cand = cand.localCheckpoint(eager=True)
+    # the candidate table materializes with AQE-coalesced partitioning
+    # (ONE partition at test SFs — its bytes are small), but the verify
+    # join below is compute-bound per row (array_intersect over shingle
+    # sets), so byte-based coalescing serializes it; spread the
+    # checkpointed pairs when they landed under the core count
+    # (deterministic hash keys, no round-robin sort)
+    target = cand.sparkSession.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < target:
+        cand = cand.repartition(target, "doc_a", "doc_b")
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

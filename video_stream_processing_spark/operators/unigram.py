@@ -352,15 +352,8 @@ def unigram_tokenize(
     Viterbi function is deterministic per token, so per-distinct
     precompute is value-identical to the oracle's per-occurrence
     replay."""
-    from video_stream_processing_spark.operators.parallelism import (
-        ensure_parallelism,
-    )
-
     vm = _vocab_map(vocab)
     tl = _word_tokens(text_col)
-    # spread the one-split test scan before the tokenize + rejoin passes
-    # (per-row regex/fold compute; a no-op at real scale)
-    docs = ensure_parallelism(docs, "doc_id")
     base = docs.select("doc_id", F.size(tl).alias("n_tokens"), tl.alias("__tl"))
     toks = base.select("doc_id", F.explode("__tl").alias("tok"))
     b = viterbi_best(F.col("tok"), vm, max_piece_len)

@@ -1933,7 +1933,9 @@ def x57_bpe_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (operators/bpe.py:bpe_piece_counts)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = [m[:3] for m in B.train_bpe_merges(docs, n_merges=3, sample_mod=5, sample_rem=0)]
-    return B.bpe_piece_counts(docs, merges)
+    # spread the one-split test scan before the corpus-wide fold (no-op
+    # at real scale; the operator itself stays scan -> project)
+    return B.bpe_piece_counts(ensure_parallelism(docs, "doc_id"), merges)
 
 
 # --------------------------------------------------------------------------
@@ -4744,7 +4746,7 @@ def x115_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.py:bpe_roundtrip_report)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = [m[:3] for m in B.train_bpe_merges(docs, n_merges=3, sample_mod=5, sample_rem=0)]
-    return B.bpe_roundtrip_report(docs, merges)
+    return B.bpe_roundtrip_report(ensure_parallelism(docs, "doc_id"), merges)
 
 
 # --------------------------------------------------------------------------
@@ -5212,7 +5214,7 @@ def x129_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/unigram.py:unigram_tokenize)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = {p: lp for p, _, lp in UG.train_unigram(docs)}
-    return UG.unigram_tokenize(docs, vocab)
+    return UG.unigram_tokenize(ensure_parallelism(docs, "doc_id"), vocab)
 
 
 # --------------------------------------------------------------------------
@@ -5369,7 +5371,7 @@ def x132_unigram_soft_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc: _round6_away(math.log(pv))
         for pc, _, pv in UG.train_unigram_soft(docs)
     }
-    return UG.unigram_tokenize(docs, vocab)
+    return UG.unigram_tokenize(ensure_parallelism(docs, "doc_id"), vocab)
 
 
 # --------------------------------------------------------------------------
