@@ -108,7 +108,9 @@ def train_bpe_merges(
     sample = ensure_parallelism(
         docs.where(F.col("doc_id") % sample_mod == sample_rem), "doc_id"
     )
-    toks = sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
+    toks = sample.select(
+        F.explode_outer(_word_tokens(text_col)).alias("tok")
+    ).where(F.col("tok").isNotNull())  # see dedup._minhash_wide's explode note
     # INCREMENTAL state: materialize the (tok, syms) table once and fold
     # only the NEW merge into it each round, instead of replaying all i
     # previous merges over fresh characters at iteration i (O(n_merges)

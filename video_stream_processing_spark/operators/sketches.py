@@ -52,8 +52,11 @@ def cms_grid(
     posexplode of the bucket ARRAY (seed = position): each md5 computes
     exactly once per (token, seed) — the explode-then-reselect shape
     re-evaluated all d hashes per exploded row (measured ~2x slower)."""
+    # explode_outer: the inferred size>0 generator filter would re-run
+    # the split below the spread exchange (see dedup._minhash_wide);
+    # the existing tok != "" predicate already drops the null row
     toks = docs.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     buckets = F.array(*[_cms_bucket(F.col("tok"), s, width) for s in range(depth)])
     return (
@@ -89,8 +92,11 @@ def cms_heavy_hitter_estimates(
     # BEFORE the two tokenize+hash passes (true counts, sketch grid) —
     # per-row md5 work, a no-op at real scale
     docs = ensure_parallelism(docs.select(text_col), text_col)
+    # explode_outer: the inferred size>0 generator filter would re-run
+    # the split below the spread exchange (see dedup._minhash_wide);
+    # the existing tok != "" predicate already drops the null row
     toks = docs.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     top = true_counts.orderBy(F.desc("true_count"), "tok").limit(top_k)

@@ -326,7 +326,9 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame
     avg() of per-token doubles differs across engines only in summation
     order; rounding to 4 decimals absorbs it (same argument as every
     score column in this module)."""
-    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens_col(text_col)).alias("tok")
+    ).where(F.col("tok").isNotNull())  # dedup._minhash_wide explode note
     counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -484,8 +486,9 @@ def dsir_weights(
         docs.select(
             "doc_id",
             target_pred.alias("is_target"),
-            F.explode(feats).alias("f"),
+            F.explode_outer(feats).alias("f"),
         )
+        .where(F.col("f").isNotNull())  # dedup._minhash_wide explode note
         .select("doc_id", "is_target", _dsir_bucket(F.col("f"), n_buckets).alias("b"))
     )
     doc_b = fx.groupBy("doc_id", "is_target", "b").agg(
@@ -603,9 +606,11 @@ def dsir_fit_log_ratios(
     import math
 
     feats = F.concat(tokens_col(text_col), shingles(text_col, 2))
-    fx = docs.select(
-        target_pred.alias("is_target"), F.explode(feats).alias("f")
-    ).select("is_target", _dsir_bucket(F.col("f"), n_buckets).alias("b"))
+    fx = (
+        docs.select(target_pred.alias("is_target"), F.explode_outer(feats).alias("f"))
+        .where(F.col("f").isNotNull())  # dedup._minhash_wide explode note
+        .select("is_target", _dsir_bucket(F.col("f"), n_buckets).alias("b"))
+    )
     stats = fx.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
@@ -841,7 +846,8 @@ def quality_classifier_fit(
 
     base = docs.select("doc_id", curated_pred.cast("double").alias("y"), tokens_col(text_col).alias("t"))
     pres = (
-        base.select("doc_id", "y", F.explode(F.array_distinct("t")).alias("tok"))
+        base.select("doc_id", "y", F.explode_outer(F.array_distinct("t")).alias("tok"))
+        .where(F.col("tok").isNotNull())  # dedup._minhash_wide explode note
         .select("doc_id", "y", _dsir_bucket(F.col("tok"), n_buckets).alias("b"))
         .distinct()
         .withColumn("c", F.lit(1.0))
@@ -1098,7 +1104,8 @@ def nb_langid(
         ),
     ).otherwise(F.array().cast("array<string>"))
     fx = (
-        docs.select("doc_id", F.col(lang_col).alias("labeled_lang"), F.explode(tris).alias("tri"))
+        docs.select("doc_id", F.col(lang_col).alias("labeled_lang"), F.explode_outer(tris).alias("tri"))
+        .where(F.col("tri").isNotNull())  # dedup._minhash_wide explode note
         .select("doc_id", "labeled_lang", _dsir_bucket(F.col("tri"), n_buckets).alias("b"))
         .groupBy("doc_id", "labeled_lang", "b")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
@@ -1298,8 +1305,8 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # lead() over one (doc, pos) window: one exchange, each token
     # evaluated once, stack() unpivots levels with a shuffle-free Expand.
     toks = docs.select(
-        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "w")
-    )
+        "doc_id", F.posexplode_outer(tokens_col(text_col)).alias("pos", "w")
+    ).where(F.col("w").isNotNull())  # dedup._minhash_wide explode note
     wspec = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("w")] + [
         F.lead("w", i).over(wspec) for i in range(1, max(ns))
@@ -1522,7 +1529,8 @@ def nb_langid_fit(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bc = (
-        docs.select(F.col(lang_col).alias("lang"), F.explode(tris).alias("tri"))
+        docs.select(F.col(lang_col).alias("lang"), F.explode_outer(tris).alias("tri"))
+        .where(F.col("tri").isNotNull())  # dedup._minhash_wide explode note
         .select("lang", _dsir_bucket(F.col("tri"), n_buckets).alias("b"))
         .groupBy("lang", "b")
         .agg(F.count(F.lit(1)).alias("mc"))

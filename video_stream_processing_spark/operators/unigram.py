@@ -169,7 +169,8 @@ def _sample_tokc(
         docs.where(F.col("doc_id") % sample_mod == sample_rem), "doc_id"
     )
     return (
-        sample.select(F.explode(_word_tokens(text_col)).alias("tok"))
+        sample.select(F.explode_outer(_word_tokens(text_col)).alias("tok"))
+        .where(F.col("tok").isNotNull())  # dedup._minhash_wide explode note
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
@@ -355,7 +356,9 @@ def unigram_tokenize(
     vm = _vocab_map(vocab)
     tl = _word_tokens(text_col)
     base = docs.select("doc_id", F.size(tl).alias("n_tokens"), tl.alias("__tl"))
-    toks = base.select("doc_id", F.explode("__tl").alias("tok"))
+    toks = base.select("doc_id", F.explode_outer("__tl").alias("tok")).where(
+        F.col("tok").isNotNull()
+    )  # dedup._minhash_wide explode note
     b = viterbi_best(F.col("tok"), vm, max_piece_len)
     reachable = F.col("__b")["s"] > F.lit(_SENTINEL / 2)
     scored = (
