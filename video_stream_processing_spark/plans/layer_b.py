@@ -54,7 +54,15 @@ GROUP BY l_returnflag, l_linestatus
 def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped scan aggregate: map-side partial aggregation + one shuffle
     on the (low-cardinality) group key; decimals keep sums order-exact."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    # spread the one-split test scan: the decimal multiply-sum chain is
+    # genuinely compute-heavy per row and percentile/decimal partials
+    # serialized on the lone scan task (measured 1.9 -> 1.5 s median;
+    # exact decimals are order-independent). No-op at real scale.
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
     cnt = F.count(F.lit(1))
@@ -892,7 +900,15 @@ def b27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (Spark percentile == DuckDB
     quantile_cont). At 100 TB the approx_percentile sketch replaces this
     shape; kept exact here for oracle parity."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from video_stream_processing_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    # spread the one-split scan: exact percentile partials BUFFER every
+    # value (no map-side reduction), so building them serialized on the
+    # lone scan task (measured 1.5 -> 1.0 s median; the interpolation is
+    # partition-order independent). No-op at real scale.
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("qty_p25"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_median"),
