@@ -40,8 +40,13 @@ def _scan_partitions(frames: DataFrame) -> int:
     tasks because 2.4 MB of frames "fit" in 2 partitions). An explicit
     count pins the exchange (REPARTITION_BY_NUM is exempt from AQE
     coalescing); the value stays the session's shuffle-partition conf,
-    so a cluster still sizes it centrally."""
-    return int(frames.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    so a cluster still sizes it centrally. Platforms that set the conf
+    to a non-numeric value (e.g. 'auto') fall back to the scheduler's
+    default parallelism (r15 ADVICE)."""
+    try:
+        return int(frames.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return frames.sparkSession.sparkContext.defaultParallelism
 
 
 def keyed_sorted_scan(

@@ -420,7 +420,7 @@ def _centroid_candidates(emb_sql: str, cents: list[list[float]]) -> Column:
 
 
 def kmeans_centroids(
-    emb: DataFrame, n_clusters: int = 8, n_iters: int = 2
+    emb: DataFrame, n_clusters: int = 8, n_iters: int = 2, prepared: bool = False
 ) -> list[list[float]]:
     """TRAINED IVF centroids: ``n_iters`` Lloyd iterations of spherical
     k-means, deterministic so a DuckDB oracle can replay the training
@@ -449,35 +449,46 @@ def kmeans_centroids(
     x15's fixpoint probes)."""
     # spread + cache for the training loop: every Lloyd action otherwise
     # re-scans and re-exchanges the corpus (one extra job per action);
-    # the cache is training-scoped and released before returning
-    emb = ensure_parallelism(emb, "vec_id").persist()
-    seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters).collect()
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in sorted(seeds, key=lambda r: r["vec_id"])
-    ]
-    dim = len(cents[0]) if cents else 0
-    for _ in range(n_iters):
-        best = F.array_max(_centroid_candidates("embedding", cents))
-        # project cid in its OWN select before posexplode: combining the
-        # getField with a generator in one projection makes the analyzer
-        # rebuild the struct nameless (col1/col2) under the aggregate and
-        # the by-name field access fails
-        rows = (
-            emb.select((-best["neg_cid"]).cast("int").alias("cid"), "embedding")
-            .select("cid", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("c"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+    # the cache is training-scoped and released before returning.
+    # ``prepared=True`` means the CALLER already spread+persisted emb and
+    # owns its release (ivfpq_topk runs both trainers concurrently over
+    # one shared cache — two independent persists of the identical plan
+    # would share one CacheManager entry, and whichever trainer finished
+    # first would unpersist it out from under the other mid-training,
+    # r15 ADVICE). The release is in a finally so a failed training
+    # action cannot leak the cache.
+    if not prepared:
+        emb = ensure_parallelism(emb, "vec_id").persist()
+    try:
+        seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_clusters).collect()
         cents = [
-            [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
-            for i in range(len(cents))
+            [float(x) for x in r["embedding"]]
+            for r in sorted(seeds, key=lambda r: r["vec_id"])
         ]
-    emb.unpersist()
+        dim = len(cents[0]) if cents else 0
+        for _ in range(n_iters):
+            best = F.array_max(_centroid_candidates("embedding", cents))
+            # project cid in its OWN select before posexplode: combining the
+            # getField with a generator in one projection makes the analyzer
+            # rebuild the struct nameless (col1/col2) under the aggregate and
+            # the by-name field access fails
+            rows = (
+                emb.select((-best["neg_cid"]).cast("int").alias("cid"), "embedding")
+                .select("cid", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("c"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+            cents = [
+                [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
+                for i in range(len(cents))
+            ]
+    finally:
+        if not prepared:
+            emb.unpersist()
     return cents
 
 
@@ -958,8 +969,12 @@ def lsh_multitable_topk(
     # materialize it once (this IS the stored bucket index production
     # writes at ingest) instead of recomputing the n_tables*bits
     # hyperplane folds + norm per reference (idle A/B at sf0.1:
-    # 1.80 -> 1.35s median).
-    with_buckets = ensure_parallelism(emb, "vec_id").select(
+    # 1.80 -> 1.35s median). NO spread before the fold (r16, VERDICT r15
+    # item 2): the r15 ensure_parallelism here was a measured LOSS in
+    # both the builder's ledger (1.44 -> 1.80 s) and the driver's run —
+    # the per-row bucket fold is too light to pay for a 32-way exchange,
+    # and the checkpoint right after already bounds the recompute.
+    with_buckets = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
@@ -1036,8 +1051,10 @@ def lsh_multitable_topk_capped(
     # materialize it once (this IS the stored bucket index production
     # writes at ingest) instead of recomputing the n_tables*bits
     # hyperplane folds + norm per reference (idle A/B at sf0.1:
-    # 1.80 -> 1.35s median).
-    with_buckets = ensure_parallelism(emb, "vec_id").select(
+    # 1.80 -> 1.35s median). NO spread before the fold (r16, VERDICT r15
+    # item 2): see lsh_multitable_topk — the r15 spread here measured as
+    # a loss in both windows.
+    with_buckets = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("cn"),
@@ -1352,7 +1369,11 @@ def _pq_code_for(sub_sql: str, codebook: list[list[float]]) -> Column:
 
 
 def pq_codebooks(
-    emb: DataFrame, m_sub: int = PQ_M, k_codes: int = PQ_K, n_iters: int = 1
+    emb: DataFrame,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iters: int = 1,
+    prepared: bool = False,
 ) -> list[list[list[float]]]:
     """Train M per-subspace PQ codebooks with ``n_iters`` deterministic
     Lloyd iterations (init = sub-vectors of the k_codes smallest vec_ids;
@@ -1368,7 +1389,21 @@ def pq_codebooks(
     as literals, exactly like kmeans_centroids. At 100 TB you would train
     on a sample; the full-corpus pass here keeps the DuckDB oracle an
     exact replay. Returns books[m][code] = list of sub_dim floats."""
-    emb = ensure_parallelism(emb, "vec_id").persist()  # training-scoped (see kmeans_centroids)
+    # training-scoped spread+cache, caller-owned when prepared=True and
+    # released in a finally (see kmeans_centroids for the full rationale)
+    if not prepared:
+        emb = ensure_parallelism(emb, "vec_id").persist()
+    try:
+        books = _pq_codebooks_loop(emb, m_sub, k_codes, n_iters)
+    finally:
+        if not prepared:
+            emb.unpersist()
+    return books
+
+
+def _pq_codebooks_loop(
+    emb: DataFrame, m_sub: int, k_codes: int, n_iters: int
+) -> list[list[list[float]]]:
     seeds = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k_codes).collect()
     vecs = [
         [float(x) for x in r["embedding"]]
@@ -1428,7 +1463,6 @@ def pq_codebooks(
             ]
             for m in range(m_sub)
         ]
-    emb.unpersist()
     return books
 
 
@@ -1469,18 +1503,35 @@ def ivfpq_topk(
     # the same input — run their action chains concurrently (Spark
     # schedules concurrent jobs fine; ~2x faster wall-clock training at
     # bench scale, same deterministic results since neither mutates
-    # shared state)
+    # shared state). ONE shared spread+persist, prepared here and
+    # released here (r15 ADVICE: per-trainer persists of the identical
+    # plan share a single CacheManager entry, so the first trainer to
+    # finish would unpersist it mid-training for the other).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_cents = pool.submit(
-            kmeans_centroids, emb, n_clusters=n_clusters, n_iters=n_iters
-        )
-        f_books = pool.submit(
-            pq_codebooks, emb, m_sub=m_sub, k_codes=k_codes, n_iters=pq_iters
-        )
-        cents, books = f_cents.result(), f_books.result()
-    emb = ensure_parallelism(emb, "vec_id")  # after training (which wraps its own scans)
+    spread = ensure_parallelism(emb, "vec_id")
+    train_emb = spread.persist()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cents = pool.submit(
+                kmeans_centroids,
+                train_emb,
+                n_clusters=n_clusters,
+                n_iters=n_iters,
+                prepared=True,
+            )
+            f_books = pool.submit(
+                pq_codebooks,
+                train_emb,
+                m_sub=m_sub,
+                k_codes=k_codes,
+                n_iters=pq_iters,
+                prepared=True,
+            )
+            cents, books = f_cents.result(), f_books.result()
+    finally:
+        train_emb.unpersist()
+    emb = spread  # keep the spread for encode; the cache itself is released
     corpus = ivfpq_encode(emb, cents, books)
     return ivfpq_search(
         corpus, emb, cents, books, k=k, n_probes=n_probes,

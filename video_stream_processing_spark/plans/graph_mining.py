@@ -50,9 +50,15 @@ deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(pairs, symmetric edges, degree) of the support>=3 co-purchase
-    graph. The pair self-join is per-customer (bounded basket — never
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(pairs, symmetric edges, degree, cached baskets) of the
+    support>=3 co-purchase graph. The returned ``baskets`` handle is the
+    persist()ed base the pair frames still reference lazily — the caller
+    must unpersist it once pairs are materialized (r15 ADVICE: repeated
+    invocations in one session otherwise accumulate cached baskets until
+    the session-level release helpers run). The pair self-join is per-customer (bounded basket — never
     item x item global); the symmetric union is a projection. A
     collect_set + array-combination-explode variant (two shuffles
     fewer) measured 5x SLOWER at sf0.1 — the per-row struct-array
@@ -90,21 +96,33 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         # lineitem-join-orders-distinct pipeline ran twice).
         .persist()
     )
-    # ONE materializing action doubles as the packing guard: ids below
-    # 2^31 make (part_a << 32) + part_b exact (part_a < 2^31 keeps the
-    # shift in-range, part_b < 2^32 cannot bleed into the high half).
+    # ONE materializing action doubles as the packing guard: ids in
+    # [0, 2^31) make (part_a << 32) + part_b exact (part_a < 2^31 keeps
+    # the shift in-range, part_b < 2^32 cannot bleed into the high
+    # half). BOTH bounds are probed (r15 ADVICE: a negative id would
+    # sign-extend and corrupt the pack; only max was checked before).
     # TPC-H partkeys exceed 2^31 only past SF ~10k; a graph with wider
     # ids falls back to the two-column key — same results either way
     # (differentially checked), only the shuffle-key width changes.
-    max_part = baskets.agg(F.max("part")).collect()[0][0]
-    pack_ok = max_part is not None and 0 <= max_part < (1 << 31)
+    bounds = baskets.agg(F.min("part"), F.max("part")).collect()[0]
+    min_part, max_part = bounds[0], bounds[1]
+    pack_ok = max_part is not None and 0 <= min_part and max_part < (1 << 31)
     a = baskets.select("cust", F.col("part").alias("part_a"))
     b = baskets.select("cust", F.col("part").alias("part_b"))
     joined = a.join(b, "cust").where(F.col("part_a") < F.col("part_b"))
     if pack_ok:
+        # cast BOTH sides to long before the shift (r15 ADVICE): on an
+        # IntegerType part column, shiftleft returns int and Java masks
+        # the shift count to 5 bits (x << 32 == x), so the pack would
+        # silently degenerate to part_a + part_b while the value guard
+        # still passed. The cast makes the pack exact for any integral
+        # column type in the guarded domain.
         packed = (
             joined.select(
-                (F.shiftleft(F.col("part_a"), 32) + F.col("part_b")).alias("pk")
+                (
+                    F.shiftleft(F.col("part_a").cast("long"), 32)
+                    + F.col("part_b").cast("long")
+                ).alias("pk")
             )
             .groupBy("pk")
             .agg(F.count(F.lit(1)).alias("n_cust"))
@@ -125,7 +143,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    return pairs, edges, deg
+    return pairs, edges, deg, baskets
 
 
 def _materialized_graph(spark: SparkSession, sf_dir: str):
@@ -134,8 +152,12 @@ def _materialized_graph(spark: SparkSession, sf_dir: str):
     more than one reference (edge union, degree table, final counts):
     without the checkpoint each reference re-runs the whole basket
     pipeline (caught repeatedly in plan audits)."""
-    pairs, _, _ = _copurchase_edges(spark, sf_dir)
+    pairs, _, _, baskets = _copurchase_edges(spark, sf_dir)
     pairs = pairs.localCheckpoint(eager=True)
+    # the checkpoint above is the last consumer of the cached baskets:
+    # release them here instead of leaking the entry until the session
+    # release helpers run (r15 ADVICE)
+    baskets.unpersist()
     edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionAll(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
@@ -584,6 +606,16 @@ SELECT part_a, part_b FROM spairs
 # text over the checkpointed view; the DuckDB oracle splices the SAME
 # two texts back into one base expression, so the engines still share
 # the SQL verbatim at each stage.
+#
+# r16: the symmetric union itself stays LAZY over the checkpointed pair
+# view — r15 ran a SECOND eager localCheckpoint on the union, and that
+# extra materializing job measured as a regression in both the
+# builder's ledger (6.23 -> 7.02 s) and the driver's run (6.45 ->
+# 7.77 s, VERDICT r15 item 1): the surviving pairs are KBs, so
+# re-projecting the union from cached pair partitions on each UnionLoop
+# iteration costs microseconds while the extra eager job cost ~0.8 s.
+# One checkpoint (the pair half), zero re-reads of the 235 MB pair
+# exchange, no second materialization.
 _B63_SYM_SQL_TMPL = """
 SELECT part_a AS src, part_b AS dst FROM {pairs}
 UNION ALL
@@ -662,15 +694,19 @@ def b63_recursive_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     235 MB of shuffle read at sf0.1 to rebuild a KB-sized pair table
     twice. Both engines still run the same two texts; DuckDB's base
     splices the pair text into the union template
-    (_B63_SYM_SQL_TMPL)."""
+    (_B63_SYM_SQL_TMPL).
+
+    r16 (VERDICT r15 item 1): the union view is LAZY — r15's second
+    eager localCheckpoint on it was the round's one both-windows
+    regression (the extra materializing job cost more than it saved;
+    the union over cached KB pair partitions is a trivial projection
+    each UnionLoop iteration re-derives for free)."""
     from video_stream_processing_spark.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
     pairs = spark.sql(_B63_PAIRS_SQL).localCheckpoint(eager=True)
     pairs.createOrReplaceTempView("b63_pairs")
-    base = spark.sql(
-        _B63_SYM_SQL_TMPL.format(pairs="b63_pairs")
-    ).localCheckpoint(eager=True)
+    base = spark.sql(_B63_SYM_SQL_TMPL.format(pairs="b63_pairs"))
     base.createOrReplaceTempView("b63_base")
     return spark.sql(_B63_REC_SQL)
 
