@@ -10,14 +10,37 @@ import pytest
 from video_stream_processing_spark.operators.parallelism import ensure_parallelism
 
 
-def test_spread_fires_on_small_file_scan(spark, sf_dir):
+def test_spread_width_derives_from_input_bytes(spark, sf_dir):
+    import os
+
+    from video_stream_processing_spark.operators.parallelism import (
+        _SPREAD_BYTES_PER_TASK,
+    )
+    from video_stream_processing_spark.tables import load_table
+
+    cores = spark.sparkContext.defaultParallelism
+    for table in ("documents", "embeddings"):
+        df = load_table(spark, sf_dir, table)
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        want = min(cores, max(1, -(-size // _SPREAD_BYTES_PER_TASK)))
+        out = ensure_parallelism(df, df.columns[0])
+        if want > 1:
+            # spread fires with the byte-derived width, not the core count
+            assert out.rdd.getNumPartitions() == want
+            assert out.count() == df.count()
+        else:
+            # input too small to pay for any exchange: untouched plan
+            assert out is df
+
+
+def test_spread_per_row_heavy_uses_every_core(spark, sf_dir):
     from video_stream_processing_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = ensure_parallelism(docs, "doc_id")
-    # small single-file input at test SFs -> keyed repartition to cores
+    out = ensure_parallelism(docs, "doc_id", per_row_heavy=True)
+    # per-row-dominated passes (codec renders, extraction regex) opt out
+    # of the byte-derived width: KB inputs still fan to the core count
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
-    # spread is a pure redistribution: same rows
     assert out.count() == docs.count()
 
 
@@ -25,8 +48,18 @@ def test_spread_keyed_plan_has_no_sort(spark, sf_dir):
     from video_stream_processing_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    keyed = ensure_parallelism(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
-    rr = ensure_parallelism(docs)._jdf.queryExecution().executedPlan().toString()
+    keyed = (
+        ensure_parallelism(docs, "doc_id", per_row_heavy=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rr = (
+        ensure_parallelism(docs, per_row_heavy=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # hash repartition needs no sortBeforeRepartition pass; round-robin does
     assert "hashpartitioning" in keyed and "Sort" not in keyed
     assert "roundrobin" in rr.lower()

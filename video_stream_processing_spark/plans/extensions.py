@@ -1523,9 +1523,13 @@ def x43_jpeg_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # parallelism guard before the codec pass: the one-split scan at test
     # SFs otherwise serializes every encode+decode onto a single task
-    # (r15 profile: 5.1 s / 1 task); only doc_id crosses the exchange
+    # (r15 profile: 5.1 s / 1 task); only doc_id crosses the exchange.
+    # per_row_heavy: each row is a full JPEG encode+decode, so the width
+    # sweep favours every core even on a KB-sized id column.
     docs = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        per_row_heavy=True,
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5287,10 +5291,14 @@ def x130_extract_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # parallelism guard before the synth+extract chain: the regex
     # extraction is per-row compute over a one-split scan at test SFs
-    # (r15 profile: 4.2 s on ONE task before the checkpoint)
+    # (r15 profile: 4.2 s on ONE task before the checkpoint).
+    # per_row_heavy: the extraction regex chain costs milliseconds per
+    # row — the r16 width sweep showed full width beating the
+    # byte-derived width here (5.2 vs 6.1 s median).
     base = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         "doc_id",
+        per_row_heavy=True,
     )
     marked = base.select("doc_id", "lang", H.synth_markup_col().alias("html"))
     ex = marked.select(
@@ -5697,8 +5705,9 @@ def _dhash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # parallelism guard before the render: both union branches scan a
     # one-split file at test SFs, serializing the Python pass (no-op at
-    # real scale)
-    src = ensure_parallelism(own.unionByName(copies), "doc_id")
+    # real scale). per_row_heavy: each row renders a BMP + tar shard in
+    # Python — per-row cost dwarfs the byte-derived width.
+    src = ensure_parallelism(own.unionByName(copies), "doc_id", per_row_heavy=True)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)
@@ -5947,8 +5956,9 @@ def _x137_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # parallelism guard before the render: both union branches scan a
     # one-split file at test SFs, serializing the Python pass (no-op at
-    # real scale)
-    src = ensure_parallelism(own.unionByName(copies), "doc_id")
+    # real scale). per_row_heavy: each row renders a BMP + tar shard in
+    # Python — per-row cost dwarfs the byte-derived width.
+    src = ensure_parallelism(own.unionByName(copies), "doc_id", per_row_heavy=True)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(16 * 18)
