@@ -1073,6 +1073,15 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d2.where(T.curation_keep()).select(
         "doc_id", "text", T.word_count().alias("n_tokens")
     )
+    # materialize the curated table ONCE (r16): `kept` feeds BOTH the
+    # md5-dedup aggregate and the final semi-join, and pushdown inlines
+    # the normalize chain into every predicate of the curation filter —
+    # without the checkpoint the whole regex chain ran 2 passes x 2
+    # evaluations per row (filter + projection). Idle A/B at sf0.1:
+    # 1.75 -> 1.28 s median. Same staged-intermediate discipline as
+    # x130's extract checkpoint; at scale this is the curated corpus a
+    # production pipeline persists between stages anyway.
+    kept = kept.localCheckpoint(eager=True)
     keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
