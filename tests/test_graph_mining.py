@@ -44,7 +44,7 @@ def _lev(a: str, b: str) -> int:
 
 def test_pagerank_mass_bounds_and_node_set(spark):
     r = x82_pagerank_fixedpoint(spark, SF).toPandas()
-    _, _, deg = _copurchase_edges(spark, SF)
+    _, _, deg, baskets = _copurchase_edges(spark, SF)
     n_nodes = deg.count()
     # every node keeps its restart mass and receives only non-negative
     # contributions; floor truncation only ever removes mass
@@ -297,7 +297,7 @@ def test_kcore_monotone_against_degrees(spark):
         x89_kcore_peel,
     )
 
-    _, _, deg = _copurchase_edges(spark, SF)
+    _, _, deg, baskets = _copurchase_edges(spark, SF)
     raw = {r["node"]: r["deg"] for r in deg.collect()}
     out = x89_kcore_peel(spark, SF).toPandas()
     assert len(out) > 0

@@ -277,29 +277,56 @@ def mean_word_length(text_col: str = "text") -> Column:
     ).cast("double") / F.greatest(word_count(text_col), F.lit(1))
 
 
+def curation_rules_over_tokens(toks: Column) -> dict[str, Column]:
+    """The C4/Gopher keep rules over an ALREADY-TOKENIZED array column —
+    the single rule source both forms share: ``curation_rules`` passes
+    ``tokens_col(text_col)`` here, producing the exact expression trees
+    it always produced, while a pipeline that materializes the token
+    array once (x35) can filter on the stored attribute instead of
+    letting pushdown re-inline split(trim(normalize(...))) into every
+    conjunct (r16: that inlining ran the whole chain ~8x per row inside
+    a filter pushed below the spread exchange — i.e. serially)."""
+    wc = F.size(toks).cast("long")
+    mwl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(wc, F.lit(1))
+    diversity = F.size(F.array_distinct(toks)).cast("long") / F.greatest(
+        wc, F.lit(1)
+    )
+    stops = F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS))
+    stop_ratio = (F.size(stops) / F.greatest(F.size(toks), F.lit(1))).cast("double")
+    return {
+        "ok_nwords": (wc >= 30) & (wc <= 2000),
+        "ok_wordlen": (mwl >= 3.0) & (mwl <= 10.0),
+        "ok_diversity": diversity > 0.3,
+        "ok_stopword": stop_ratio >= 0.005,
+    }
+
+
 def curation_rules(text_col: str = "text") -> dict[str, Column]:
     """C4/Gopher-style keep rules as named boolean Columns — the single
     definition the batch filter chain (x34), the composed pipeline (x35)
     and the streaming twin all share, so the three surfaces cannot
     drift."""
-    wc = word_count(text_col)
-    diversity = distinct_word_count(text_col) / F.greatest(wc, F.lit(1))
-    return {
-        "ok_nwords": (wc >= 30) & (wc <= 2000),
-        "ok_wordlen": (mean_word_length(text_col) >= 3.0)
-        & (mean_word_length(text_col) <= 10.0),
-        "ok_diversity": diversity > 0.3,
-        "ok_stopword": stopword_ratio(text_col) >= 0.005,
-    }
+    return curation_rules_over_tokens(tokens_col(text_col))
+
+
+def _conjunction(rules: dict[str, Column]) -> Column:
+    vals = list(rules.values())
+    out = vals[0]
+    for r in vals[1:]:
+        out = out & r
+    return out
 
 
 def curation_keep(text_col: str = "text") -> Column:
     """Conjunction of every curation rule."""
-    rules = list(curation_rules(text_col).values())
-    out = rules[0]
-    for r in rules[1:]:
-        out = out & r
-    return out
+    return _conjunction(curation_rules(text_col))
+
+
+def curation_keep_over_tokens(toks: Column) -> Column:
+    """Conjunction of every curation rule over a token-array column."""
+    return _conjunction(curation_rules_over_tokens(toks))
 
 
 def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1070,18 +1070,26 @@ def x35_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task passes, 1.9 s) — no-op at real scale
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     d2 = docs.select("doc_id", T.normalize_col().alias("text"))
-    kept = d2.where(T.curation_keep()).select(
-        "doc_id", "text", T.word_count().alias("n_tokens")
+    # tokenize ONCE, materialize, filter on the STORED array (r16).
+    # Two defects in the r15 shape, both visible in
+    # plans/r16/x35_curation_pipeline_ckpt1_*: (a) pushdown substituted
+    # the normalize+split chain into every conjunct of the curation
+    # filter (~8 evaluations per row), and (b) it pushed that filter
+    # BELOW the spread exchange, so the whole chain ran serially in the
+    # one-split scan task. Computing the token array in a projection
+    # ABOVE the exchange and checkpointing it makes the chain run once
+    # per row, in parallel; the filter then reads stored attributes
+    # (curation_keep_over_tokens — the same rule source x34 uses), and
+    # the checkpoint also stops the two consumers (md5-dedup aggregate,
+    # final semi-join) from re-running the chain. At scale the
+    # checkpoint is the tokenized-corpus staging table a production
+    # curation pipeline materializes anyway (x130's discipline).
+    d3 = d2.select("doc_id", "text", T.tokens_col().alias("toks")).localCheckpoint(
+        eager=True
     )
-    # materialize the curated table ONCE (r16): `kept` feeds BOTH the
-    # md5-dedup aggregate and the final semi-join, and pushdown inlines
-    # the normalize chain into every predicate of the curation filter —
-    # without the checkpoint the whole regex chain ran 2 passes x 2
-    # evaluations per row (filter + projection). Idle A/B at sf0.1:
-    # 1.75 -> 1.28 s median. Same staged-intermediate discipline as
-    # x130's extract checkpoint; at scale this is the curated corpus a
-    # production pipeline persists between stages anyway.
-    kept = kept.localCheckpoint(eager=True)
+    kept = d3.where(T.curation_keep_over_tokens(F.col("toks"))).select(
+        "doc_id", "text", F.size("toks").cast("long").alias("n_tokens")
+    )
     keepers = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
