@@ -25,9 +25,12 @@ from video_stream_processing_spark.plans.registry import all_queries, query_map
 from video_stream_processing_spark.session import get_spark
 
 # size(foo#123...) over a bare attribute is the cheap inferred filter we
-# keep; size(<ident>(...) is a computed-array expression inlined into the
-# filter — the duplication. `true` ends Spark's size() legacy-null arg.
-_COMPUTED_SIZE = re.compile(r"size\((\w+)\(")
+# keep, and size(fn(attr#123)) is a rule legitimately computed over a
+# stored array (x35's curation conjuncts); size(fn(gn(...))) — two or
+# more nested calls — means a DERIVATION CHAIN (split(trim(...)),
+# zip_with(slice(split(...)))) was substituted into the filter and
+# re-evaluates per conjunct: that is the duplication this audit hunts.
+_COMPUTED_SIZE = re.compile(r"size\((\w+)\(\s*(\w+)\(")
 
 
 def scan(df) -> list[str]:
